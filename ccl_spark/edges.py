@@ -1,0 +1,129 @@
+"""Edge-table builder: url hashing, dedup, salting, degrees, CSR blocks.
+
+The edge table is the engine's first-class object (the graph the
+reference never materializes — SURVEY.md §1). Layout per FIXTURES.md:
+
+    edges(src long, dst long, salt int)
+
+- ids are xxhash64(url) — stable, order-free, join-free at ingest.
+  (At 10^12 pages the 64-bit birthday bound is ~3% for one collision
+  anywhere; an exact dictionary join is the alternative when that
+  matters. Documented trade-off, not an accident.)
+- salt = pmod(xxhash64(src), n_salts): pre-computed skew key, so any
+  downstream two-phase aggregation over hub vertices can group by
+  (src, salt) first and by src second.
+- the table is repartitioned by src so iterative joins against
+  vertex-state tables co-locate; on real storage this is an Iceberg
+  bucket(src) partition spec + sorted-by-src data files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .extract import extract_link_pairs
+
+
+def url_id(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c)
+
+
+def page_edges(pages: DataFrame, n_salts: int = 64) -> DataFrame:
+    """pages -> deduplicated salted edge table."""
+    pairs = extract_link_pairs(pages)
+    e = pairs.select(
+        url_id("src_url").alias("src"), url_id("dst_url").alias("dst")
+    ).distinct()
+    return with_salt(e, n_salts)
+
+
+def with_salt(edges: DataFrame, n_salts: int = 64) -> DataFrame:
+    return edges.withColumn("salt", F.pmod(F.xxhash64("src"), F.lit(n_salts)).cast("int"))
+
+
+def url_vertices(pages: DataFrame) -> DataFrame:
+    return pages.select(url_id("url").alias("vertex")).distinct()
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(vertex, out_deg, in_deg) with zeros filled."""
+    out_d = edges.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "vertex", "full")
+        .select(
+            "vertex",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def hub_vertices(edges: DataFrame, threshold: int) -> DataFrame:
+    """Vertices whose in-degree exceeds ``threshold`` — the broadcast /
+    salted-aggregation side for skew handling."""
+    return (
+        edges.groupBy(F.col("dst").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+        .filter(F.col("in_deg") > threshold)
+    )
+
+
+CSR_SCHEMA = (
+    "block_id int, n_src int, n_edges long, src_ids binary, indptr binary, dst_ids binary"
+)
+
+
+def _csr_batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    parts = list(pdf_iter)
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True)
+    if pdf.empty:
+        return
+    # several block_ids can hash into one partition — one CSR row each
+    for block_id, grp in pdf.groupby("block_id", sort=True):
+        src = grp["src"].to_numpy(np.int64)
+        dst = grp["dst"].to_numpy(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        uniq, counts = np.unique(src, return_counts=True)
+        indptr = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        yield pd.DataFrame(
+            {
+                "block_id": [int(block_id)],
+                "n_src": [len(uniq)],
+                "n_edges": [len(dst)],
+                "src_ids": [uniq.tobytes()],
+                "indptr": [indptr.tobytes()],
+                "dst_ids": [dst.tobytes()],
+            }
+        )
+
+
+def csr_blocks(edges: DataFrame, n_blocks: int = 32) -> DataFrame:
+    """Per-partition CSR adjacency blocks (north_star item).
+
+    Edges are hash-bucketed by src into ``n_blocks`` blocks; each block
+    becomes one row holding numpy int64 CSR arrays (src_ids / indptr /
+    dst_ids as binary). These blocks are the local half of a superstep:
+    a worker can stream its block and emit (dst, msg) pairs without
+    deserializing per-edge rows. Built in mapInPandas (Arrow), one
+    block per partition.
+    """
+    blocked = edges.select(
+        F.pmod(F.xxhash64("src"), F.lit(n_blocks)).cast("int").alias("block_id"),
+        "src",
+        "dst",
+    ).repartition(n_blocks, "block_id")
+    return blocked.mapInPandas(_csr_batch, schema=CSR_SCHEMA)

@@ -1,0 +1,69 @@
+"""Synchronous label propagation (community detection).
+
+Every vertex starts with its own id; each superstep all vertices adopt
+the most frequent label among their neighbors simultaneously, with a
+deterministic tie-break (smallest label) so output is identical at any
+parallelism — the no-order-dependence discipline the reference's
+sequential numbering forced is kept here by construction.
+
+Per superstep: one join (labels onto the undirected neighbor table) +
+one count aggregation + one row_number window — all JVM-side. The
+neighbor table is built once, repartitioned by dst and cached so each
+round reshuffles only the labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Return ``(vertex long, label long)`` after at most ``max_iter``
+    synchronous rounds (stops early when no label changes)."""
+    pairs = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    nbrs = (
+        pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    verts = pairs.select(F.col("u").alias("vertex")).unionByName(
+        pairs.select(F.col("v").alias("vertex"))
+    )
+    if vertices is not None:
+        verts = verts.unionByName(vertices.select(F.col("vertex").cast("long")))
+    verts = verts.distinct().localCheckpoint(eager=True)
+
+    labels = verts.select("vertex", F.col("vertex").alias("label"))
+    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(max_iter):
+        msgs = nbrs.join(labels, nbrs.v == labels.vertex).select("u", "label")
+        counts = msgs.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("vertex"), F.col("label").alias("new_label"))
+        )
+        nxt = (
+            labels.join(best, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter("chg").count()
+        labels = nxt.select("vertex", "label")
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,110 @@
+"""Power-iteration PageRank with dangling-mass redistribution.
+
+Semantics: damping d (default 0.85), uniform teleport, dangling pages'
+rank mass redistributed uniformly each iteration, so sum(rank) == 1 at
+every step. Convergence: max per-vertex |delta| < tol (north rule:
+per-vertex scores allclose 1e-6 at convergence).
+
+Scale design:
+- The edge side is joined with out-degrees ONCE, repartitioned by src
+  and cached — `HashPartitioning(src)` survives the cache, so every
+  iteration's edges-by-ranks join reshuffles only the small ranks table
+  (|V| rows), never the 100 TB edge table.
+- Per-iteration work is one equi-join + one groupBy(dst).sum — both
+  whole-stage-codegen hash aggregates with map-side partial sums, so a
+  hub with 10^6 in-links is combined map-side before the shuffle; AQE
+  skew-join handles residual skew.
+- Ranks are localCheckpoint'ed each iteration (lineage truncation);
+  with a SuperstepHarness they persist to parquet + lineage rows for
+  mid-algorithm resume.
+
+The reference has no PageRank; this generalizes its per-component
+bookkeeping to per-vertex scores per the driver north_star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .superstep import SuperstepHarness
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    vertices: DataFrame | None = None,
+    harness: SuperstepHarness | None = None,
+) -> DataFrame:
+    """Return ``(vertex long, rank double)``; ranks sum to 1."""
+    pairs = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    verts = pairs.select(F.col("src").alias("vertex")).unionByName(
+        pairs.select(F.col("dst").alias("vertex"))
+    )
+    if vertices is not None:
+        verts = verts.unionByName(vertices.select(F.col("vertex").cast("long")))
+    verts = verts.distinct().localCheckpoint(eager=True)
+    n = verts.count()
+    if n == 0:
+        return verts.select("vertex", F.lit(0.0).alias("rank"))
+
+    out_deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # one-time shuffle of the big side; reused by every iteration's join
+    edges_w = (
+        pairs.join(out_deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    deg_tbl = verts.join(
+        out_deg, verts.vertex == out_deg.src, "left"
+    ).select("vertex", F.coalesce("deg", F.lit(0)).alias("deg")).localCheckpoint(eager=True)
+
+    ranks = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
+    start = 0
+    if harness is not None:
+        resumed = harness.latest()
+        if resumed is not None:
+            start, ranks = resumed
+    ranks = ranks.localCheckpoint(eager=True)
+
+    base = (1.0 - damping) / n
+    for it in range(start, max_iter):
+        t0 = harness.timer() if harness is not None else None
+        dangling = (
+            deg_tbl.filter(F.col("deg") == 0)
+            .join(ranks, "vertex")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        contribs = (
+            edges_w.join(ranks, edges_w.src == ranks.vertex)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            ranks.join(contribs, ranks.vertex == contribs.dst, "left")
+            .select(
+                "vertex",
+                F.col("rank").alias("old"),
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("old")))).first()[0]
+        ranks = new_ranks.select("vertex", "rank")
+        if harness is not None:
+            harness.record(superstep=it, df=ranks, changed=-1, delta=float(delta), timer=t0)
+        if delta < tol:
+            return ranks
+    raise RuntimeError(f"pagerank: no convergence to {tol} in {max_iter} iterations")

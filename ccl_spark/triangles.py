@@ -1,0 +1,82 @@
+"""Degree-ordered triangle counting.
+
+Classic two-join scheme: orient each undirected edge from the
+lower-(degree, id) endpoint to the higher one; every triangle then has
+exactly one wedge a->b, a->c with (b,c) also oriented — so it is
+counted exactly once. Orienting by degree bounds each vertex's
+out-neighborhood by O(sqrt(m)), which is what keeps the wedge join
+tractable on power-law web graphs (hubs become high-rank and receive
+edges instead of fanning out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _oriented(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    canon = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+    with_deg = canon.join(da, "a").join(db, "b")
+    lo_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    return with_deg.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """All triangles as rows ``(x, y, z)`` (each exactly once)."""
+    o = _oriented(edges, src, dst).localCheckpoint(eager=True)
+    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+    # close the wedge with an oriented edge in either (y,z) order
+    close = o.select(
+        F.least("lo", "hi").alias("y"), F.greatest("lo", "hi").alias("z")
+    ).distinct()
+    return wedges.join(close, ["y", "z"]).select("x", "y", "z")
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> int:
+    return triangles(edges, src, dst).count()
+
+
+def triangles_per_vertex(
+    edges: DataFrame, src: str = "src", dst: str = "dst", vertices: DataFrame | None = None
+) -> DataFrame:
+    """``(vertex long, n_triangles long)`` including zero rows when
+    ``vertices`` is given."""
+    tri = triangles(edges, src, dst)
+    corners = (
+        tri.select(F.col("x").alias("vertex"))
+        .unionByName(tri.select(F.col("y").alias("vertex")))
+        .unionByName(tri.select(F.col("z").alias("vertex")))
+    )
+    counts = corners.groupBy("vertex").agg(F.count(F.lit(1)).alias("n_triangles"))
+    if vertices is None:
+        pairs = edges.select(F.col(src).cast("long").alias("vertex")).unionByName(
+            edges.select(F.col(dst).cast("long").alias("vertex"))
+        )
+        vertices = pairs.distinct()
+    else:
+        vertices = vertices.select(F.col("vertex").cast("long"))
+    return vertices.join(counts, "vertex", "left").select(
+        "vertex", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
