@@ -1,0 +1,110 @@
+"""Benchmark: the link-graph engine pipeline end-to-end.
+
+Runs the headline queries and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Scale: the synthetic corpus size is derived from the sf encoded in
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1): V = sf * 1e6 pages
+(sf0.1 -> 100k pages, ~500k edges). Table-backed operators (ages,
+tokens) run directly against the sf-dir parquet. Parallelism:
+local[$SPARK_GRAFT_CPUS] (default 32).
+
+Environment overrides:
+    SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     cores (default 32)
+    BENCH_V              corpus vertex count override
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ccl_spark.cc import connected_components  # noqa: E402
+from ccl_spark.datagen import generate_pages  # noqa: E402
+from ccl_spark.edges import page_edges  # noqa: E402
+from ccl_spark.lpa import label_propagation  # noqa: E402
+from ccl_spark.pagerank import pagerank  # noqa: E402
+from ccl_spark.session import get_spark  # noqa: E402
+from ccl_spark.triangles import triangle_count  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    v = int(os.environ.get("BENCH_V", str(max(int(sf * 1_000_000), 1000))))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("ccl_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # corpus synthesis + extraction (Arrow datagen, JVM-regex extract)
+    pages = generate_pages(spark, v, seed=42)
+    edges = None
+
+    def build():
+        nonlocal edges
+        edges = page_edges(pages).localCheckpoint(eager=True)
+        return edges.count()
+
+    n_edges = timed("datagen_extract", build)
+
+    n_comp = timed(
+        "cc",
+        lambda: connected_components(edges).select("component").distinct().count(),
+    )
+    timed("pagerank", lambda: pagerank(edges, tol=1e-6).count())
+    timed("lpa", lambda: label_propagation(edges, max_iter=5).count())
+    timed("triangles", lambda: triangle_count(edges))
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed(
+        "ages",
+        lambda: ev.groupBy("user_id").agg(F.countDistinct(F.to_date("ts")).alias("age")).count(),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "tokens",
+        lambda: docs.select(F.size(F.split("text", " ")).alias("n")).agg(F.sum("n")).first(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    extras["edges"] = n_edges
+    extras["vertices"] = v
+    extras["components"] = n_comp
+    extras["edges_per_sec_cc"] = round(n_edges / timings["cc"], 1)
+    extras["edges_per_sec_pagerank"] = round(n_edges / timings["pagerank"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "link_graph_pipeline_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,11 +35,17 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     tol: float = 1e-6,
-    max_iter: int = 100,
+    max_iter: int = 300,
     vertices: DataFrame | None = None,
     harness: SuperstepHarness | None = None,
 ) -> DataFrame:
-    """Return ``(vertex long, rank double)``; ranks sum to 1."""
+    """Return ``(vertex long, rank double)``; ranks sum to 1.
+
+    ``tol=0`` disables the convergence test and runs exactly
+    ``max_iter`` iterations — fixed-iteration mode, used when an
+    external oracle must reproduce the identical deterministic
+    sequence.
+    """
     pairs = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).distinct()
@@ -105,6 +111,8 @@ def pagerank(
         ranks = new_ranks.select("vertex", "rank")
         if harness is not None:
             harness.record(superstep=it, df=ranks, changed=-1, delta=float(delta), timer=t0)
-        if delta < tol:
+        if tol > 0 and delta < tol:
             return ranks
+    if tol == 0:
+        return ranks
     raise RuntimeError(f"pagerank: no convergence to {tol} in {max_iter} iterations")

@@ -1,0 +1,49 @@
+"""Independent in-test oracles (pure Python/NumPy, no Spark)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def union_find_components(edges, vertices=()):
+    parent = {}
+
+    def find(a):
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    for v in vertices:
+        find(v)
+    return {v: find(v) for v in parent}
+
+
+def numpy_pagerank(edges, vertices=(), damping=0.85, tol=1e-12, max_iter=5000):
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges} | set(vertices))
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out_deg = np.zeros(n)
+    for u, _ in edges:
+        out_deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    targets = {}
+    for u, v in edges:
+        targets.setdefault(idx[u], []).append(idx[v])
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        for u, vs in targets.items():
+            share = r[u] / out_deg[u]
+            for v in vs:
+                contrib[v] += share
+        dangling = r[out_deg == 0].sum()
+        new = (1 - damping) / n + damping * (contrib + dangling / n)
+        if np.max(np.abs(new - r)) < tol:
+            r = new
+            break
+        r = new
+    return {v: float(r[idx[v]]) for v in verts}

@@ -1,0 +1,107 @@
+"""Per-vertex score fixtures (SURVEY.md §5.2): small deterministic
+graphs with independently computed expected values — union-find for
+components, dense power iteration for PageRank (allclose 1e-6 per the
+north rule), hand-counted triangles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccl_spark.cc import connected_components
+from ccl_spark.datagen import generate_pages, ground_truth_edges, url_of
+from ccl_spark.edges import page_edges, url_id
+from ccl_spark.lpa import label_propagation
+from ccl_spark.pagerank import pagerank
+from ccl_spark.triangles import triangle_count, triangles_per_vertex
+from tests.oracles import numpy_pagerank, union_find_components
+
+K4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+K3 = [(10, 11), (10, 12), (11, 12)]
+
+
+def df_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_cc_cliques_and_isolated(spark):
+    e = df_edges(spark, K4 + K3)
+    iso = spark.createDataFrame([(99,)], "vertex long")
+    got = {r.vertex: r.component for r in connected_components(e, vertices=iso).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_triangles_cliques(spark):
+    e = df_edges(spark, K4 + K3)
+    assert triangle_count(e) == 4 + 1
+    per_v = {r.vertex: r.n_triangles for r in triangles_per_vertex(e).collect()}
+    assert per_v == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1}
+
+
+def test_lpa_cliques(spark):
+    e = df_edges(spark, K4 + K3)
+    got = {r.vertex: r.label for r in label_propagation(e, max_iter=10).collect()}
+    # within each clique all labels agree; cliques stay separate
+    assert len({got[0], got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+    assert got[0] != got[10]
+
+
+def test_pagerank_chain_with_dangling(spark):
+    chain = [(i, i + 1) for i in range(6)]  # 6 is a dangling sink
+    e = df_edges(spark, chain)
+    got = {r.vertex: r.rank for r in pagerank(e, tol=1e-10).collect()}
+    exp = numpy_pagerank(chain)
+    assert got.keys() == exp.keys()
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_star_hub(spark):
+    star = [(i, 1000) for i in range(1, 51)]  # 50 spokes -> hub (skew path)
+    e = df_edges(spark, star)
+    got = {r.vertex: r.rank for r in pagerank(e, tol=1e-10).collect()}
+    exp = numpy_pagerank(star)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-6)
+
+
+def test_synthetic_corpus_against_oracles(spark):
+    """Seeded power-law corpus: edges must equal the href ground truth,
+    and CC + PageRank must match the independent oracles."""
+    v = 200
+    pages = generate_pages(spark, v, seed=7)
+    e = page_edges(pages).cache()
+
+    gt_urls = ground_truth_edges(v, seed=7)
+    gt_pairs = spark.createDataFrame(gt_urls, "su string, du string").select(
+        url_id("su").alias("src"), url_id("du").alias("dst")
+    )
+    assert e.select("src", "dst").exceptAll(gt_pairs).count() == 0
+    assert gt_pairs.exceptAll(e.select("src", "dst")).count() == 0
+
+    pairs = [(r.src, r.dst) for r in e.collect()]
+    exp_cc = union_find_components(pairs)
+    got_cc = {r.vertex: r.component for r in connected_components(e).collect()}
+    assert got_cc == exp_cc
+
+    exp_pr = numpy_pagerank(pairs)
+    got_pr = {r.vertex: r.rank for r in pagerank(e, tol=1e-9).collect()}
+    assert got_pr.keys() == exp_pr.keys()
+    for vtx in exp_pr:
+        assert got_pr[vtx] == pytest.approx(exp_pr[vtx], abs=1e-6)
+
+
+def test_cc_deterministic_across_parallelism(spark):
+    """Same input, different partitioning -> identical output (the
+    local[8]/local[32] determinism requirement, exercised via
+    repartition since tests share one session)."""
+    v = 150
+    pages = generate_pages(spark, v, seed=11)
+    e = page_edges(pages)
+    a = connected_components(e.repartition(2)).collect()
+    b = connected_components(e.repartition(17)).collect()
+    assert sorted((r.vertex, r.component) for r in a) == sorted(
+        (r.vertex, r.component) for r in b
+    )

@@ -1,0 +1,57 @@
+"""Checkpoint/resume (north rule: any run resumes mid-algorithm) and
+the lineage/metrics table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccl_spark.cc import connected_components
+from ccl_spark.datagen import generate_pages
+from ccl_spark.edges import page_edges
+from ccl_spark.pagerank import pagerank
+from ccl_spark.superstep import SuperstepHarness
+from tests.oracles import numpy_pagerank, union_find_components
+
+
+def test_cc_resumes_from_checkpoint(spark, tmp_path):
+    pages = generate_pages(spark, 150, seed=13)
+    e = page_edges(pages).cache()
+    exp = union_find_components([(r.src, r.dst) for r in e.collect()])
+
+    root = str(tmp_path / "cc_run")
+    h1 = SuperstepHarness(spark, root, algo="cc", run_id="r1", interval=1)
+    # kill the run mid-algorithm by capping iterations below the fixpoint
+    with pytest.raises(RuntimeError):
+        connected_components(e, max_iter=1, harness=h1)
+    lineage = h1.lineage()
+    steps_before = lineage.agg(F.max("superstep")).first()[0]
+    assert steps_before == 0
+
+    # a fresh harness over the same root resumes and completes
+    h2 = SuperstepHarness(spark, root, algo="cc", run_id="r2", interval=1)
+    got = {
+        r.vertex: r.component for r in connected_components(e, harness=h2).collect()
+    }
+    assert got == exp
+    lineage = h2.lineage()
+    # resumed run recorded supersteps strictly after the killed run's
+    assert lineage.filter(F.col("run_id") == "r2").agg(F.min("superstep")).first()[0] >= 1
+    cols = set(lineage.columns)
+    assert {"run_id", "algo", "superstep", "partition_id", "rows", "changed", "delta", "wall_s", "ts"} <= cols
+
+
+def test_pagerank_resumes_from_checkpoint(spark, tmp_path):
+    pages = generate_pages(spark, 150, seed=13)
+    e = page_edges(pages).cache()
+    exp = numpy_pagerank([(r.src, r.dst) for r in e.collect()])
+
+    root = str(tmp_path / "pr_run")
+    h1 = SuperstepHarness(spark, root, algo="pagerank", run_id="r1", interval=1)
+    with pytest.raises(RuntimeError):
+        pagerank(e, tol=1e-10, max_iter=3, harness=h1)
+
+    h2 = SuperstepHarness(spark, root, algo="pagerank", run_id="r2", interval=1)
+    got = {r.vertex: r.rank for r in pagerank(e, tol=1e-10, harness=h2).collect()}
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-6)
