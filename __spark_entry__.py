@@ -222,6 +222,42 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccl_spark.textops import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint — xxhash64-based, no DuckDB twin (rows-only);
+    pinned by tests/test_pipeline_ops.py instead."""
+    from ccl_spark.textops import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over documents (rows-only; the exact
+    Jaccard layer is oracle-checked in tests)."""
+    from ccl_spark.dedup import near_duplicates
+
+    return near_duplicates(
+        _t(spark, sf_dir, "documents"), n=3, n_hashes=32, bands=16, threshold=0.8
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccl_spark.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccl_spark.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def q_corpus_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic-corpus path (datagen -> extract -> edges -> CC): not
     SQL-expressible (no oracle); pinned by in-test oracles instead."""
@@ -275,6 +311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "dedup_exact": q_dedup_exact,
         "ann_topk": q_ann_topk,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "near_dup_minhash": q_near_dup_minhash,
+        "simhash": q_simhash,
+        "emb_near_dup": q_emb_near_dup,
         "corpus_cc_sizes": q_corpus_cc_sizes,
         "corpus_lpa": q_corpus_lpa,
     }
@@ -375,5 +416,23 @@ FROM ex JOIN qx USING (i)
 WHERE ex.vec_id <> 0
 GROUP BY ex.vec_id
 ORDER BY dot DESC, vec_id ASC LIMIT 10
+""",
+        "langid": """
+WITH s AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                x -> x IN ('a','the','and','of','to','in','is','it'))) AS BIGINT) AS n_en,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS BIGINT) AS n_de,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                x -> x IN ('le','la','les','et','est','un','une','de'))) AS BIGINT) AS n_fr
+    FROM documents
+)
+SELECT doc_id, n_en, n_de, n_fr,
+       CASE WHEN n_en >= GREATEST(n_de, n_fr, 1) THEN 'en'
+            WHEN n_de >= GREATEST(n_fr, 1) THEN 'de'
+            WHEN n_fr >= 1 THEN 'fr'
+            ELSE 'und' END AS lang_guess
+FROM s
 """,
     }

@@ -42,9 +42,18 @@ def _undirected(edges: DataFrame) -> DataFrame:
     return _dedup_pairs(fwd.unionByName(rev))
 
 
-def large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
-    nbrs = _undirected(edges)
+def large_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u}).
+
+    Output pairs always satisfy u > v (v > center >= min), so the
+    result is already in canonical (hi, lo) orientation. With
+    ``canonical=True`` the input is a distinct (hi, lo) set, so the
+    both-directions neighbor view needs no dedup — one shuffle saved;
+    Catalyst reuses the groupBy exchange for the join side.
+    """
+    nbrs = _undirected(edges) if not canonical else edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("mn", "u").alias("m"))
     out = (
@@ -52,13 +61,20 @@ def large_star(edges: DataFrame) -> DataFrame:
         .join(mins, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    return _dedup_pairs(out)
+    return out.filter(F.col("u") != F.col("v"))
 
 
-def small_star(edges: DataFrame) -> DataFrame:
-    """Connect every smaller-or-equal neighbor of u (and u) to their min."""
-    canon = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+def small_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u) to their min.
+
+    Returns the canonical distinct (hi, lo) edge set of the next round.
+    ``canonical=True`` skips re-orientation when the input already has
+    u > v on every pair (true for large_star output).
+    """
+    canon = (
+        edges
+        if canonical
+        else edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
     )
     canon = _dedup_pairs(canon)
     mins = canon.groupBy("u").agg(F.min("v").alias("m"))
@@ -110,7 +126,10 @@ def connected_components(
         verts = verts.unionByName(vertices.select(F.col("vertex").cast("long")))
     verts = verts.distinct()
 
-    cur = _dedup_pairs(pairs)
+    # canonical (hi, lo) starting set — the round-to-round invariant
+    cur = _dedup_pairs(
+        pairs.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    )
     start_step = 0
     if harness is not None:
         resumed = harness.latest()
@@ -124,7 +143,11 @@ def connected_components(
     converged = False
     for step in range(start_step, max_iter):
         with_timer = harness.timer() if harness is not None else None
-        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature aggregation is the action that
+        # materializes it — one job per round instead of two
+        nxt = small_star(
+            large_star(cur, canonical=True), canonical=True
+        ).localCheckpoint(eager=False)
         new_sig = _signature(nxt)
         changed = new_sig != sig
         if harness is not None:

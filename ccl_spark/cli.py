@@ -1,0 +1,89 @@
+"""spark-submit entry point.
+
+Package and run:
+
+    python tools/package.py                      # -> dist/ccl_spark.zip
+    spark-submit --py-files dist/ccl_spark.zip \
+        dist/main.py cc --edges s3://bucket/edges --out s3://bucket/components \
+        --checkpoint s3://bucket/ckpt/run1 --resume
+
+Subcommands: cc | pagerank | lpa | triangles | extract.
+Every iterative job takes --checkpoint (superstep state + lineage) and
+--resume (continue the latest complete superstep at that root) — the
+north rule's mid-algorithm resumability.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _edges(spark, path: str):
+    return spark.read.parquet(path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    # imports deferred so the zip can be imported without a live session
+    from ccl_spark.cc import connected_components
+    from ccl_spark.lpa import label_propagation
+    from ccl_spark.pagerank import pagerank
+    from ccl_spark.session import get_spark
+    from ccl_spark.superstep import SuperstepHarness
+    from ccl_spark.triangles import triangles_per_vertex
+
+    p = argparse.ArgumentParser(prog="ccl_spark")
+    p.add_argument("algo", choices=["cc", "pagerank", "lpa", "triangles", "extract"])
+    p.add_argument("--edges", help="parquet edge table (src, dst)")
+    p.add_argument("--pages", help="parquet pages table (extract)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", help="checkpoint/lineage root")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--interval", type=int, default=5)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--max-iter", type=int, default=300)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark(f"ccl_spark_{args.algo}", master=args.master)
+    harness = None
+    if args.checkpoint:
+        harness = SuperstepHarness(
+            spark, args.checkpoint, algo=args.algo, run_id=args.run_id, interval=args.interval
+        )
+        if not args.resume:
+            # a fresh run must not silently adopt stale state
+            if harness.latest() is not None:
+                print(
+                    f"checkpoint root {args.checkpoint} has prior state; "
+                    "pass --resume to continue it",
+                    file=sys.stderr,
+                )
+                return 2
+
+    if args.algo == "extract":
+        from ccl_spark.edges import page_edges
+
+        out = page_edges(spark.read.parquet(args.pages))
+    elif args.algo == "cc":
+        out = connected_components(_edges(spark, args.edges), harness=harness)
+    elif args.algo == "pagerank":
+        out = pagerank(
+            _edges(spark, args.edges),
+            tol=args.tol,
+            max_iter=args.max_iter,
+            harness=harness,
+        )
+    elif args.algo == "lpa":
+        out = label_propagation(_edges(spark, args.edges), max_iter=args.max_iter)
+    else:
+        out = triangles_per_vertex(_edges(spark, args.edges))
+
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"{args.algo}: wrote {spark.read.parquet(args.out).count()} rows to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,192 @@
+"""Deduplication operators for webtext corpora.
+
+- exact:   content-hash groupBy (one shuffle on the hash)
+- minhash: word-shingle MinHash signatures + banded LSH bucketing;
+  candidate pairs verified with exact n-gram Jaccard
+- simhash: 64-bit near-dup fingerprint (per-bit weighted majorities)
+
+Scale shape: signatures are ONE wide groupBy over the exploded shingle
+table (n_hashes min-aggregates computed in a single shuffle, map-side
+partial); LSH banding turns the quadratic all-pairs problem into
+equi-join buckets — the only pairs ever materialized are same-bucket,
+and the verify join touches only candidates. This is the standard
+MinHash/LSH decomposition (Broder; Leskovec et al., Mining of Massive
+Datasets) expressed as DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(text_hash, n_docs, keep_doc_id, doc_ids) for groups with >1 doc."""
+    return (
+        docs.select(
+            F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
+            F.col(id_col).cast("long").alias("id"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct word n-grams — JVM higher-order functions."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n} + 1, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 32
+) -> DataFrame:
+    """(id, sig array<long>) — one wide groupBy; hash family k is
+    xxhash64 seeded by a literal column."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"h{k}")
+        for k in range(n_hashes)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    return wide.select("id", F.array(*[F.col(f"h{k}") for k in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8
+) -> DataFrame:
+    """Band the signature, bucket by band hash, emit same-bucket pairs
+    (id_a < id_b). rows_per_band = len(sig) / bands."""
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands} - 1),"
+                f" b -> xxhash64(b, to_json(slice(sig, b * (size(sig) div {bands}) + 1,"
+                f" size(sig) div {bands}))))"
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
+    b = banded.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs:
+    (id_a, id_b, n_inter, n_union, jaccard)."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))).alias("n_union"),
+            F.round(
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: shingle -> sign -> band ->
+    candidates -> exact-Jaccard verify -> pairs above threshold."""
+    sh = shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), bands)
+    return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over tokens: bit b of the fingerprint is the
+    majority vote of bit b across token hashes."""
+    toks = (
+        docs.select(F.col(id_col).cast("long").alias("id"),
+                    F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    wide = toks.groupBy("id").agg(*votes)
+    fp = reduce(
+        lambda acc, b: acc + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(bits - 1),  # bit 63 would overflow signed long; keep 63 bits
+        F.lit(0).cast("long"),
+    )
+    return wide.select(F.col("id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs with Hamming distance <= max_hamming, found by
+    4-piece pigeonhole bucketing (any pair within distance 3 agrees on
+    at least one 16-bit piece)."""
+    pieces = fps.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), p -> shiftright(simhash, p * 16) & 65535)")
+        ).alias("piece", "val"),
+    )
+    a = pieces.select("piece", "val", F.col("id").alias("id_a"), F.col("simhash").alias("fa"))
+    b = pieces.select("piece", "val", F.col("id").alias("id_b"), F.col("simhash").alias("fb"))
+    cand = (
+        a.join(b, ["piece", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

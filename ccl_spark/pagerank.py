@@ -66,38 +66,41 @@ def pagerank(
         .repartition("src")
         .localCheckpoint(eager=True)
     )
-    deg_tbl = verts.join(
-        out_deg, verts.vertex == out_deg.src, "left"
-    ).select("vertex", F.coalesce("deg", F.lit(0)).alias("deg")).localCheckpoint(eager=True)
-
-    ranks = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
+    # iteration state carries deg so delta + next-dangling come from ONE
+    # aggregation job per iteration (driver round-trips are the fixed
+    # cost that caps strong scaling on small inputs)
+    state = (
+        verts.join(out_deg, verts.vertex == out_deg.src, "left")
+        .select(
+            "vertex",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.lit(1.0 / n).alias("rank"),
+        )
+    )
     start = 0
     if harness is not None:
         resumed = harness.latest()
         if resumed is not None:
-            start, ranks = resumed
-    ranks = ranks.localCheckpoint(eager=True)
+            start, state = resumed
+    state = state.localCheckpoint(eager=True)
+    dangling = (
+        state.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+    )
 
     base = (1.0 - damping) / n
     for it in range(start, max_iter):
         t0 = harness.timer() if harness is not None else None
-        dangling = (
-            deg_tbl.filter(F.col("deg") == 0)
-            .join(ranks, "vertex")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
         contribs = (
-            edges_w.join(ranks, edges_w.src == ranks.vertex)
+            edges_w.join(state.select("vertex", "rank"), edges_w.src == F.col("vertex"))
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        new_ranks = (
-            ranks.join(contribs, ranks.vertex == contribs.dst, "left")
+        new_state = (
+            state.join(contribs, state.vertex == contribs.dst, "left")
             .select(
                 "vertex",
+                "deg",
                 F.col("rank").alias("old"),
                 (
                     F.lit(base)
@@ -105,14 +108,20 @@ def pagerank(
                     * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        delta = new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("old")))).first()[0]
-        ranks = new_ranks.select("vertex", "rank")
+        row = new_state.agg(
+            F.max(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias(
+                "dang"
+            ),
+        ).first()
+        delta, dangling = row["delta"], row["dang"] or 0.0
+        state = new_state.select("vertex", "deg", "rank")
         if harness is not None:
-            harness.record(superstep=it, df=ranks, changed=-1, delta=float(delta), timer=t0)
+            harness.record(superstep=it, df=state, changed=-1, delta=float(delta), timer=t0)
         if tol > 0 and delta < tol:
-            return ranks
+            return state.select("vertex", "rank")
     if tol == 0:
-        return ranks
+        return state.select("vertex", "rank")
     raise RuntimeError(f"pagerank: no convergence to {tol} in {max_iter} iterations")

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline, one pass, JVM higher-order
+  functions (zip_with + aggregate) — no Python.
+- random-hyperplane LSH buckets: the scale path. Signatures are
+  computed in a vectorized Arrow batch (one numpy matmul per batch),
+  bucketed by signature prefix; queries probe only their bucket
+  (multi-probe = flip one bit). At 10^12 rows the bucket table is the
+  thing you range-partition and push predicates into.
+- embedding near-dup: same LSH buckets, verify same-bucket pairs with
+  exact cosine above a threshold.
+
+Hyperplanes are seeded (splitmix64 -> gaussian via Box-Muller), so
+signatures are deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .datagen import _splitmix64  # deterministic seed expansion
+
+
+def _dot(a: str | F.Column, b: str | F.Column) -> F.Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: str | F.Column) -> F.Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") ** 2))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.linalg.norm(query))
+    cos = _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+    return (
+        emb.select(F.col(id_col).cast("long").alias(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    h = _splitmix64(
+        np.arange(2 * dim * n_planes, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+    )
+    u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u = u.reshape(2, n_planes, dim)
+    g = np.sqrt(-2 * np.log(u[0] + 1e-300)) * np.cos(2 * np.pi * u[1])
+    return g
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — sign pattern of n_planes seeded hyperplanes,
+    computed as one numpy matmul per Arrow batch."""
+
+    def batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = _planes(mat.shape[1], n_planes, seed)
+            signs = (mat @ planes.T) > 0
+            bucket = (signs * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "bucket": bucket})
+
+    return emb.select(id_col, vec_col).mapInPandas(batch, schema="id long, bucket long")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (plus all 1-bit
+    flips when multiprobe) with exact cosine inside."""
+    dim = len(query)
+    planes = _planes(dim, n_planes, seed)
+    signs = (planes @ np.asarray(query, dtype=np.float64)) > 0
+    qb = int((signs * (1 << np.arange(n_planes, dtype=np.int64))).sum())
+    buckets = {qb}
+    if multiprobe:
+        buckets |= {qb ^ (1 << b) for b in range(n_planes)}
+    sigs = lsh_signatures(emb, n_planes, seed, id_col, vec_col)
+    cand_ids = sigs.filter(F.col("bucket").isin(*buckets)).select(
+        F.col("id").alias(id_col)
+    )
+    cand = emb.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold among
+    same-LSH-bucket candidates."""
+    sigs = lsh_signatures(emb, n_planes, seed, id_col, vec_col)
+    a = sigs.select("bucket", F.col("id").alias("id_a"))
+    b = sigs.select("bucket", F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

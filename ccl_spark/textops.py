@@ -1,0 +1,90 @@
+"""Text analysis over document tables — webtext-pipeline operators.
+
+All JVM-side (split / filter / aggregate higher-order functions); no
+Python in the hot path. Designed for a ``documents(doc_id, text, ...)``
+shape but column names are parameters.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+EN_STOP = ["a", "the", "and", "of", "to", "in", "is", "it"]
+DE_STOP = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"]
+FR_STOP = ["le", "la", "les", "et", "est", "un", "une", "de"]
+
+_LANG_MARKERS = {"en": EN_STOP, "de": DE_STOP, "fr": FR_STOP}
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _count_in(text_col: str, words: list[str]) -> F.Column:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter(split({text_col}, ' '), x -> x IN ({lst})))")
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Length / punctuation / stopword-ratio / mean-word-length features
+    (the standard webtext quality heuristics)."""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    n_punct = n_char - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    n_stop = _count_in(text_col, EN_STOP)
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        n_char.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(n_punct.cast("double") / F.greatest(n_char, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 6).alias("stop_ratio"),
+        F.round(
+            (n_char - n_tok + 1).cast("double") / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("mean_word_len"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: per-language stopword hit counts,
+    argmax with deterministic tie-break (en > de > fr > und)."""
+    scores = {lang: _count_in(text_col, words) for lang, words in _LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(list(_LANG_MARKERS)):  # earlier langs win ties
+        s = scores[lang]
+        best = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    cols = [F.col(id_col).cast("long").alias(id_col)]
+    cols += [scores[lang].cast("long").alias(f"n_{lang}") for lang in _LANG_MARKERS]
+    cols.append(best.alias("lang_guess"))
+    return docs.select(*cols)
+
+
+def doc_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Winnowing-style fingerprint: the minimum 64-bit hash over all
+    character k-grams of the normalized text (robust to token order at
+    the edges; identical docs -> identical fingerprint)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)),"
+        f" i -> substring(lower(regexp_replace({text_col}, '\\\\s+', ' ')), i, {k}))"
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.xxhash64(norm).alias("text_hash"),
+        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias("fingerprint"),
+    )

@@ -1,0 +1,72 @@
+"""spark-submit packaging: the zip must be importable standalone and
+the CLI must run an algorithm end-to-end from parquet to parquet."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_zip_builds_and_imports(tmp_path):
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "package.py")],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    zpath = Path(out.stdout.strip())
+    assert zpath.exists()
+    names = zipfile.ZipFile(zpath).namelist()
+    assert "ccl_spark/cc.py" in names and "ccl_spark/cli.py" in names
+    # import from the zip alone, no repo on sys.path
+    check = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, sys.argv[1]); "
+            "import ccl_spark.cc, ccl_spark.cli, ccl_spark.pagerank; print('zip-import-ok')",
+            str(zpath),
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+    )
+    assert "zip-import-ok" in check.stdout, check.stderr
+
+
+def test_cli_cc_end_to_end(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "src long, dst long"
+    )
+    epath = str(tmp_path / "edges")
+    edges.write.parquet(epath)
+    opath = str(tmp_path / "components")
+
+    from ccl_spark.cli import main
+
+    rc = main(["cc", "--edges", epath, "--out", opath, "--master", "local[4]"])
+    assert rc == 0
+    got = {r.vertex: r.component for r in spark.read.parquet(opath).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_cli_refuses_stale_checkpoint(spark, tmp_path):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    epath = str(tmp_path / "edges")
+    edges.write.parquet(epath)
+    ck = str(tmp_path / "ck")
+
+    from ccl_spark.cli import main
+
+    assert main(["cc", "--edges", epath, "--out", str(tmp_path / "o1"),
+                 "--checkpoint", ck, "--interval", "1"]) == 0
+    # same root without --resume must refuse
+    assert main(["cc", "--edges", epath, "--out", str(tmp_path / "o2"),
+                 "--checkpoint", ck]) == 2
+    # with --resume it completes
+    assert main(["cc", "--edges", epath, "--out", str(tmp_path / "o3"),
+                 "--checkpoint", ck, "--resume"]) == 0
