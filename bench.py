@@ -44,7 +44,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else 0.1
     v = int(os.environ.get("BENCH_V", str(max(int(sf * 1_000_000), 1000))))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("ccl_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark = get_spark("ccl_spark_bench", master=f"local[{cpus}]")
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

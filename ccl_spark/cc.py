@@ -26,9 +26,15 @@ Scale notes (local tests are small; the plan is what matters):
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 from pyspark.sql import DataFrame, functions as F
 
 from .superstep import SuperstepHarness
+
+_DEBUG = os.environ.get("CCL_SPARK_DEBUG", "") == "1"
 
 
 def _dedup_pairs(df: DataFrame) -> DataFrame:
@@ -84,14 +90,13 @@ def small_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
 
 
 def _signature(edges: DataFrame) -> tuple:
-    dec = "decimal(38,0)"
+    # count + xor of row hashes: order-independent, overflow-free, exact,
+    # and cheap (decimal sums cost multiple seconds per round at 10^7 rows)
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("u", "v").cast(dec)).alias("h"),
-        F.sum(F.col("u").cast(dec)).alias("su"),
-        F.sum(F.col("v").cast(dec)).alias("sv"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
     ).first()
-    return (row["n"], row["h"], row["su"], row["sv"])
+    return (row["n"], row["h"])
 
 
 def connected_components(
@@ -143,12 +148,19 @@ def connected_components(
     converged = False
     for step in range(start_step, max_iter):
         with_timer = harness.timer() if harness is not None else None
+        t0 = time.monotonic() if _DEBUG else 0.0
         # lazy checkpoint: the signature aggregation is the action that
         # materializes it — one job per round instead of two
         nxt = small_star(
             large_star(cur, canonical=True), canonical=True
         ).localCheckpoint(eager=False)
         new_sig = _signature(nxt)
+        if _DEBUG:
+            print(
+                f"cc round {step}: {new_sig[0]} edges, "
+                f"{time.monotonic() - t0:.2f}s, parts={nxt.rdd.getNumPartitions()}",
+                file=sys.stderr,
+            )
         changed = new_sig != sig
         if harness is not None:
             harness.record(

@@ -1,0 +1,103 @@
+"""Per-component aggregates and snapshot operators.
+
+Maps the reference's label bookkeeping to DataFrame one-liners
+(SURVEY.md §2):
+
+- component_sizes      G1  np.unique(return_counts) ccl_marker_stack.py:908-914
+- top_k_components     G5  cc3d.largest_k            contrib/cc3d.ipynb
+- min_size_filter      F4  minimum_pixel_area        ccl_marker_stack.py:904-930
+- ages                 G2  m_ages                    ccl_marker_stack.py:989-1003
+- end_of_life          C11 m0_eol                    ccl_marker_stack.py:664-667
+- incremental_cc       C6  ccl_relabel2 linking      ccl_marker_stack.py:262-723,
+  generalized: a new crawl snapshot's edges merge into existing
+  components without recomputing from scratch — prior labels enter the
+  union-find as (vertex -> component) edges, so converged state is
+  reused and only newly-connected regions move.
+
+`labels` tables are ``(vertex long, component long)``; snapshot
+variants add ``snapshot_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .cc import connected_components
+
+
+def component_sizes(labels: DataFrame) -> DataFrame:
+    return labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def top_k_components(labels: DataFrame, k: int = 10) -> DataFrame:
+    return (
+        component_sizes(labels)
+        .orderBy(F.desc("n_vertices"), F.asc("component"))
+        .limit(k)
+    )
+
+
+def min_size_filter(labels: DataFrame, min_size: int, renumber: bool = False) -> DataFrame:
+    """Drop components smaller than ``min_size`` (the reference's dust
+    filter); optionally dense-renumber survivors by ascending component
+    id (the reference's np.unique compaction)."""
+    keep = component_sizes(labels).filter(F.col("n_vertices") >= min_size)
+    out = labels.join(keep.select("component"), "component", "left_semi")
+    if renumber:
+        w = Window.orderBy("component")
+        ranks = (
+            out.select("component")
+            .distinct()
+            .select("component", F.dense_rank().over(w).alias("new_component"))
+        )
+        out = out.join(ranks, "component").select(
+            "vertex", F.col("new_component").alias("component")
+        )
+    return out
+
+
+def ages(snapshot_labels: DataFrame) -> DataFrame:
+    """(component, age): number of distinct snapshots in which the
+    component appears — the reference's per-label lifetime."""
+    return snapshot_labels.groupBy("component").agg(
+        F.countDistinct("snapshot_id").alias("age")
+    )
+
+
+def end_of_life(snapshot_labels: DataFrame) -> DataFrame:
+    """(snapshot_id, component): components present in snapshot t but
+    absent from t+1 (anti-join per consecutive pair). The final
+    snapshot is not an EOL boundary."""
+    present = snapshot_labels.select("snapshot_id", "component").distinct()
+    nxt = present.select(
+        (F.col("snapshot_id") - 1).alias("snapshot_id"), "component"
+    )
+    last = present.agg(F.max("snapshot_id")).first()[0]
+    return (
+        present.filter(F.col("snapshot_id") != last)
+        .join(nxt, ["snapshot_id", "component"], "left_anti")
+        .select("snapshot_id", "component")
+    )
+
+
+def incremental_cc(
+    prev_labels: DataFrame | None, new_edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Fold a new batch of edges into existing components.
+
+    Prior (vertex, component) rows are already star edges pointing at
+    their component minimum, so feeding them to the union-find together
+    with the new edges converges in very few rounds: only chains of
+    newly-merged components iterate. Labels stay canonical minima, so
+    repeated incremental runs equal a from-scratch run (tested)."""
+    if prev_labels is None:
+        return connected_components(new_edges, src, dst)
+    star = prev_labels.select(
+        F.col("vertex").alias("u"), F.col("component").alias("v")
+    )
+    combined = new_edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).unionByName(star)
+    return connected_components(
+        combined, "u", "v", vertices=prev_labels.select("vertex")
+    )

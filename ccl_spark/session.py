@@ -22,9 +22,19 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] or local[*]
+        # local[N] or local[*]; oversubscribe 2x — uneven task durations
+        # and GC pauses make exact-fit partitioning leave cores idle
+        # (same insight as the reference's 1.5x Dask oversharding,
+        # ccl_marker_stack.py:223-233)
         n = master[master.index("[") + 1 : -1] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else max(int(n), 1)
+        if n == "*":
+            cores = cpus
+        elif "," in n:  # local-cluster[execs,cores,mem]
+            execs, per_exec, _ = n.split(",")
+            cores = int(execs) * int(per_exec)
+        else:
+            cores = max(int(n), 1)
+        shuffle_partitions = 2 * cores
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -32,6 +42,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # vertex-keyed equi-joins: shuffled-hash beats sort-merge (no
+        # per-round sorts); AQE skew-split keeps build sides bounded
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

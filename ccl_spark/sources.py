@@ -1,0 +1,51 @@
+"""Table IO: Iceberg when a catalog is configured, parquet fallback.
+
+The engine's contract is an Iceberg ``pages`` table and Iceberg
+outputs (north rule). The sandbox ships no Iceberg runtime jar, so IO
+goes through this seam: identical call sites, identical layouts
+(partition-spec comments below), and the Iceberg branch activates when
+``spark.sql.catalog.*`` is configured with the runtime on the
+classpath.
+
+Production specs:
+- pages:      PARTITIONED BY (days(warc_ts))       -- snapshot pruning
+- edges:      PARTITIONED BY (bucket(1024, src))   -- co-located joins
+- components/ranks: PARTITIONED BY (bucket(256, vertex))
+- lineage:    append-only, PARTITIONED BY (algo, run_id)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """ref = catalog table name (db.table) or a parquet path."""
+    if "/" not in ref and _iceberg_available(spark):
+        return spark.read.format("iceberg").load(ref)
+    if "/" not in ref:
+        raise ValueError(f"no Iceberg runtime and '{ref}' is not a path")
+    return spark.read.parquet(ref)
+
+
+def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
+    if "/" not in ref and _iceberg_available(df.sparkSession):
+        writer = df.writeTo(ref)
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+        return
+    if "/" not in ref:
+        raise ValueError(f"no Iceberg runtime and '{ref}' is not a path")
+    df.write.mode(mode).parquet(ref)

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ccl_spark.cc import connected_components
+from ccl_spark.components import (
+    ages,
+    component_sizes,
+    end_of_life,
+    incremental_cc,
+    min_size_filter,
+    top_k_components,
+)
+
+
+def labels_df(spark, rows):
+    return spark.createDataFrame(rows, "vertex long, component long")
+
+
+def test_sizes_topk_minsize(spark):
+    lab = labels_df(spark, [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)])
+    sizes = {r.component: r.n_vertices for r in component_sizes(lab).collect()}
+    assert sizes == {1: 3, 10: 2, 20: 1}
+    top = [(r.component, r.n_vertices) for r in top_k_components(lab, 2).collect()]
+    assert top == [(1, 3), (10, 2)]
+    kept = min_size_filter(lab, 2).select("component").distinct().collect()
+    assert {r.component for r in kept} == {1, 10}
+    dense = min_size_filter(lab, 2, renumber=True)
+    assert {(r.vertex, r.component) for r in dense.collect()} == {
+        (1, 1), (2, 1), (3, 1), (10, 2), (11, 2),
+    }
+
+
+def test_ages_and_eol(spark):
+    snap = spark.createDataFrame(
+        [
+            (0, 1, 100), (0, 2, 200),
+            (1, 1, 100), (1, 3, 300),
+            (2, 1, 100),
+        ],
+        "snapshot_id int, vertex long, component long",
+    )
+    got_ages = {r.component: r.age for r in ages(snap).collect()}
+    assert got_ages == {100: 3, 200: 1, 300: 1}
+    eol = {(r.snapshot_id, r.component) for r in end_of_life(snap).collect()}
+    # 200 dies after snapshot 0; 300 after snapshot 1; 100 survives to the end
+    assert eol == {(0, 200), (1, 300)}
+
+
+def test_incremental_cc_matches_batch(spark):
+    batch1 = spark.createDataFrame([(1, 2), (3, 4), (10, 11)], "src long, dst long")
+    batch2 = spark.createDataFrame([(2, 3), (20, 21)], "src long, dst long")
+    lab1 = incremental_cc(None, batch1)
+    lab2 = incremental_cc(lab1, batch2)
+    full = connected_components(
+        batch1.unionByName(batch2), "src", "dst"
+    )
+    got = {r.vertex: r.component for r in lab2.collect()}
+    exp = {r.vertex: r.component for r in full.collect()}
+    assert got == exp
+    assert got[4] == 1 and got[20] == 20  # 1-2-3-4 merged, 20-21 new
