@@ -52,7 +52,7 @@ from ccl_spark.pagerank import pagerank
 
 execs = int(sys.argv[1]); path = sys.argv[2]; reps = int(sys.argv[3])
 # real separate executor JVMs: the honest N -> 4N proxy
-spark = get_spark("scaling", master=f"local-cluster[{{execs}},4,6144]")
+spark = get_spark("scaling", master=f"local-cluster[{{execs}},4,10240]")
 cpus = execs * 4
 edges = spark.read.parquet(path).localCheckpoint(eager=True)
 n_edges = edges.count()

@@ -1,0 +1,62 @@
+"""Structured Streaming operators, driven deterministically with a
+file source + availableNow trigger + memory sink."""
+
+from __future__ import annotations
+
+import pytest
+
+from ccl_spark.streaming import running_ages, windowed_activity
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    rows = [
+        (1, "2026-01-01 00:10:00"),
+        (1, "2026-01-01 00:40:00"),
+        (1, "2026-01-02 05:00:00"),
+        (2, "2026-01-01 00:20:00"),
+        (2, "2026-01-01 03:20:00"),
+    ]
+    src = tmp_path / "events"
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").selectExpr(
+        "user_id", "cast(ts_s as timestamp) as ts"
+    )
+    df.write.parquet(str(src))
+    return spark.readStream.schema("user_id long, ts timestamp").parquet(str(src))
+
+
+def _run(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_windowed_activity(spark, event_stream, tmp_path):
+    out = windowed_activity(event_stream, window="1 hour", watermark="2 hours")
+    # update mode: append-mode windows only emit once the watermark
+    # passes them, which a single availableNow batch never does
+    name = _run(out, "win_act", "update")
+    rows = {
+        (str(r.window_start), r.user_id): r.n_events
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    assert rows[("2026-01-01 00:00:00", 1)] == 2
+    assert rows[("2026-01-01 00:00:00", 2)] == 1
+    assert rows[("2026-01-01 03:00:00", 2)] == 1
+    assert rows[("2026-01-02 05:00:00", 1)] == 1
+
+
+def test_running_ages_stateful(spark, event_stream):
+    out = running_ages(event_stream)
+    name = _run(out, "ages_state", "update")
+    rows = {r.user_id: r for r in spark.sql(f"select * from {name}").collect()}
+    assert rows[1].n_events == 3 and rows[1].n_days == 2
+    assert rows[2].n_events == 2 and rows[2].n_days == 1
+    assert str(rows[1].first_seen) == "2026-01-01 00:10:00"
+    assert str(rows[1].last_seen) == "2026-01-02 05:00:00"
