@@ -73,7 +73,13 @@ spark.stop()
 
 
 def _run(script: str, args: list[str]) -> str:
-    env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+    env = dict(
+        os.environ,
+        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        SPARK_EXECUTOR_MEMORY=os.environ.get("SPARK_EXECUTOR_MEMORY", "9g"),
+        SPARK_GRAFT_LOCAL_DIR=os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-shuffle"),
+        CCL_SPARK_DEBUG="1",
+    )
     out = subprocess.run(
         [sys.executable, "-c", script, *args],
         capture_output=True,
@@ -81,6 +87,7 @@ def _run(script: str, args: list[str]) -> str:
         cwd=REPO,
         env=env,
     )
+    Path(f"/tmp/scaling_job_{'_'.join(args[:1] or ['gen'])}.err").write_text(out.stderr[-20000:])
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise SystemExit(f"scaling subprocess failed: {args}")

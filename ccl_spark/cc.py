@@ -99,6 +99,58 @@ def _signature(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+def _local_contract(pairs: DataFrame) -> DataFrame:
+    """Per-partition union-find contraction (no shuffle).
+
+    Each partition's subgraph is solved locally with an in-memory
+    union-find (Arrow batches); the partition emits pointer rows
+    (vertex -> local representative) plus the contracted edge set
+    between representatives — together an equivalent, pre-flattened
+    graph the global star fixpoint converges on in fewer rounds.
+    This is the reference's 'label segments independently, then
+    reconcile' parallelization (ccl_marker_stack.py:1678-1685) with
+    the serial interface sweep replaced by the global fixpoint; the
+    win grows with partition locality (src-bucketed edge tables).
+    """
+    import pandas as pd
+
+    def contract(pdf_iter):
+        parent: dict[int, int] = {}
+
+        def find(a: int) -> int:
+            root = a
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[a] != root:
+                parent[a], a = root, parent[a]
+            return root
+
+        rows = []
+        for pdf in pdf_iter:
+            rows.append(pdf)
+            for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+                ru, rv = find(int(u)), find(int(v))
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        if not rows:
+            return
+        # pointer rows are EDGES (vertex, rep): a vertex split across
+        # partitions gets different local reps, and these rows are what
+        # join them in the global fixpoint
+        ptr = pd.DataFrame({"u": list(parent), "v": [find(a) for a in parent]})
+        ptr = ptr[ptr["u"] != ptr["v"]]
+        alledges = pd.concat(rows, ignore_index=True)
+        cu = alledges["u"].map(find).to_numpy()
+        cv = alledges["v"].map(find).to_numpy()
+        mask = cu != cv
+        ce = pd.DataFrame({"u": cu[mask], "v": cv[mask]}).drop_duplicates()
+        yield pd.concat([ptr, ce], ignore_index=True)
+
+    return pairs.mapInPandas(contract, schema="u long, v long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -106,6 +158,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iter: int = 60,
     harness: SuperstepHarness | None = None,
+    pre_contract: bool = False,
 ) -> DataFrame:
     """Return ``(vertex long, component long)``.
 
@@ -131,6 +184,9 @@ def connected_components(
         verts = verts.unionByName(vertices.select(F.col("vertex").cast("long")))
     verts = verts.distinct()
 
+    if pre_contract:
+        pairs = _local_contract(pairs)
+
     # canonical (hi, lo) starting set — the round-to-round invariant
     cur = _dedup_pairs(
         pairs.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
@@ -142,11 +198,9 @@ def connected_components(
             start_step, cur = resumed
     cur = cur.localCheckpoint(eager=True)
     sig = _signature(cur)
-    if sig[0] == 0:
-        return verts.select("vertex", F.col("vertex").alias("component"))
 
-    converged = False
-    for step in range(start_step, max_iter):
+    converged = sig[0] == 0
+    for step in range(start_step, max_iter if not converged else 0):
         with_timer = harness.timer() if harness is not None else None
         t0 = time.monotonic() if _DEBUG else 0.0
         # lazy checkpoint: the signature aggregation is the action that

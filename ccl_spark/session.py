@@ -35,10 +35,18 @@ def get_spark(
         else:
             cores = max(int(n), 1)
         shuffle_partitions = 2 * cores
+    # AQE starts shuffles wide (so hash-join build sides stay small on
+    # big inputs) and coalesces down to ~shuffle_partitions for small
+    # stages — partition count follows the data, not a fixed knob
+    initial_parts = max(4 * shuffle_partitions, 128)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_parts),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -49,7 +57,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-cluster mode: the master string's third field is WORKER
+        # capacity; the executor heap comes from this conf (1g default
+        # otherwise — an easy OOM on real data)
+        .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "8g"))
     )
+    # fast shuffle storage (clusters put shuffle on NVMe/ramdisk);
+    # benches set this to tmpfs so both scaling levels measure compute,
+    # not the sandbox's virtio disk
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,36 @@
+"""pre_contract CC must equal plain CC on every input shape, including
+vertices whose edges are split across partitions."""
+
+from __future__ import annotations
+
+from ccl_spark.cc import connected_components
+from ccl_spark.datagen import generate_pages
+from ccl_spark.edges import page_edges
+
+
+def _labels(df):
+    return sorted((r.vertex, r.component) for r in df.collect())
+
+
+def test_precontract_equals_plain_on_corpus(spark):
+    e = page_edges(generate_pages(spark, 300, seed=21)).repartition(7)
+    assert _labels(connected_components(e, pre_contract=True)) == _labels(
+        connected_components(e)
+    )
+
+
+def test_precontract_cross_partition_chain(spark):
+    # one long chain, one edge per partition: every merge crosses a
+    # partition boundary, so pointer rows carry all the connectivity
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    ).repartition(40)
+    got = _labels(connected_components(chain, pre_contract=True))
+    assert got == [(i, 0) for i in range(41)]
+
+
+def test_precontract_empty_and_isolated(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    iso = spark.createDataFrame([(5,)], "vertex long")
+    got = _labels(connected_components(empty, vertices=iso, pre_contract=True))
+    assert got == [(5, 5)]
