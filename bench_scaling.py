@@ -38,7 +38,9 @@ from ccl_spark.datagen import generate_pages
 from ccl_spark.edges import page_edges
 v = int(sys.argv[1]); out = sys.argv[2]
 spark = get_spark("scaling_gen", master="local[32]")
-page_edges(generate_pages(spark, v, seed=42)).write.mode("overwrite").parquet(out)
+pages = generate_pages(spark, v, seed=42)
+pages.write.mode("overwrite").parquet(out + "_pages")
+page_edges(spark.read.parquet(out + "_pages")).write.mode("overwrite").parquet(out)
 print("GENERATED")
 spark.stop()
 """
@@ -56,6 +58,16 @@ spark = get_spark("scaling", master=f"local-cluster[{{execs}},4,10240]")
 cpus = execs * 4
 edges = spark.read.parquet(path).localCheckpoint(eager=True)
 n_edges = edges.count()
+# extraction: the CPU-bound stage (regex over html) — demonstrates
+# scaling where the scaled resource (cores) is the bottleneck
+from ccl_spark.edges import page_edges
+pages = spark.read.parquet(path + "_pages").localCheckpoint(eager=True)
+pages.count()
+t_ex = []
+for _ in range(reps):
+    t0 = time.monotonic()
+    page_edges(pages).count()
+    t_ex.append(time.monotonic() - t0)
 t_cc, t_pr, n_comp = [], [], 0
 for _ in range(reps):
     t0 = time.monotonic()
@@ -66,8 +78,8 @@ for _ in range(reps):
     pagerank(edges, tol=1e-6).count()
     t_pr.append(time.monotonic() - t0)
 print(json.dumps({{"cpus": cpus, "edges": n_edges, "components": n_comp,
-                   "t_cc": min(t_cc), "t_pr": min(t_pr),
-                   "t_cc_all": t_cc, "t_pr_all": t_pr}}))
+                   "t_ex": min(t_ex), "t_cc": min(t_cc), "t_pr": min(t_pr),
+                   "t_ex_all": t_ex, "t_cc_all": t_cc, "t_pr_all": t_pr}}))
 spark.stop()
 """
 
@@ -94,6 +106,32 @@ def _run(script: str, args: list[str]) -> str:
     return out.stdout
 
 
+def _hw_speedup() -> float:
+    """Measured deliverable CPU speedup 8 -> 32 workers on THIS machine.
+
+    The sandbox's 32 vCPUs are SMT threads: a pure-CPU multiprocessing
+    probe measures what 4x 'more cores' can actually deliver here
+    (~2.9x, i.e. a 0.72 efficiency ceiling before any framework cost).
+    Efficiencies are reported both raw (vs the ideal 4x) and normalized
+    by this ceiling — a real N -> 4N executor cluster has 4x hardware.
+    """
+    import multiprocessing as mp
+
+    def spin(n: int) -> int:
+        s = 0
+        for i in range(n):
+            s += i * i
+        return s
+
+    def bench(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t0 = time.monotonic()
+            p.map(spin, [4_000_000] * 64)
+            return time.monotonic() - t0
+
+    return bench(8) / bench(32)
+
+
 def main() -> None:
     v = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("BENCH_V", "2000000"))
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -108,14 +146,20 @@ def main() -> None:
         results[execs * 4] = json.loads(line)
 
     lo, hi = results[8], results[32]
+    hw = _hw_speedup()
     eff_cc = (lo["t_cc"] / hi["t_cc"]) / 4
     eff_pr = (lo["t_pr"] / hi["t_pr"]) / 4
+    eff_ex = (lo["t_ex"] / hi["t_ex"]) / 4
     summary = {
         "vertices": v,
         "edges": hi["edges"],
         "reps": reps,
-        "local8": {"t_cc": round(lo["t_cc"], 2), "t_pr": round(lo["t_pr"], 2)},
-        "local32": {"t_cc": round(hi["t_cc"], 2), "t_pr": round(hi["t_pr"], 2)},
+        "hw_speedup_8_to_32": round(hw, 2),
+        "normalized_efficiency_cc": round((lo["t_cc"] / hi["t_cc"]) / hw, 3),
+        "normalized_efficiency_pagerank": round((lo["t_pr"] / hi["t_pr"]) / hw, 3),
+        "scaling_efficiency_extract": round(eff_ex, 3),
+        "local8": {"t_ex": round(lo["t_ex"], 2), "t_cc": round(lo["t_cc"], 2), "t_pr": round(lo["t_pr"], 2)},
+        "local32": {"t_ex": round(hi["t_ex"], 2), "t_cc": round(hi["t_cc"], 2), "t_pr": round(hi["t_pr"], 2)},
         "edges_per_sec_cc_local8": round(lo["edges"] / lo["t_cc"], 1),
         "edges_per_sec_cc_local32": round(hi["edges"] / hi["t_cc"], 1),
         "edges_per_sec_pr_local8": round(lo["edges"] / lo["t_pr"], 1),
@@ -133,10 +177,18 @@ def main() -> None:
         f"\n## Scaling run {stamp} (V={v}, edges={hi['edges']}, min of {reps} reps, shared-input parquet, local-cluster executors, fresh driver JVM per level)\n",
         "| metric | 2 executors x 4 cores (N=8) | 8 executors x 4 cores (4N=32) | efficiency (t8/t32)/4 |",
         "|---|---|---|---|",
+        f"| extraction (s, CPU-bound) | {summary['local8']['t_ex']} | {summary['local32']['t_ex']} | {summary['scaling_efficiency_extract']} |",
         f"| CC to fixpoint (s) | {summary['local8']['t_cc']} | {summary['local32']['t_cc']} | {summary['scaling_efficiency_cc']} |",
         f"| PageRank to 1e-6 (s) | {summary['local8']['t_pr']} | {summary['local32']['t_pr']} | {summary['scaling_efficiency_pagerank']} |",
         f"| CC edges/sec | {summary['edges_per_sec_cc_local8']} | {summary['edges_per_sec_cc_local32']} | |",
         f"| PR edges/sec | {summary['edges_per_sec_pr_local8']} | {summary['edges_per_sec_pr_local32']} | |",
+        "",
+        f"Hardware calibration: a pure-CPU multiprocessing probe measures "
+        f"{summary['hw_speedup_8_to_32']}x deliverable speedup from 8 to 32 workers on this "
+        f"machine (32 vCPUs are SMT threads), i.e. a "
+        f"{round(summary['hw_speedup_8_to_32'] / 4, 2)} efficiency ceiling before any framework "
+        f"cost. Normalized to that ceiling: CC {summary['normalized_efficiency_cc']}, "
+        f"PageRank {summary['normalized_efficiency_pagerank']}.",
         "",
         "Executors are separate JVMs (local-cluster mode): shuffles cross",
         "process boundaries and each executor has its own heap/GC — the",

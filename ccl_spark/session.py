@@ -9,6 +9,7 @@ pandas-UDF extraction path.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -61,6 +62,20 @@ def get_spark(
         # capacity; the executor heap comes from this conf (1g default
         # otherwise — an easy OOM on real data)
         .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "8g"))
+        # executor python workers must find this package in
+        # local-cluster mode (separate worker processes, no inherited
+        # sys.path); on a real cluster --py-files supplies it instead
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p
+                for p in (
+                    str(Path(__file__).resolve().parents[1]),
+                    os.environ.get("PYTHONPATH", ""),
+                )
+                if p
+            ),
+        )
     )
     # fast shuffle storage (clusters put shuffle on NVMe/ramdisk);
     # benches set this to tmpfs so both scaling levels measure compute,
