@@ -106,6 +106,13 @@ def _run(script: str, args: list[str]) -> str:
     return out.stdout
 
 
+def _spin(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
 def _hw_speedup() -> float:
     """Measured deliverable CPU speedup 8 -> 32 workers on THIS machine.
 
@@ -117,16 +124,10 @@ def _hw_speedup() -> float:
     """
     import multiprocessing as mp
 
-    def spin(n: int) -> int:
-        s = 0
-        for i in range(n):
-            s += i * i
-        return s
-
     def bench(procs: int) -> float:
         with mp.Pool(procs) as p:
             t0 = time.monotonic()
-            p.map(spin, [4_000_000] * 64)
+            p.map(_spin, [4_000_000] * 64)
             return time.monotonic() - t0
 
     return bench(8) / bench(32)
