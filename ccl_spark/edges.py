@@ -68,6 +68,22 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def salted_in_degrees(edges: DataFrame, n_salts: int = 64) -> DataFrame:
+    """Two-phase skew-safe in-degree: partial counts per (dst, salt),
+    then final per dst. A 10^6-in-link hub lands on one reducer in a
+    naive groupBy(dst); salting spreads the partial aggregation over
+    n_salts reducers and the final pass combines n_salts tiny rows.
+    (Plain hash-aggregate counts already combine map-side; this is the
+    explicit pattern for aggregations without partial pushdown, e.g.
+    collect_list / exact distinct.)"""
+    salt = F.pmod(F.xxhash64("dst", F.col("src")), F.lit(n_salts))
+    partial = (
+        edges.groupBy(F.col("dst").alias("vertex"), salt.alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return partial.groupBy("vertex").agg(F.sum("c").alias("in_deg"))
+
+
 def hub_vertices(edges: DataFrame, threshold: int) -> DataFrame:
     """Vertices whose in-degree exceeds ``threshold`` — the broadcast /
     salted-aggregation side for skew handling."""
