@@ -216,6 +216,7 @@ def connected_components(
                 file=sys.stderr,
             )
         changed = new_sig != sig
+        cur.unpersist()  # superseded round state; nxt is materialized
         if harness is not None:
             harness.record(
                 superstep=step,
