@@ -117,6 +117,60 @@ def lsh_topk(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_lists: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: (id, list_id) by argmax dot against
+    ``n_lists`` seeded random unit centroids (one numpy matmul per
+    Arrow batch). At scale the assignment table is the partition key —
+    a query touches only its probed lists' partitions."""
+
+    def batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = None
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if cents is None:
+                cents = _planes(mat.shape[1], n_lists, seed)
+                cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "list_id": np.argmax(mat @ cents.T, axis=1).astype("int64"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(batch, schema="id long, list_id long")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` centroids closest
+    to the query, exact cosine inside the probed lists only."""
+    q = np.asarray(query, dtype=np.float64)
+    cents = _planes(len(query), n_lists, seed)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    probes = np.argsort(-(cents @ q))[:n_probe].tolist()
+    assign = ivf_assign(emb, n_lists, seed, id_col, vec_col)
+    cand_ids = assign.filter(F.col("list_id").isin(*probes)).select(
+        F.col("id").alias(id_col)
+    )
+    return cosine_topk(emb.join(cand_ids, id_col, "left_semi"), query, k, id_col, vec_col)
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -159,3 +159,17 @@ def test_multimodal_plumbing(spark):
     assert vids <= {r.media_id for r in rows if r.kind == "video"}
     with pytest.raises(Exception, match="NotImplementedError|not available|codecs"):
         decode_features(media, real_decode=True).collect()
+
+
+def test_ivf_topk_finds_near_dup(spark, emb):
+    rows = emb.collect()
+    q = [float(x) for x in dict((r.vec_id, r.embedding) for r in rows)[3]]
+    got = [r.vec_id for r in lsh_topk(emb, q, k=3, n_planes=8).collect()]
+    from ccl_spark.similarity import ivf_assign, ivf_topk
+
+    ivf = [r.vec_id for r in ivf_topk(emb, q, k=3, n_lists=8, n_probe=4).collect()]
+    assert ivf[0] == 3 and 7 in ivf  # self + planted near-dup recalled
+    # deterministic at any partitioning
+    a = sorted((r.id, r.list_id) for r in ivf_assign(emb, 8).collect())
+    b = sorted((r.id, r.list_id) for r in ivf_assign(emb.repartition(9), 8).collect())
+    assert a == b
