@@ -284,6 +284,135 @@ def q_corpus_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# golden-fixture queries: the reference's own unittest grids run through
+# the full engine (threshold -> CC+boundary rules -> temporal linking ->
+# numbering replay); oracles are VALUES literals of the reference's
+# expected label arrays (ccl2d.py:240-244, ccl_marker_stack.py:1293-1403,
+# :1618-1632), so the external gate pins exact reference parity.
+# --------------------------------------------------------------------------
+
+GOLDEN_GRID_EXPECTED = [
+    [1, 0, 1, 0, 1, 0],
+    [0, 0, 1, 0, 0, 0],
+    [0, 0, 1, 0, 2, 0],
+    [0, 0, 0, 0, 0, 2],
+    [2, 0, 0, 2, 2, 2],
+]
+
+GOLDEN_ROI_EXPECTED = [
+    [0, 0, 1, 0, 1, 0],
+    [0, 0, 1, 0, 0, 0],
+    [0, 0, 1, 0, 2, 0],
+    [0, 0, 0, 0, 0, 2],
+    [0, 0, 0, 2, 2, 2],
+]
+
+GOLDEN_DIAG_EXPECTED = [
+    [[0, 0, 0, 11, 0, 0], [0, 10, 0, 0, 0, 12], [0, 10, 0, 11, 0, 0], [0, 10, 0, 0, 0, 12], [0, 10, 0, 0, 0, 0]],
+    [[0, 0, 0, 11, 0, 0], [0, 10, 0, 0, 0, 12], [0, 0, 0, 11, 0, 12], [0, 10, 0, 11, 0, 12], [0, 10, 0, 0, 0, 0]],
+    [[0, 0, 0, 11, 0, 0], [0, 10, 0, 11, 0, 12], [0, 0, 0, 11, 0, 0], [0, 0, 0, 11, 0, 12], [0, 10, 0, 0, 0, 0]],
+    [[0] * 6 for _ in range(5)],
+    [[0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0], [0, 0, 0, 13, 0, 0], [0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0]],
+    [[0] * 6 for _ in range(5)],
+    [[14, 0, 0, 0, 14, 0], [0, 14, 0, 0, 0, 0], [14, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 14], [0, 0, 14, 0, 14, 0]],
+]
+
+GOLDEN_DIAG_AGES = [
+    [[0, 0, 0, 3, 0, 0], [0, 3, 0, 0, 0, 3], [0, 3, 0, 3, 0, 0], [0, 3, 0, 0, 0, 3], [0, 3, 0, 0, 0, 0]],
+    [[0, 0, 0, 3, 0, 0], [0, 3, 0, 0, 0, 3], [0, 0, 0, 3, 0, 3], [0, 3, 0, 3, 0, 3], [0, 3, 0, 0, 0, 0]],
+    [[0, 0, 0, 3, 0, 0], [0, 3, 0, 3, 0, 3], [0, 0, 0, 3, 0, 0], [0, 0, 0, 3, 0, 3], [0, 3, 0, 0, 0, 0]],
+    [[0] * 6 for _ in range(5)],
+    [[0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0], [0, 0, 0, 1, 0, 0], [0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0]],
+    [[0] * 6 for _ in range(5)],
+    [[1, 0, 0, 0, 1, 0], [0, 1, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 1], [0, 0, 1, 0, 1, 0]],
+]
+
+# dust fixture expectation (hand-replay of the reference arithmetic —
+# verified by tests/test_golden_fixtures.py::test_dust_filter_golden):
+# the 1-cell speck in slice 0 is dropped before linking, so slice 1's
+# 2-cell region gets a fresh label (2) and the surviving bar ages to 3.
+GOLDEN_DUST_CELLS = [
+    (0, 1, 1, 3), (0, 2, 1, 3), (0, 3, 1, 3),
+    (1, 1, 1, 3), (1, 2, 1, 3), (1, 3, 1, 3), (1, 1, 3, 2), (1, 2, 3, 2),
+]
+
+
+def _grid_cells(arr: list[list[int]]) -> list[tuple[int, int, int]]:
+    return [
+        (r, c, v) for r, row in enumerate(arr) for c, v in enumerate(row) if v
+    ]
+
+
+def _stack_cells(arrays: list[list[list[int]]]) -> list[tuple[int, int, int, int]]:
+    return [
+        (sid, r, c, v)
+        for sid, arr in enumerate(arrays)
+        for r, row in enumerate(arr)
+        for c, v in enumerate(row)
+        if v
+    ]
+
+
+def _segmented_expected() -> list[tuple[int, int, int, int]]:
+    rows = []
+    nseg, nstride = 5, 5
+    nd = nseg * nstride
+    for i in range(nd):
+        rows += [(i, 2, 2, 52), (i, 2, 4, 53)]
+        if i == nd - nstride - 1:
+            rows += [(i, 0, 2, 52), (i, 1, 2, 52)]
+        if i == nd - nstride:
+            rows += [(i, 0, 2, 52)]
+        if i in (2 * nstride, 2 * nstride + 1):
+            rows += [(i, 0, 0, 24)]
+    return rows
+
+
+def _values_sql(rows: list[tuple], colnames: list[str]) -> str:
+    vals = ", ".join(
+        "(" + ", ".join(str(int(x)) for x in r) + ")" for r in sorted(rows)
+    )
+    cols = ", ".join(f'"{c}"' for c in colnames)
+    return f"SELECT * FROM (VALUES {vals}) AS t({cols})"
+
+
+def q_golden_grid_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccl_spark.golden import ccl2d_labels
+
+    return ccl2d_labels(spark)
+
+
+def q_golden_roi_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccl_spark.golden import roi_labels
+
+    return roi_labels(spark, min_col=2)
+
+
+def q_golden_stack_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccl_spark.golden import diagonals_labels
+
+    return diagonals_labels(spark)
+
+
+def q_golden_stack_ages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccl_spark.golden import diagonals_ages
+
+    return diagonals_ages(spark)
+
+
+def q_golden_dust_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccl_spark.golden import dust_labels
+
+    return dust_labels(spark)
+
+
+def q_golden_segmented_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccl_spark.golden import segmented_labels
+
+    return segmented_labels(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the small graph from sf0.001, run distributed CC,
     report component sizes."""
@@ -318,6 +447,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "corpus_cc_sizes": q_corpus_cc_sizes,
         "corpus_lpa": q_corpus_lpa,
+        "golden_grid_labels": q_golden_grid_labels,
+        "golden_roi_labels": q_golden_roi_labels,
+        "golden_stack_labels": q_golden_stack_labels,
+        "golden_stack_ages": q_golden_stack_ages,
+        "golden_dust_labels": q_golden_dust_labels,
+        "golden_segmented_labels": q_golden_segmented_labels,
     }
 
 
@@ -410,8 +545,8 @@ WITH ex AS (
 ),
 qx AS (SELECT x, i FROM ex WHERE vec_id = 0)
 SELECT CAST(ex.vec_id AS BIGINT) AS vec_id,
-       SUM(CAST(ROUND(CAST(ex.x AS DOUBLE) * 1000, 0) AS BIGINT)
-           * CAST(ROUND(CAST(qx.x AS DOUBLE) * 1000, 0) AS BIGINT)) AS dot
+       CAST(SUM(CAST(ROUND(CAST(ex.x AS DOUBLE) * 1000, 0) AS BIGINT)
+           * CAST(ROUND(CAST(qx.x AS DOUBLE) * 1000, 0) AS BIGINT)) AS BIGINT) AS dot
 FROM ex JOIN qx USING (i)
 WHERE ex.vec_id <> 0
 GROUP BY ex.vec_id
@@ -435,4 +570,22 @@ SELECT doc_id, n_en, n_de, n_fr,
             ELSE 'und' END AS lang_guess
 FROM s
 """,
+        "golden_grid_labels": _values_sql(
+            _grid_cells(GOLDEN_GRID_EXPECTED), ["row", "col", "label"]
+        ),
+        "golden_roi_labels": _values_sql(
+            _grid_cells(GOLDEN_ROI_EXPECTED), ["row", "col", "label"]
+        ),
+        "golden_stack_labels": _values_sql(
+            _stack_cells(GOLDEN_DIAG_EXPECTED), ["slice_id", "row", "col", "label"]
+        ),
+        "golden_stack_ages": _values_sql(
+            _stack_cells(GOLDEN_DIAG_AGES), ["slice_id", "row", "col", "age"]
+        ),
+        "golden_dust_labels": _values_sql(
+            list(GOLDEN_DUST_CELLS), ["slice_id", "row", "col", "label"]
+        ),
+        "golden_segmented_labels": _values_sql(
+            _segmented_expected(), ["slice_id", "row", "col", "label"]
+        ),
     }

@@ -37,18 +37,50 @@ def top_k_components(labels: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def dense_renumber(distinct_ids: DataFrame, col: str = "component") -> DataFrame:
+    """(id, rank) dense 1-based renumbering by ascending id — without a
+    global window (which would funnel every distinct id through one
+    task). Two-phase: range-partition the distinct ids, rank within
+    each partition (parallel window), then add per-partition offsets
+    (one tiny count per partition collected to the driver, same scale
+    as a convergence scalar)."""
+    n_parts = max(distinct_ids.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = (
+        distinct_ids.select(col)
+        .distinct()
+        .repartitionByRange(n_parts, col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning across the two jobs below
+    )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = distinct_ids.sparkSession.createDataFrame(
+        list(offsets.items()), "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(col)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(col, (F.row_number().over(w) + F.col("_off")).alias("rank"))
+    )
+
+
 def min_size_filter(labels: DataFrame, min_size: int, renumber: bool = False) -> DataFrame:
     """Drop components smaller than ``min_size`` (the reference's dust
-    filter); optionally dense-renumber survivors by ascending component
-    id (the reference's np.unique compaction)."""
+    filter, ccl_marker_stack.py:904-930); optionally dense-renumber
+    survivors by ascending component id (the reference's np.unique
+    compaction — labels renumbered to arange in ascending old-label
+    order, background slot 0 excluded)."""
     keep = component_sizes(labels).filter(F.col("n_vertices") >= min_size)
     out = labels.join(keep.select("component"), "component", "left_semi")
     if renumber:
-        w = Window.orderBy("component")
-        ranks = (
-            out.select("component")
-            .distinct()
-            .select("component", F.dense_rank().over(w).alias("new_component"))
+        ranks = dense_renumber(out.select("component"), "component").select(
+            "component", F.col("rank").alias("new_component")
         )
         out = out.join(ranks, "component").select(
             "vertex", F.col("new_component").alias("component")

@@ -145,6 +145,28 @@ def slice_labels(
     )
 
 
+def dust_filter(labels: DataFrame, min_area: int) -> DataFrame:
+    """Reference dust filter (F4, ccl_marker_stack.py:904-930), applied
+    per slice *before* temporal linking (as make_slice_from does): drop
+    labels covering < ``min_area`` cells, then dense-renumber survivors
+    in ascending old-label order (the reference's np.unique compaction;
+    the background slot 0 is assumed kept, which holds whenever the
+    grid has >= min_area background cells).
+
+    The renumber window is partitioned by slice_id — parallel across
+    slices, never a global window."""
+    counts = labels.groupBy("slice_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    keep = counts.filter(F.col("n") >= min_area).select("slice_id", "label")
+    kept = labels.join(keep, ["slice_id", "label"], "left_semi")
+    w = Window.partitionBy("slice_id").orderBy("label")
+    ranks = keep.select(
+        "slice_id", "label", F.dense_rank().over(w).alias("new_label")
+    )
+    return kept.join(ranks, ["slice_id", "label"]).select(
+        "slice_id", "row", "col", F.col("new_label").alias("label")
+    )
+
+
 def overlap_pairs(labels: DataFrame) -> DataFrame:
     """Temporal links: (slice_id, prev_label, label) where slice t's
     foreground coincides (same row, col) with slice t-1's foreground.

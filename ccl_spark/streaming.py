@@ -21,10 +21,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StructField,
@@ -53,12 +55,20 @@ def windowed_activity(
     )
 
 
+# Distinct active days are kept exactly, as a sorted int32 epoch-day
+# array in binary state, capped at MAX_STATE_DAYS entries (256 KiB —
+# ~180 years of daily activity; beyond the cap the count saturates,
+# documented rather than silently wrong). This matches the batch
+# `ages` definition (countDistinct(to_date(ts))), i.e. the reference's
+# m_ages = number of slices a label appears in — NOT the calendar span.
+MAX_STATE_DAYS = 65536
+
 AGE_STATE = StructType(
     [
         StructField("first_seen", TimestampType()),
         StructField("last_seen", TimestampType()),
         StructField("n_events", LongType()),
-        StructField("n_days", IntegerType()),
+        StructField("days_blob", BinaryType()),
     ]
 )
 
@@ -77,22 +87,28 @@ def _ages_fn(
     key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        first_seen, last_seen, n_events, n_days = state.get
-        days = set()
+        first_seen, last_seen, n_events, days_blob = state.get
+        days = np.frombuffer(days_blob, dtype=np.int32) if days_blob else np.array([], np.int32)
     else:
         first_seen = last_seen = None
-        n_events, days = 0, set()
+        n_events = 0
+        days = np.array([], dtype=np.int32)
+    batch_days: set[int] = set()
     for pdf in pdf_iter:
         ts = pd.to_datetime(pdf["ts"])
         n_events += len(pdf)
         lo, hi = ts.min(), ts.max()
         first_seen = lo if first_seen is None else min(first_seen, lo)
         last_seen = hi if last_seen is None else max(last_seen, hi)
-        days.update(ts.dt.date.unique().tolist())
-    # n_days is day-span based so it composes across batches without
-    # storing the full day set in state
-    n_days = (last_seen.date() - first_seen.date()).days + 1
-    state.update((first_seen, last_seen, n_events, n_days))
+        batch_days.update(
+            (ts.values.astype("datetime64[D]").astype(np.int64)).tolist()
+        )
+    if batch_days:
+        days = np.union1d(days, np.array(sorted(batch_days), dtype=np.int32))
+    if len(days) > MAX_STATE_DAYS:
+        days = days[:MAX_STATE_DAYS]  # saturate: count stops growing
+    n_days = int(len(days))
+    state.update((first_seen, last_seen, n_events, days.tobytes()))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],

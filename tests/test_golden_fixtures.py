@@ -107,6 +107,22 @@ def test_relabel2(spark):
     assert to_array(labels[0], resolved[0], 5, 6) == expected_m0_resolved
 
 
+def test_dust_filter_golden(spark):
+    """Min-area filter exercised through the golden replay path
+    (reference param minimum_pixel_area, ccl_marker_stack.py:852-930):
+    dust is dropped and renumbered BEFORE temporal linking, so slice 1's
+    region over the dead speck gets a fresh label instead of inheriting."""
+    from ccl_spark.golden import dust_labels
+
+    rows = {(r.slice_id, r.row, r.col): r.label for r in dust_labels(spark).collect()}
+    expected = {
+        (0, 1, 1): 3, (0, 2, 1): 3, (0, 3, 1): 3,
+        (1, 1, 1): 3, (1, 2, 1): 3, (1, 3, 1): 3,
+        (1, 1, 3): 2, (1, 2, 3): 2,
+    }
+    assert rows == expected
+
+
 def test_segmented(spark):
     nseg, nstride = 5, 5
     nd = nseg * nstride

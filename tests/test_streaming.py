@@ -16,6 +16,11 @@ def event_stream(spark, tmp_path):
         (1, "2026-01-02 05:00:00"),
         (2, "2026-01-01 00:20:00"),
         (2, "2026-01-01 03:20:00"),
+        # gap-y user: active Jan 1 and Jan 30 only — n_days must be the
+        # distinct-day count (2), not the calendar span (30)
+        (3, "2026-01-01 12:00:00"),
+        (3, "2026-01-30 12:00:00"),
+        (3, "2026-01-30 13:00:00"),
     ]
     src = tmp_path / "events"
     df = spark.createDataFrame(rows, "user_id long, ts_s string").selectExpr(
@@ -52,11 +57,24 @@ def test_windowed_activity(spark, event_stream, tmp_path):
     assert rows[("2026-01-02 05:00:00", 1)] == 1
 
 
-def test_running_ages_stateful(spark, event_stream):
+def test_running_ages_stateful(spark, event_stream, tmp_path):
     out = running_ages(event_stream)
     name = _run(out, "ages_state", "update")
     rows = {r.user_id: r for r in spark.sql(f"select * from {name}").collect()}
     assert rows[1].n_events == 3 and rows[1].n_days == 2
     assert rows[2].n_events == 2 and rows[2].n_days == 1
+    # distinct-day semantics on gap-y data: Jan 1 + Jan 30 = 2 days, not 30
+    assert rows[3].n_events == 3 and rows[3].n_days == 2
     assert str(rows[1].first_seen) == "2026-01-01 00:10:00"
     assert str(rows[1].last_seen) == "2026-01-02 05:00:00"
+    # parity with the batch `ages` definition (countDistinct(to_date(ts)))
+    import pyspark.sql.functions as F
+
+    batch = (
+        spark.read.parquet(str(tmp_path / "events"))
+        .groupBy("user_id")
+        .agg(F.countDistinct(F.to_date("ts")).alias("age"))
+        .collect()
+    )
+    for r in batch:
+        assert rows[r.user_id].n_days == r.age, f"user {r.user_id}"

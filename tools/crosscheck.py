@@ -65,7 +65,10 @@ def main() -> int:
             failures += 1
             continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            # dtype-strict: the external gate hashes rendered values, so a
+            # long-vs-double divergence (e.g. DuckDB HUGEINT sums) must fail
+            # here too, not be masked.
+            pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=False, rtol=0, atol=1e-9)
             print(f"{name:20s} OK ({len(a)} rows)")
         except AssertionError as exc:
             print(f"{name:20s} VALUE MISMATCH: {str(exc)[:300]}")
