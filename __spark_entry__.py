@@ -102,6 +102,55 @@ pr{k} AS MATERIALIZED (SELECT v.vertex,
     )
 
 
+def _corpus_lpa_sql(iters: int) -> str:
+    """Synchronous LPA as chained CTEs over the dumped corpus edges —
+    the same deterministic semantics as ccl_spark.lpa (mode of neighbor
+    labels, ties broken by smallest label, all vertices update each
+    round). Early-stop differences don't matter: once a round is a
+    fixpoint, further rounds are identity."""
+    pre = f"""
+WITH
+e AS MATERIALIZED (SELECT src, dst FROM '{{dir}}/corpus_edges_1000.parquet'),
+und AS MATERIALIZED (
+    SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e
+    ) WHERE u <> v
+),
+verts AS MATERIALIZED (
+    SELECT DISTINCT u AS vertex FROM (SELECT src AS u FROM e UNION SELECT dst FROM e)
+),
+l0 AS MATERIALIZED (SELECT vertex, vertex AS lab FROM verts)
+""".format(dir=_ORACLE_DIR)
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"l{k - 1}"
+        steps.append(
+            f""",
+cnt{k} AS (
+    SELECT und.u, p.lab, COUNT(*) AS c
+    FROM und JOIN {p} p ON und.v = p.vertex GROUP BY 1, 2
+),
+best{k} AS (
+    SELECT u AS vertex, lab FROM (
+        SELECT u, lab, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lab ASC) AS rn
+        FROM cnt{k}
+    ) WHERE rn = 1
+),
+l{k} AS MATERIALIZED (
+    SELECT v.vertex, COALESCE(b.lab, v.vertex) AS lab
+    FROM verts v LEFT JOIN best{k} b ON b.vertex = v.vertex
+)"""
+        )
+    return (
+        pre
+        + "".join(steps)
+        + f"""
+SELECT lab AS label, COUNT(*) AS n_vertices FROM l{iters}
+GROUP BY lab ORDER BY n_vertices DESC, label ASC LIMIT 5
+"""
+    )
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -237,8 +286,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs over documents (rows-only; the exact
-    Jaccard layer is oracle-checked in tests)."""
+    """MinHash-LSH near-dup pairs over documents. Oracle = all-pairs
+    exact 3-gram Jaccard over distinct-text representatives in DuckDB:
+    with 32 hashes / 16 bands the LSH candidate recall at j>=0.8 is
+    1-(1-j^2)^16 > 1 - 1e-7, so a green row is a recall proof on this
+    corpus, not a coincidence (deterministic seeds both sides)."""
     from ccl_spark.dedup import near_duplicates
 
     return near_duplicates(
@@ -253,16 +305,74 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup (the scale path) — approximate by design,
+    so rows-only at the gate; recall/determinism pinned by pytest. The
+    exact verify layer is oracle-checked via emb_near_dup_exact."""
     from ccl_spark.similarity import embedding_near_duplicates
 
     return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine layer (integer-quantized arithmetic so
+    Spark and DuckDB agree bit-for-bit)."""
+    from ccl_spark.similarity import embedding_near_duplicates_exact
+
+    return embedding_near_duplicates_exact(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (multiprobe) — approximate, rows-only at the
+    gate; determinism + planted-near-dup recall pinned by pytest."""
+    from ccl_spark.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = lsh_topk(emb.filter(F.col("vec_id") != 0), list(q), k=10, n_planes=12)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (probed lists) — approximate, rows-only."""
+    from ccl_spark.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") != 0), list(q), k=10, n_lists=16, n_probe=4
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_ORACLE_DIR = "/root/repo/.oracle"
+
+
+def _dump_edges(spark: SparkSession, n_pages: int) -> None:
+    """Materialize the deterministic corpus edge table where the DuckDB
+    oracle can scan it (the oracle cannot run datagen/extract itself).
+    Content is seeded + sorted, so every run writes identical rows; a
+    committed copy keeps the path valid regardless of evaluation order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{_ORACLE_DIR}/corpus_edges_{n_pages}.parquet"
+    e = page_edges(generate_pages(spark, n_pages, seed=42)).select("src", "dst")
+    pdf = e.toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
 def q_corpus_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthetic-corpus path (datagen -> extract -> edges -> CC): not
-    SQL-expressible (no oracle); pinned by in-test oracles instead."""
+    """Synthetic-corpus path (datagen -> extract -> edges -> CC),
+    oracle-checked against a DuckDB recursive min-reach CTE over the
+    dumped edge table."""
     pages = generate_pages(spark, 2000, seed=42)
     e = page_edges(pages)
+    _dump_edges(spark, 2000)
     comp = connected_components(e)
     return (
         comp.groupBy("component")
@@ -273,8 +383,11 @@ def q_corpus_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 synchronous LPA rounds, oracle-checked against the same rounds
+    as chained CTEs in DuckDB (deterministic mode/min tie-break)."""
     pages = generate_pages(spark, 1000, seed=42)
     e = page_edges(pages)
+    _dump_edges(spark, 1000)
     lab = label_propagation(e, max_iter=5)
     return (
         lab.groupBy("label")
@@ -445,6 +558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_minhash": q_near_dup_minhash,
         "simhash": q_simhash,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_exact": q_emb_near_dup_exact,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "corpus_cc_sizes": q_corpus_cc_sizes,
         "corpus_lpa": q_corpus_lpa,
         "golden_grid_labels": q_golden_grid_labels,
@@ -570,6 +686,74 @@ SELECT doc_id, n_en, n_de, n_fr,
             ELSE 'und' END AS lang_guess
 FROM s
 """,
+        "near_dup_minhash": """
+WITH reps AS MATERIALIZED (
+    SELECT MIN(CAST(doc_id AS BIGINT)) AS id, text FROM documents GROUP BY text
+),
+tk AS MATERIALIZED (
+    SELECT id, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS i
+    FROM reps
+),
+g3 AS (
+    SELECT a.id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+    FROM tk a JOIN tk b ON b.id = a.id AND b.i = a.i + 1
+              JOIN tk c ON c.id = a.id AND c.i = a.i + 2
+),
+gshort AS (
+    SELECT id, ARRAY_TO_STRING(STRING_SPLIT(text, ' '), ' ') AS g
+    FROM reps WHERE LEN(STRING_SPLIT(text, ' ')) < 3
+),
+grams AS MATERIALIZED (
+    SELECT DISTINCT id, g FROM (SELECT * FROM g3 UNION ALL SELECT * FROM gshort)
+),
+sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM grams GROUP BY id),
+inter AS MATERIALIZED (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+    FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.8
+""",
+        "emb_near_dup_exact": """
+WITH ex AS MATERIALIZED (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+norms AS MATERIALIZED (
+    SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ex GROUP BY vec_id
+),
+dots AS MATERIALIZED (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(SUM(a.x * b.x) AS BIGINT) AS dot
+    FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cosine
+FROM dots JOIN norms na ON na.vec_id = dots.id_a JOIN norms nb ON nb.vec_id = dots.id_b
+WHERE ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) >= 0.45
+""",
+        "corpus_cc_sizes": f"""
+WITH RECURSIVE
+e AS (SELECT src, dst FROM '{_ORACLE_DIR}/corpus_edges_2000.parquet'),
+und AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+verts AS (SELECT DISTINCT u AS vertex FROM (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+reach(vertex, l) AS (
+    SELECT vertex, vertex FROM verts
+    UNION
+    SELECT und.u, r.l FROM und JOIN reach r ON und.v = r.vertex WHERE r.l < und.u
+),
+comp AS (SELECT vertex, MIN(l) AS component FROM reach GROUP BY vertex)
+SELECT component, COUNT(*) AS n_vertices FROM comp GROUP BY component
+ORDER BY n_vertices DESC, component ASC LIMIT 5
+""",
+        "corpus_lpa": _corpus_lpa_sql(5),
         "golden_grid_labels": _values_sql(
             _grid_cells(GOLDEN_GRID_EXPECTED), ["row", "col", "label"]
         ),

@@ -67,12 +67,8 @@ def minhash_signatures(
     return wide.select("id", F.array(*[F.col(f"h{k}") for k in range(n_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 8
-) -> DataFrame:
-    """Band the signature, bucket by band hash, emit same-bucket pairs
-    (id_a < id_b). rows_per_band = len(sig) / bands."""
-    banded = sigs.select(
+def _banded(sigs: DataFrame, bands: int) -> DataFrame:
+    return sigs.select(
         "id",
         F.posexplode(
             F.expr(
@@ -82,6 +78,34 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def cap_buckets(
+    banded: DataFrame, max_bucket: int, keys: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Split a (…, bucket-member) table into (kept, dropped-bucket stats).
+
+    A same-bucket self-join is O(|bucket|^2): one degenerate bucket
+    (boilerplate pages, empty docs) with 10^6 members would emit 10^12
+    pair rows. Standard MMDS practice is to skip buckets above a size
+    cap and account for them — ``dropped`` is the tiny per-bucket stats
+    table (keys + n_members) for logging/metrics."""
+    keys = keys or ["band", "bucket"]
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_members"))
+    ok = sizes.filter(F.col("n_members") <= max_bucket).select(*keys)
+    dropped = sizes.filter(F.col("n_members") > max_bucket)
+    return banded.join(ok, keys, "left_semi"), dropped
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, max_bucket: int | None = 100_000
+) -> DataFrame:
+    """Band the signature, bucket by band hash, emit same-bucket pairs
+    (id_a < id_b). rows_per_band = len(sig) / bands. Buckets larger
+    than ``max_bucket`` are skipped (see cap_buckets)."""
+    banded = _banded(sigs, bands)
+    if max_bucket is not None:
+        banded, _ = cap_buckets(banded, max_bucket)
     a = banded.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
     b = banded.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_b"))
     return (
@@ -124,6 +148,19 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def collapse_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One representative (min id) per distinct text. Pre-collapsing
+    exact duplicates before LSH is the first line of bucket-blowup
+    defense: a corpus with 10^6 copies of one boilerplate page becomes
+    a single LSH member (exact-dup groups are reported separately by
+    exact_duplicates)."""
+    return docs.groupBy(F.col(text_col).alias("text")).agg(
+        F.min(F.col(id_col).cast("long")).alias("id")
+    )
+
+
 def near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -132,11 +169,40 @@ def near_duplicates(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    max_bucket: int | None = 100_000,
+    pre_collapse: bool = True,
+    log_dropped: bool = True,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup: shingle -> sign -> band ->
-    candidates -> exact-Jaccard verify -> pairs above threshold."""
-    sh = shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), bands)
+    """End-to-end MinHash-LSH near-dup: collapse exact dups -> shingle
+    -> sign -> band -> candidates (bucket-capped) -> exact-Jaccard
+    verify -> pairs above threshold. With ``pre_collapse`` the pair ids
+    are the min-doc_id representatives of each distinct text."""
+    if pre_collapse:
+        reps = collapse_exact(docs, id_col, text_col)
+        sh = shingles(reps, "id", "text", n).localCheckpoint(eager=True)
+    else:
+        sh = shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
+    banded = _banded(minhash_signatures(sh, n_hashes), bands)
+    if max_bucket is not None:
+        banded, dropped = cap_buckets(banded, max_bucket)
+        if log_dropped:
+            n_drop = dropped.count()
+            if n_drop:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "near_duplicates: skipped %d oversized LSH buckets (> %d members)",
+                    n_drop,
+                    max_bucket,
+                )
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 
 
@@ -167,10 +233,16 @@ def simhash(
     return wide.select(F.col("id").alias(id_col), fp.alias("simhash"))
 
 
-def simhash_near_pairs(fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
     """Candidate pairs with Hamming distance <= max_hamming, found by
     4-piece pigeonhole bucketing (any pair within distance 3 agrees on
-    at least one 16-bit piece)."""
+    at least one 16-bit piece). Oversized buckets are skipped (see
+    cap_buckets) — identical fingerprints should be pre-collapsed."""
     pieces = fps.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
@@ -178,6 +250,8 @@ def simhash_near_pairs(fps: DataFrame, id_col: str = "doc_id", max_hamming: int 
             F.expr("transform(sequence(0, 3), p -> shiftright(simhash, p * 16) & 65535)")
         ).alias("piece", "val"),
     )
+    if max_bucket is not None:
+        pieces, _ = cap_buckets(pieces, max_bucket, keys=["piece", "val"])
     a = pieces.select("piece", "val", F.col("id").alias("id_a"), F.col("simhash").alias("fa"))
     b = pieces.select("piece", "val", F.col("id").alias("id_b"), F.col("simhash").alias("fb"))
     cand = (

@@ -171,6 +171,43 @@ def ivf_topk(
     return cosine_topk(emb.join(cand_ids, id_col, "left_semi"), query, k, id_col, vec_col)
 
 
+def embedding_near_duplicates_exact(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine-verify layer over ALL pairs: (id_a, id_b, cosine).
+
+    Elements are quantized to round(x*1000) int64 before the dot/norm
+    arithmetic so the result is bit-identical across engines (the same
+    trick as the ann_topk oracle) — this is the oracle-checkable exact
+    baseline; the scale path is embedding_near_duplicates (LSH-bucketed,
+    never all-pairs)."""
+    qarr = lambda c: F.expr(  # noqa: E731
+        f"transform({c}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+    )
+    a = emb.select(F.col(id_col).cast("long").alias("id_a"), qarr(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).cast("long").alias("id_b"), qarr(vec_col).alias("vb"))
+    isum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    na = a.select("id_a", isum(F.zip_with("va", "va", lambda x, y: x * y)).alias("n2_a"))
+    nb = b.select("id_b", isum(F.zip_with("vb", "vb", lambda x, y: x * y)).alias("n2_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = isum(F.zip_with("va", "vb", lambda x, y: x * y))
+    cos = F.round(
+        dot.cast("double") / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double")),
+        6,
+    )
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -178,10 +215,17 @@ def embedding_near_duplicates(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold among
-    same-LSH-bucket candidates."""
+    same-LSH-bucket candidates. Buckets above ``max_bucket`` members
+    are skipped (a degenerate bucket — e.g. all-zero embeddings —
+    would otherwise emit |bucket|^2 candidate pairs)."""
+    from .dedup import cap_buckets
+
     sigs = lsh_signatures(emb, n_planes, seed, id_col, vec_col)
+    if max_bucket is not None:
+        sigs, _ = cap_buckets(sigs, max_bucket, keys=["bucket"])
     a = sigs.select("bucket", F.col("id").alias("id_a"))
     b = sigs.select("bucket", F.col("id").alias("id_b"))
     pairs = (

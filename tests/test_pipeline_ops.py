@@ -48,12 +48,45 @@ def test_exact_duplicates(spark, docs):
 
 
 def test_minhash_near_dup(spark, docs):
-    pairs = near_duplicates(docs, n=3, n_hashes=32, bands=16, threshold=0.5)
+    # pre_collapse=False: raw pairs, exact dups included
+    pairs = near_duplicates(
+        docs, n=3, n_hashes=32, bands=16, threshold=0.5, pre_collapse=False
+    )
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
     assert (0, 3) in got and got[(0, 3)] == 1.0  # exact dup found
     assert (0, 1) in got  # one-word-off near dup (6/8 shared 3-grams)
     assert got[(0, 1)] == pytest.approx(6 / 8, abs=1e-6)
     assert not any(2 in p for p in got)
+
+
+def test_minhash_near_dup_collapsed(spark, docs):
+    # default pre_collapse: exact dups collapse to their min-id
+    # representative, so (0,3) vanishes and only true near-dups remain
+    pairs = near_duplicates(docs, n=3, n_hashes=32, bands=16, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (0, 3) not in got
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(6 / 8, abs=1e-6)
+
+
+def test_lsh_bucket_cap_pathological(spark):
+    """A corpus of near-identical boilerplate (one degenerate LSH
+    bucket) must complete with bounded pair counts: pre-collapse folds
+    the exact copies, and max_bucket drops any still-oversized bucket."""
+    n = 400
+    rows = [(i, "the same boilerplate page content repeated everywhere") for i in range(n)]
+    rows += [(n + i, f"unique document number {i} with its own words entirely") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # collapse alone reduces the degenerate bucket to one member
+    pairs = near_duplicates(docs, n=3, n_hashes=16, bands=8, threshold=0.8)
+    assert pairs.count() == 0
+    # without collapse, the cap bounds the candidate explosion: every
+    # bucket is oversized, so zero candidate pairs survive (and the
+    # drop is logged, not silent)
+    capped = near_duplicates(
+        docs, n=3, n_hashes=16, bands=8, threshold=0.8,
+        pre_collapse=False, max_bucket=50,
+    )
+    assert capped.filter("id_a < 400 and id_b < 400").count() == 0
 
 
 def test_minhash_oracle_parity(spark, docs):
