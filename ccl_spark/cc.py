@@ -48,7 +48,9 @@ def _undirected(edges: DataFrame) -> DataFrame:
     return _dedup_pairs(fwd.unionByName(rev))
 
 
-def large_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
+def large_star(
+    edges: DataFrame, canonical: bool = False, broadcast_mins: bool = False
+) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) + {u}).
 
     Output pairs always satisfy u > v (v > center >= min), so the
@@ -56,12 +58,19 @@ def large_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
     ``canonical=True`` the input is a distinct (hi, lo) set, so the
     both-directions neighbor view needs no dedup — one shuffle saved;
     Catalyst reuses the groupBy exchange for the join side.
+
+    ``broadcast_mins`` is the explicit late-round frontier path (north
+    star): when the surviving edge set is small, ship the per-vertex
+    min table to every task (BroadcastExchange) instead of shuffling
+    the neighbor table — the join becomes a map-side BroadcastHashJoin.
     """
     nbrs = _undirected(edges) if not canonical else edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("mn", "u").alias("m"))
+    if broadcast_mins:
+        mins = F.broadcast(mins)
     out = (
         nbrs.filter(F.col("v") > F.col("u"))
         .join(mins, "u")
@@ -70,7 +79,9 @@ def large_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
     return out.filter(F.col("u") != F.col("v"))
 
 
-def small_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
+def small_star(
+    edges: DataFrame, canonical: bool = False, broadcast_mins: bool = False
+) -> DataFrame:
     """Connect every smaller-or-equal neighbor of u (and u) to their min.
 
     Returns the canonical distinct (hi, lo) edge set of the next round.
@@ -84,6 +95,8 @@ def small_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
     )
     canon = _dedup_pairs(canon)
     mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    if broadcast_mins:
+        mins = F.broadcast(mins)
     lo = canon.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
     hi = mins.select(F.col("u"), F.col("m").alias("v"))
     return _dedup_pairs(lo.unionByName(hi))
@@ -100,55 +113,97 @@ def _signature(edges: DataFrame) -> tuple:
 
 
 def _local_contract(pairs: DataFrame) -> DataFrame:
-    """Per-partition union-find contraction (no shuffle).
+    """Per-partition connected components (no shuffle), vectorized.
 
-    Each partition's subgraph is solved locally with an in-memory
-    union-find (Arrow batches); the partition emits pointer rows
-    (vertex -> local representative) plus the contracted edge set
-    between representatives — together an equivalent, pre-flattened
-    graph the global star fixpoint converges on in fewer rounds.
-    This is the reference's 'label segments independently, then
-    reconcile' parallelization (ccl_marker_stack.py:1678-1685) with
-    the serial interface sweep replaced by the global fixpoint; the
-    win grows with partition locality (src-bucketed edge tables).
+    Each partition's subgraph is solved locally in numpy —
+    Shiloach-Vishkin-style: alternate a vectorized min-hook
+    (``np.minimum.at`` scatter of the edge-wise min onto both
+    endpoints) with pointer-doubling compression (``lab = lab[lab]``),
+    O(E) work per pass and O(log V) passes, no Python per-edge loop —
+    then emits the local star forest as pointer rows
+    (vertex -> local min representative). A vertex split across
+    partitions gets different local reps; those pointer rows are what
+    join the pieces in the global fixpoint, which therefore only has to
+    resolve CROSS-partition structure. This is the reference's 'label
+    segments independently, then reconcile' plan
+    (ccl_marker_stack.py:1678-1685) with the serial interface sweep
+    replaced by the global star fixpoint; the win grows with partition
+    locality (src-bucketed edge tables).
     """
     import pandas as pd
 
     def contract(pdf_iter):
-        parent: dict[int, int] = {}
+        import numpy as np
 
-        def find(a: int) -> int:
-            root = a
-            while parent.setdefault(root, root) != root:
-                root = parent[root]
-            while parent[a] != root:
-                parent[a], a = root, parent[a]
-            return root
-
-        rows = []
-        for pdf in pdf_iter:
-            rows.append(pdf)
-            for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
-                ru, rv = find(int(u)), find(int(v))
-                if ru != rv:
-                    if rv < ru:
-                        ru, rv = rv, ru
-                    parent[rv] = ru
-        if not rows:
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
             return
-        # pointer rows are EDGES (vertex, rep): a vertex split across
-        # partitions gets different local reps, and these rows are what
-        # join them in the global fixpoint
-        ptr = pd.DataFrame({"u": list(parent), "v": [find(a) for a in parent]})
-        ptr = ptr[ptr["u"] != ptr["v"]]
-        alledges = pd.concat(rows, ignore_index=True)
-        cu = alledges["u"].map(find).to_numpy()
-        cv = alledges["v"].map(find).to_numpy()
-        mask = cu != cv
-        ce = pd.DataFrame({"u": cu[mask], "v": cv[mask]}).drop_duplicates()
-        yield pd.concat([ptr, ce], ignore_index=True)
+        u = np.concatenate([p["u"].to_numpy(np.int64) for p in parts])
+        v = np.concatenate([p["v"].to_numpy(np.int64) for p in parts])
+        ptr_u, ptr_v = _numpy_cc_pointers(u, v)
+        if len(ptr_u) == 0:
+            return  # only self-loops: no connectivity to contribute
+        yield pd.DataFrame({"u": ptr_u, "v": ptr_v})
 
     return pairs.mapInPandas(contract, schema="u long, v long")
+
+
+def _numpy_cc_pointers(u, v):
+    """Vectorized local CC on int64 edge arrays: returns the star
+    forest (vertex, min-representative) as two arrays, self-pointers
+    omitted. Shared by _local_contract and the CSR ingest path."""
+    import numpy as np
+
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    lu, lv = inv[: len(u)], inv[len(u):]
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[lu], lab[lv])
+        np.minimum.at(lab, lu, m)
+        np.minimum.at(lab, lv, m)
+        while True:  # full path compression
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, before):
+            break
+    rep = ids[lab]
+    mask = rep != ids
+    return ids[mask], rep[mask]
+
+
+def connected_components_from_csr(
+    csr: DataFrame,
+    vertices: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Connected components ingesting per-partition CSR blocks
+    (edges.csr_blocks) directly: each block's adjacency is solved
+    locally by streaming the numpy CSR arrays — no per-edge row
+    deserialization — and only the pointer star forests enter the
+    global fixpoint. This is the CSR blocks' consuming superstep: the
+    local half runs on the packed arrays, the shuffle half on the
+    (much smaller) pointer rows."""
+    import numpy as np
+    import pandas as pd
+
+    def local(pdf_iter):
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                src_ids = np.frombuffer(row["src_ids"], dtype=np.int64)
+                indptr = np.frombuffer(row["indptr"], dtype=np.int64)
+                dst = np.frombuffer(row["dst_ids"], dtype=np.int64)
+                src = np.repeat(src_ids, np.diff(indptr))
+                ptr_u, ptr_v = _numpy_cc_pointers(src, dst)
+                if len(ptr_u):
+                    yield pd.DataFrame({"u": ptr_u, "v": ptr_v})
+
+    pointers = csr.mapInPandas(local, schema="u long, v long")
+    return connected_components(
+        pointers, "u", "v", vertices=vertices, pre_contract=False, **kwargs
+    )
 
 
 def connected_components(
@@ -159,6 +214,8 @@ def connected_components(
     max_iter: int = 60,
     harness: SuperstepHarness | None = None,
     pre_contract: bool = False,
+    rounds_per_check: int = 2,
+    broadcast_threshold: int = 100_000,
 ) -> DataFrame:
     """Return ``(vertex long, component long)``.
 
@@ -172,6 +229,27 @@ def connected_components(
     ``harness`` enables parquet checkpoint/resume + lineage metrics
     (see superstep.SuperstepHarness). Without it, localCheckpoint is
     used purely to truncate lineage.
+
+    Round-cost controls (the fixpoint is round-latency-bound on small
+    frontiers — each materialization pays a fixed scheduling cost):
+
+    - ``pre_contract``: solve each partition's subgraph locally in
+      numpy first; the global fixpoint starts from the pointer star
+      forests and only resolves cross-partition structure. Pays ONLY
+      when partitions have src-locality (bucketed/CSR input — it is
+      the default for connected_components_from_csr); on uniformly
+      hashed edges each vertex spans many partitions, so the pointer
+      set is as large as the input and the Arrow pass is pure
+      overhead (measured: +20s on 6.8M shuffled edges). Off by
+      default for that reason.
+    - ``rounds_per_check``: star rounds fused per materialization /
+      convergence check, halving the per-round fixed cost (an extra
+      fused round at the fixpoint is idempotent).
+    - ``broadcast_threshold``: once the surviving edge set is smaller
+      than this, the per-vertex min table is broadcast (explicit
+      BroadcastExchange) so late rounds stop shuffling the frontier.
+      Must stay small enough that collect+rebroadcast beats a shuffle
+      (measured crossover on this box ~10^5 rows).
     """
     spark = edges.sparkSession
     pairs = edges.select(
@@ -203,15 +281,21 @@ def connected_components(
     for step in range(start_step, max_iter if not converged else 0):
         with_timer = harness.timer() if harness is not None else None
         t0 = time.monotonic() if _DEBUG else 0.0
+        bcast = sig[0] <= broadcast_threshold
         # lazy checkpoint: the signature aggregation is the action that
-        # materializes it — one job per round instead of two
-        nxt = small_star(
-            large_star(cur, canonical=True), canonical=True
-        ).localCheckpoint(eager=False)
+        # materializes it — one job per fused round group instead of two
+        nxt = cur
+        for _ in range(max(rounds_per_check, 1)):
+            nxt = small_star(
+                large_star(nxt, canonical=True, broadcast_mins=bcast),
+                canonical=True,
+                broadcast_mins=bcast,
+            )
+        nxt = nxt.localCheckpoint(eager=False)
         new_sig = _signature(nxt)
         if _DEBUG:
             print(
-                f"cc round {step}: {new_sig[0]} edges, "
+                f"cc round {step}: {new_sig[0]} edges, bcast={bcast}, "
                 f"{time.monotonic() - t0:.2f}s, parts={nxt.rdd.getNumPartitions()}",
                 file=sys.stderr,
             )

@@ -127,6 +127,25 @@ def _csr_batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def csr_to_edges(csr: DataFrame) -> DataFrame:
+    """Inverse of csr_blocks: decode the packed arrays back to (src,
+    dst) rows — the round-trip identity pins the encoding."""
+
+    def decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                src_ids = np.frombuffer(row["src_ids"], dtype=np.int64)
+                indptr = np.frombuffer(row["indptr"], dtype=np.int64)
+                dst = np.frombuffer(row["dst_ids"], dtype=np.int64)
+                if len(dst) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {"src": np.repeat(src_ids, np.diff(indptr)), "dst": dst}
+                )
+
+    return csr.mapInPandas(decode, schema="src long, dst long")
+
+
 def csr_blocks(edges: DataFrame, n_blocks: int = 32) -> DataFrame:
     """Per-partition CSR adjacency blocks (north_star item).
 

@@ -15,8 +15,30 @@ def _labels(df):
 def test_precontract_equals_plain_on_corpus(spark):
     e = page_edges(generate_pages(spark, 300, seed=21)).repartition(7)
     assert _labels(connected_components(e, pre_contract=True)) == _labels(
-        connected_components(e)
+        connected_components(e, pre_contract=False)
     )
+
+
+def test_rounds_per_check_and_broadcast_equal(spark):
+    e = page_edges(generate_pages(spark, 300, seed=21)).repartition(7)
+    base = _labels(connected_components(e, pre_contract=False, rounds_per_check=1))
+    assert base == _labels(
+        connected_components(e, rounds_per_check=3, broadcast_threshold=0)
+    )
+    assert base == _labels(
+        connected_components(e, rounds_per_check=1, broadcast_threshold=10**9)
+    )
+
+
+def test_broadcast_frontier_in_plan(spark):
+    """Explicit BroadcastExchange below the threshold (plan audit)."""
+    from ccl_spark.cc import large_star
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "u long, v long"
+    )
+    plan = large_star(e, broadcast_mins=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
 
 
 def test_precontract_cross_partition_chain(spark):

@@ -2,8 +2,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ccl_spark.cc import connected_components, connected_components_from_csr
 from ccl_spark.datagen import generate_pages
-from ccl_spark.edges import degrees, hub_vertices, page_edges, salted_in_degrees
+from ccl_spark.edges import (
+    csr_blocks,
+    csr_to_edges,
+    degrees,
+    hub_vertices,
+    page_edges,
+    salted_in_degrees,
+)
 
 
 def test_salted_degrees_equal_plain(spark):
@@ -19,3 +27,28 @@ def test_hub_vertices(spark):
     )
     hubs = {r.vertex: r.in_deg for r in hub_vertices(star, threshold=10).collect()}
     assert hubs == {1000: 29}
+
+
+def test_csr_roundtrip(spark):
+    """csr_blocks -> csr_to_edges is the identity on the edge set, and
+    block metadata is conserved."""
+    e = page_edges(generate_pages(spark, 300, seed=4)).select("src", "dst").distinct()
+    csr = csr_blocks(e, n_blocks=8).cache()
+    stats = csr.agg(F.sum("n_edges").alias("ne"), F.sum("n_src").alias("ns")).first()
+    assert stats.ne == e.count()
+    back = csr_to_edges(csr)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, e.collect()))
+
+
+def test_cc_from_csr_matches_edge_cc(spark):
+    """CSR blocks consumed by a real superstep: local numpy CC on the
+    packed arrays + global fixpoint == edge-table CC."""
+    e = page_edges(generate_pages(spark, 300, seed=4)).select("src", "dst")
+    want = sorted(
+        (r.vertex, r.component) for r in connected_components(e).collect()
+    )
+    got = sorted(
+        (r.vertex, r.component)
+        for r in connected_components_from_csr(csr_blocks(e, n_blocks=8)).collect()
+    )
+    assert got == want
