@@ -526,6 +526,32 @@ def q_golden_segmented_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segmented_labels(spark)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (synth media -> Arrow decode
+    stage): the metadata columns are deterministic arithmetic of
+    media_id, so DuckDB can re-derive them — this oracles the
+    mapInPandas schema/batch plumbing; the codec seam itself is the
+    documented stub (no codecs in container)."""
+    from ccl_spark.multimodal import decode_features, synth_media
+
+    feats = decode_features(synth_media(spark, 200, seed=42), dim=16)
+    return feats.select("media_id", "kind", "n_bytes", "width", "height")
+
+
+def q_golden_voxel_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3D 26-connectivity CC (contrib/cc3d.ipynb cell 8): space-diagonal
+    chains merge; components are canonical min voxel ids."""
+    from ccl_spark.grids import voxel_components
+
+    cells = spark.createDataFrame(
+        [(0, 0, 0), (1, 1, 1), (2, 2, 2), (0, 0, 3), (0, 0, 4), (2, 0, 4)],
+        "slice_id int, row int, col int",
+    )
+    return voxel_components(cells, 5, 5).select(
+        "slice_id", "row", "col", F.col("component").cast("int").alias("component")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the small graph from sf0.001, run distributed CC,
     report component sizes."""
@@ -569,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_stack_ages": q_golden_stack_ages,
         "golden_dust_labels": q_golden_dust_labels,
         "golden_segmented_labels": q_golden_segmented_labels,
+        "golden_voxel_labels": q_golden_voxel_labels,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -772,4 +800,19 @@ ORDER BY n_vertices DESC, component ASC LIMIT 5
         "golden_segmented_labels": _values_sql(
             _segmented_expected(), ["slice_id", "row", "col", "label"]
         ),
+        "golden_voxel_labels": _values_sql(
+            [
+                (0, 0, 0, 0), (1, 1, 1, 0), (2, 2, 2, 0),
+                (0, 0, 3, 3), (0, 0, 4, 3), (2, 0, 4, 54),
+            ],
+            ["slice_id", "row", "col", "component"],
+        ),
+        "multimodal_features": """
+SELECT i AS media_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(64 + (i % 192) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN i % 3 = 1 THEN 0 ELSE 16 + (i % 64) END AS INTEGER) AS width,
+       CAST(CASE WHEN i % 3 = 1 THEN 0 ELSE 16 + (i % 48) END AS INTEGER) AS height
+FROM range(200) t(i)
+""",
     }

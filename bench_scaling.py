@@ -16,7 +16,18 @@ Caveat recorded with the results: a single-socket shared-memory JVM is
 a pessimistic proxy for multi-executor scaling — 8->32 threads share
 one memory bus and one GC, which a real 4x cluster does not.
 
-Usage: python bench_scaling.py [V] [reps]
+Two executor pairings are supported (argv 3/4, default 2 8):
+
+- 2x4 vs 8x4 (8 -> 32 threads): uses every vCPU, but 32 vCPUs are SMT
+  siblings sharing one memory bus, so shuffle-bound stages hit a
+  hardware ceiling a real 4x cluster does not have (the calibration
+  probe quantifies it).
+- 1x4 vs 4x4 (4 -> 16 threads): still a 4x executor scale-out, but
+  below the SMT/bus saturation artifacts — the closer proxy to adding
+  machines, since a real cluster multiplies memory bandwidth with
+  nodes.
+
+Usage: python bench_scaling.py [V] [reps] [execs_lo] [execs_hi]
 """
 
 from __future__ import annotations
@@ -136,17 +147,19 @@ def _hw_speedup() -> float:
 def main() -> None:
     v = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("BENCH_V", "2000000"))
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    execs_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    execs_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     epath = f"/tmp/ccl_spark_scaling_edges_{v}"
     if not Path(epath, "_SUCCESS").exists():
         _run(GEN.format(repo=str(REPO)), [str(v), epath])
 
     results = {}
-    for execs in (2, 8):  # 2x4=8 cores (N) vs 8x4=32 cores (4N)
+    for execs in (execs_lo, execs_hi):  # N = lo*4 cores vs 4N = hi*4 cores
         out = _run(JOB.format(repo=str(REPO)), [str(execs), epath, str(reps)])
         line = [l for l in out.splitlines() if l.startswith("{")][-1]
         results[execs * 4] = json.loads(line)
 
-    lo, hi = results[8], results[32]
+    lo, hi = results[execs_lo * 4], results[execs_hi * 4]
     hw = _hw_speedup()
     eff_cc = (lo["t_cc"] / hi["t_cc"]) / 4
     eff_pr = (lo["t_pr"] / hi["t_pr"]) / 4
@@ -159,6 +172,7 @@ def main() -> None:
         "normalized_efficiency_cc": round((lo["t_cc"] / hi["t_cc"]) / hw, 3),
         "normalized_efficiency_pagerank": round((lo["t_pr"] / hi["t_pr"]) / hw, 3),
         "scaling_efficiency_extract": round(eff_ex, 3),
+        "cores": {"lo": execs_lo * 4, "hi": execs_hi * 4},
         "local8": {"t_ex": round(lo["t_ex"], 2), "t_cc": round(lo["t_cc"], 2), "t_pr": round(lo["t_pr"], 2)},
         "local32": {"t_ex": round(hi["t_ex"], 2), "t_cc": round(hi["t_cc"], 2), "t_pr": round(hi["t_pr"], 2)},
         "edges_per_sec_cc_local8": round(lo["edges"] / lo["t_cc"], 1),
@@ -174,9 +188,10 @@ def main() -> None:
     bench_dir.mkdir(exist_ok=True)
     md = bench_dir / "BASELINE.md"
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    nlo, nhi = execs_lo * 4, execs_hi * 4
     lines = [
         f"\n## Scaling run {stamp} (V={v}, edges={hi['edges']}, min of {reps} reps, shared-input parquet, local-cluster executors, fresh driver JVM per level)\n",
-        "| metric | 2 executors x 4 cores (N=8) | 8 executors x 4 cores (4N=32) | efficiency (t8/t32)/4 |",
+        f"| metric | {execs_lo} executors x 4 cores (N={nlo}) | {execs_hi} executors x 4 cores (4N={nhi}) | efficiency (tN/t4N)/4 |",
         "|---|---|---|---|",
         f"| extraction (s, CPU-bound) | {summary['local8']['t_ex']} | {summary['local32']['t_ex']} | {summary['scaling_efficiency_extract']} |",
         f"| CC to fixpoint (s) | {summary['local8']['t_cc']} | {summary['local32']['t_cc']} | {summary['scaling_efficiency_cc']} |",

@@ -214,8 +214,8 @@ def connected_components(
     max_iter: int = 60,
     harness: SuperstepHarness | None = None,
     pre_contract: bool = False,
-    rounds_per_check: int = 2,
-    broadcast_threshold: int = 100_000,
+    rounds_per_check: int = 1,
+    broadcast_threshold: int = 10_000,
 ) -> DataFrame:
     """Return ``(vertex long, component long)``.
 
@@ -243,13 +243,18 @@ def connected_components(
       overhead (measured: +20s on 6.8M shuffled edges). Off by
       default for that reason.
     - ``rounds_per_check``: star rounds fused per materialization /
-      convergence check, halving the per-round fixed cost (an extra
-      fused round at the fixpoint is idempotent).
+      convergence check (an extra fused round at the fixpoint is
+      idempotent, so any value is correct). Measured on this box:
+      fusing LOSES at both 341k and 6.8M edges (the deeper
+      per-job DAG costs more than the saved signature job), so the
+      default is 1; the knob exists for cluster topologies where
+      per-job scheduling dominates per-stage cost.
     - ``broadcast_threshold``: once the surviving edge set is smaller
       than this, the per-vertex min table is broadcast (explicit
       BroadcastExchange) so late rounds stop shuffling the frontier.
-      Must stay small enough that collect+rebroadcast beats a shuffle
-      (measured crossover on this box ~10^5 rows).
+      Collect+rebroadcast beats a shuffle only for genuinely small
+      frontiers: measured a ~0.6s/round LOSS at 1e5 rows locally,
+      hence the 1e4 default.
     """
     spark = edges.sparkSession
     pairs = edges.select(

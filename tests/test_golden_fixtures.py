@@ -107,6 +107,30 @@ def test_relabel2(spark):
     assert to_array(labels[0], resolved[0], 5, 6) == expected_m0_resolved
 
 
+def test_voxel_26_connectivity(spark):
+    """3D variant (contrib/cc3d.ipynb cell 8, connectivity=26): pure
+    space-diagonal chains connect, which 6-connectivity would not."""
+    from ccl_spark.grids import voxel_components
+
+    cells = spark.createDataFrame(
+        [
+            (0, 0, 0), (1, 1, 1), (2, 2, 2),   # (1,1,1)-space-diagonal chain
+            (0, 0, 3), (0, 0, 4),              # in-slice pair, clear of the chain
+            (2, 0, 4),                          # isolated voxel
+        ],
+        "slice_id int, row int, col int",
+    )
+    got = {
+        (r.slice_id, r.row, r.col): r.component
+        for r in voxel_components(cells, 5, 5).collect()
+    }
+    assert got == {
+        (0, 0, 0): 0, (1, 1, 1): 0, (2, 2, 2): 0,
+        (0, 0, 3): 3, (0, 0, 4): 3,
+        (2, 0, 4): 54,
+    }
+
+
 def test_dust_filter_golden(spark):
     """Min-area filter exercised through the golden replay path
     (reference param minimum_pixel_area, ccl_marker_stack.py:852-930):
