@@ -60,12 +60,23 @@ def pagerank(
         return verts.select("vertex", F.lit(0.0).alias("rank"))
 
     out_deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # one-time shuffle of the big side; reused by every iteration's join
-    edges_w = (
-        pairs.join(out_deg, "src")
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
+    start = 0
+    resumed = harness.latest() if harness is not None else None
+    if resumed is not None:
+        start = resumed[0]
+    # one-time shuffle of the big side; reused by every iteration's join.
+    # With a harness the weighted edge table goes to DURABLE storage
+    # (parquet; Iceberg at scale) instead of executor-memory
+    # localCheckpoint — at 100 TB the edge table must not be pinned in
+    # executor storage, and a resumed run must find it again.
+    edges_w = pairs.join(out_deg, "src").repartition("src")
+    if harness is not None:
+        epath = f"{harness.root}/edges_w"
+        if resumed is None:
+            edges_w.write.mode("overwrite").parquet(epath)
+        edges_w = harness.spark.read.parquet(epath)
+    else:
+        edges_w = edges_w.localCheckpoint(eager=True)
     # iteration state carries deg so delta + next-dangling come from ONE
     # aggregation job per iteration (driver round-trips are the fixed
     # cost that caps strong scaling on small inputs)
@@ -77,11 +88,8 @@ def pagerank(
             F.lit(1.0 / n).alias("rank"),
         )
     )
-    start = 0
-    if harness is not None:
-        resumed = harness.latest()
-        if resumed is not None:
-            start, state = resumed
+    if resumed is not None:
+        state = resumed[1]
     state = state.localCheckpoint(eager=True)
     dangling = (
         state.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0

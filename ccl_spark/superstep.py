@@ -67,6 +67,8 @@ class SuperstepHarness:
         path = self._state_path(superstep)
         df.write.mode("overwrite").parquet(path)
         state = self.spark.read.parquet(path)
+        total = state.count()
+        rows_per_sec = total / wall if wall == wall and wall > 0 else float("nan")
         per_part = (
             state.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
@@ -79,6 +81,7 @@ class SuperstepHarness:
                 F.lit(changed).cast("long").alias("changed"),
                 F.lit(delta).cast("double").alias("delta"),
                 F.lit(wall).cast("double").alias("wall_s"),
+                F.lit(rows_per_sec).cast("double").alias("rows_per_sec"),
                 F.current_timestamp().alias("ts"),
             )
         )
