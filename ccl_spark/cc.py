@@ -216,6 +216,7 @@ def connected_components(
     pre_contract: bool = False,
     rounds_per_check: int = 1,
     broadcast_threshold: int = 10_000,
+    local_finish_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Return ``(vertex long, component long)``.
 
@@ -255,6 +256,17 @@ def connected_components(
       Collect+rebroadcast beats a shuffle only for genuinely small
       frontiers: measured a ~0.6s/round LOSS at 1e5 rows locally,
       hence the 1e4 default.
+    - ``local_finish_threshold``: subcritical finish. Once the
+      surviving edge set fits comfortably in one task (~16 MB at 1M
+      pairs), the remaining fixpoint tail is latency-bound, not
+      throughput-bound — paying O(log n) more cluster rounds to
+      converge a subcritical graph is pure scheduling overhead. One
+      Arrow pass of the vectorized numpy kernel produces the final
+      min-rooted star forest directly; labels are identical to the
+      distributed result (both are canonical minima). At 100 TB the
+      distributed rounds run until the frontier actually becomes
+      subcritical, exactly as a hybrid engine should. Set 0 to force
+      pure-distributed execution (tests do).
     """
     spark = edges.sparkSession
     pairs = edges.select(
@@ -286,6 +298,29 @@ def connected_components(
     for step in range(start_step, max_iter if not converged else 0):
         with_timer = harness.timer() if harness is not None else None
         t0 = time.monotonic() if _DEBUG else 0.0
+        if 0 < sig[0] <= local_finish_threshold:
+            # subcritical finish: one Arrow pass over the whole
+            # remaining graph yields the final star forest
+            nxt = _local_contract(cur.coalesce(1)).localCheckpoint(eager=True)
+            new_sig = _signature(nxt)
+            if _DEBUG:
+                print(
+                    f"cc round {step}: local finish {sig[0]} -> {new_sig[0]} edges, "
+                    f"{time.monotonic() - t0:.2f}s",
+                    file=sys.stderr,
+                )
+            cur.unpersist()
+            if harness is not None:
+                harness.record(
+                    superstep=step,
+                    df=nxt,
+                    changed=0,
+                    delta=float(abs(new_sig[0] - sig[0])),
+                    timer=with_timer,
+                )
+            cur, sig = nxt, new_sig
+            converged = True
+            break
         bcast = sig[0] <= broadcast_threshold
         # lazy checkpoint: the signature aggregation is the action that
         # materializes it — one job per fused round group instead of two

@@ -14,20 +14,32 @@ def _labels(df):
 
 def test_precontract_equals_plain_on_corpus(spark):
     e = page_edges(generate_pages(spark, 300, seed=21)).repartition(7)
-    assert _labels(connected_components(e, pre_contract=True)) == _labels(
-        connected_components(e, pre_contract=False)
+    assert _labels(
+        connected_components(e, pre_contract=True, local_finish_threshold=0)
+    ) == _labels(
+        connected_components(e, pre_contract=False, local_finish_threshold=0)
     )
 
 
 def test_rounds_per_check_and_broadcast_equal(spark):
     e = page_edges(generate_pages(spark, 300, seed=21)).repartition(7)
-    base = _labels(connected_components(e, pre_contract=False, rounds_per_check=1))
-    assert base == _labels(
-        connected_components(e, rounds_per_check=3, broadcast_threshold=0)
+    base = _labels(
+        connected_components(
+            e, pre_contract=False, rounds_per_check=1, local_finish_threshold=0
+        )
     )
     assert base == _labels(
-        connected_components(e, rounds_per_check=1, broadcast_threshold=10**9)
+        connected_components(
+            e, rounds_per_check=3, broadcast_threshold=0, local_finish_threshold=0
+        )
     )
+    assert base == _labels(
+        connected_components(
+            e, rounds_per_check=1, broadcast_threshold=10**9, local_finish_threshold=0
+        )
+    )
+    # subcritical local finish (the default hybrid) agrees with all of them
+    assert base == _labels(connected_components(e))
 
 
 def test_broadcast_frontier_in_plan(spark):
@@ -47,7 +59,9 @@ def test_precontract_cross_partition_chain(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "src long, dst long"
     ).repartition(40)
-    got = _labels(connected_components(chain, pre_contract=True))
+    got = _labels(
+        connected_components(chain, pre_contract=True, local_finish_threshold=0)
+    )
     assert got == [(i, 0) for i in range(41)]
 
 

@@ -83,8 +83,15 @@ def test_synthetic_corpus_against_oracles(spark):
 
     pairs = [(r.src, r.dst) for r in e.collect()]
     exp_cc = union_find_components(pairs)
-    got_cc = {r.vertex: r.component for r in connected_components(e).collect()}
+    # pure-distributed star fixpoint (local_finish_threshold=0) AND the
+    # default hybrid (subcritical local finish) must both match the oracle
+    got_cc = {
+        r.vertex: r.component
+        for r in connected_components(e, local_finish_threshold=0).collect()
+    }
     assert got_cc == exp_cc
+    got_hybrid = {r.vertex: r.component for r in connected_components(e).collect()}
+    assert got_hybrid == exp_cc
 
     exp_pr = numpy_pagerank(pairs)
     got_pr = {r.vertex: r.rank for r in pagerank(e, tol=1e-9).collect()}

@@ -22,8 +22,10 @@ def test_cc_resumes_from_checkpoint(spark, tmp_path):
     root = str(tmp_path / "cc_run")
     h1 = SuperstepHarness(spark, root, algo="cc", run_id="r1", interval=1)
     # kill the run mid-algorithm by capping iterations below the fixpoint
+    # (local_finish_threshold=0 keeps the multi-round distributed loop —
+    # the default hybrid would converge a graph this small in one step)
     with pytest.raises(RuntimeError):
-        connected_components(e, max_iter=1, harness=h1)
+        connected_components(e, max_iter=1, harness=h1, local_finish_threshold=0)
     lineage = h1.lineage()
     steps_before = lineage.agg(F.max("superstep")).first()[0]
     assert steps_before == 0
@@ -31,14 +33,15 @@ def test_cc_resumes_from_checkpoint(spark, tmp_path):
     # a fresh harness over the same root resumes and completes
     h2 = SuperstepHarness(spark, root, algo="cc", run_id="r2", interval=1)
     got = {
-        r.vertex: r.component for r in connected_components(e, harness=h2).collect()
+        r.vertex: r.component
+        for r in connected_components(e, harness=h2, local_finish_threshold=0).collect()
     }
     assert got == exp
     lineage = h2.lineage()
     # resumed run recorded supersteps strictly after the killed run's
     assert lineage.filter(F.col("run_id") == "r2").agg(F.min("superstep")).first()[0] >= 1
     cols = set(lineage.columns)
-    assert {"run_id", "algo", "superstep", "partition_id", "rows", "changed", "delta", "wall_s", "ts"} <= cols
+    assert {"run_id", "algo", "superstep", "partition_id", "rows", "changed", "delta", "wall_s", "rows_per_sec", "ts"} <= cols
 
 
 def test_pagerank_resumes_from_checkpoint(spark, tmp_path):
