@@ -228,6 +228,27 @@ def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccl_spark.textops import token_count_bpe
+
+    return token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC (the ccl_relabel2 generalization, C6): fold the
+    second half of the edge set into the converged labels of the first
+    half; the result must equal from-scratch CC on all edges — which is
+    exactly what the recursive-CTE oracle computes."""
+    from ccl_spark.components import incremental_cc
+
+    e = _edges_small(spark, sf_dir)
+    first = e.filter(F.col("dst") % 2 == 0)
+    second = e.filter(F.col("dst") % 2 != 0)
+    prev = connected_components(first)
+    # vertices present only in the second half are introduced by the fold
+    return incremental_cc(prev, second).select("vertex", "component")
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     stop_list = ", ".join(f"'{w}'" for w in EN_STOP)
@@ -576,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eol": q_eol,
         "sizes_events": q_component_sizes_events,
         "tokens": q_tokens,
+        "tokens_bpe": q_tokens_bpe,
+        "incremental_cc": q_incremental_cc,
         "quality": q_quality,
         "dedup_exact": q_dedup_exact,
         "ann_topk": q_ann_topk,
@@ -666,6 +689,12 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
 FROM documents
 """,
+        "tokens_bpe": r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+        "incremental_cc": _CC_SQL,
         "quality": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,

@@ -34,6 +34,29 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# BPE-ish pre-tokenization split (letter runs / digit runs / other
+# symbol runs), expressed with character classes that behave
+# identically in Java regex (Spark) and RE2-ish engines (DuckDB) so the
+# count is oracle-checkable.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counts under a BPE-style pre-tokenizer (letter/digit/
+    symbol runs) — the usual first stage of a GPT-2-family tokenizer,
+    JVM regexp, no Python."""
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def quality_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
