@@ -85,6 +85,24 @@ def main() -> None:
         lambda: docs.select(F.size(F.split("text", " ")).alias("n")).agg(F.sum("n")).first(),
     )
 
+    # webtext-pipeline operators (dedup / similarity) at the same sf
+    from ccl_spark.dedup import near_duplicates, simhash  # noqa: E402
+    from ccl_spark.similarity import cosine_topk  # noqa: E402
+
+    timed(
+        "near_dup_minhash",
+        lambda: near_duplicates(
+            docs, n=3, n_hashes=32, bands=16, threshold=0.8, log_dropped=False
+        ).count(),
+    )
+    timed("simhash", lambda: simhash(docs).agg(F.bit_xor("simhash")).first())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_vec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    timed(
+        "ann_topk",
+        lambda: cosine_topk(emb.filter(F.col("vec_id") != 0), list(q_vec), 10).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     extras["edges"] = n_edges
     extras["vertices"] = v
