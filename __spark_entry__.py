@@ -381,10 +381,16 @@ def _dump_edges(spark: SparkSession, n_pages: int) -> None:
     import pyarrow.parquet as pq
 
     path = f"{_ORACLE_DIR}/corpus_edges_{n_pages}.parquet"
-    e = page_edges(generate_pages(spark, n_pages, seed=42)).select("src", "dst")
-    pdf = e.toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
-    os.makedirs(_ORACLE_DIR, exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    try:
+        e = page_edges(generate_pages(spark, n_pages, seed=42)).select("src", "dst")
+        pdf = e.toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        os.makedirs(_ORACLE_DIR, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    except OSError:
+        # read-only checkout: the committed copy (same seeded content)
+        # keeps the oracle valid
+        if not os.path.exists(path):
+            raise
 
 
 def q_corpus_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
