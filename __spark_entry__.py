@@ -213,6 +213,37 @@ def q_eol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed-activity operator executed on a batch
+    frame (watermark is a no-op in batch; the window/agg code path is
+    identical to the readStream one in ccl_spark.streaming)."""
+    from ccl_spark.streaming import windowed_activity
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"), "ts"
+    )
+    out = windowed_activity(ev, window="1 hour", watermark="2 hours")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "user_id",
+        "n_events",
+    )
+
+
+def q_activity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (user x day -> user -> grand total) —
+    the hypertable-style aggregate the reference lacks, one pass."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .rollup("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_component_sizes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
@@ -602,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ages": q_ages,
         "eol": q_eol,
         "sizes_events": q_component_sizes_events,
+        "windowed_activity": q_windowed_activity,
+        "activity_rollup": q_activity_rollup,
         "tokens": q_tokens,
         "tokens_bpe": q_tokens_bpe,
         "incremental_cc": q_incremental_cc,
@@ -689,6 +722,17 @@ WHERE n.user_id IS NULL
         "sizes_events": """
 SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events
 FROM events GROUP BY user_id
+""",
+        "windowed_activity": """
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+        "activity_rollup": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events
+FROM events GROUP BY ROLLUP (user_id, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d'))
 """,
         "tokens": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
