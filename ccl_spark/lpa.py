@@ -23,9 +23,17 @@ def label_propagation(
     dst: str = "dst",
     max_iter: int = 10,
     vertices: DataFrame | None = None,
+    rounds_per_check: int = 3,
 ) -> DataFrame:
     """Return ``(vertex long, label long)`` after at most ``max_iter``
-    synchronous rounds (stops early when no label changes)."""
+    synchronous rounds (stops early when no label changes).
+
+    ``rounds_per_check`` fuses k rounds into one lazy plan per
+    materialization + changed-count check (labels are |V|-sized, so
+    the deeper DAG is cheap — same trade as PageRank's fused
+    iterations; blocks always sum to ``max_iter``, and stopping is
+    only ever delayed past a fixpoint, where extra rounds are
+    identity)."""
     pairs = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -45,25 +53,28 @@ def label_propagation(
 
     labels = verts.select("vertex", F.col("vertex").alias("label"))
     w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(max_iter):
-        msgs = nbrs.join(labels, nbrs.v == labels.vertex).select("u", "label")
-        counts = msgs.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        best = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("u").alias("vertex"), F.col("label").alias("new_label"))
-        )
-        nxt = (
-            labels.join(best, "vertex", "left")
-            .select(
+    k = max(int(rounds_per_check), 1)
+    it = 0
+    while it < max_iter:
+        kk = min(k, max_iter - it)
+        cur = labels
+        for _ in range(kk):
+            msgs = nbrs.join(cur, nbrs.v == cur.vertex).select("u", "label")
+            counts = msgs.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
+            best = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("u").alias("vertex"), F.col("label").alias("new_label"))
+            )
+            cur = cur.join(best, "vertex", "left").select(
                 "vertex",
                 F.coalesce("new_label", "label").alias("label"),
                 (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
             )
-            .localCheckpoint(eager=True)
-        )
+        nxt = cur.localCheckpoint(eager=True)
         changed = nxt.filter("chg").count()
         labels = nxt.select("vertex", "label")
+        it += kk
         if changed == 0:
             break
     return labels
