@@ -195,6 +195,30 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_triangles long")
 
 
+def _edges_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministic 40-vertex pseudo-random graph with triangles
+    (the bipartite nation<->bucket graph is triangle-free)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        (F.col("c_custkey") % 40).cast("long").alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 40).cast("long").alias("dst"),
+    ).distinct()
+
+
+_EDGES_TRI_SQL = (
+    "SELECT DISTINCT CAST(c_custkey % 40 AS BIGINT) AS src, "
+    "CAST((c_custkey * 7 + 3) % 40 AS BIGINT) AS dst FROM customer"
+)
+
+
+def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccl_spark.triangles import triangles_per_vertex
+
+    return triangles_per_vertex(_edges_tri(spark, sf_dir)).select(
+        "vertex", F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+
+
 def q_ages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
@@ -630,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "degrees_topk": q_degrees_topk,
         "triangles": q_triangles,
+        "triangles_per_vertex": q_triangles_per_vertex,
         "ages": q_ages,
         "eol": q_eol,
         "sizes_events": q_component_sizes_events,
@@ -706,6 +731,25 @@ cu AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
        FROM e WHERE src <> dst)
 SELECT COUNT(*) AS n_triangles
 FROM cu ab JOIN cu bc ON ab.v = bc.u JOIN cu ac ON ac.u = ab.u AND ac.v = bc.v
+""",
+        "triangles_per_vertex": f"""
+WITH e AS ({_EDGES_TRI_SQL}),
+verts AS (SELECT DISTINCT v AS vertex FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+cu AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM e WHERE src <> dst),
+tri AS (
+    SELECT ab.u AS a, ab.v AS b, bc.v AS c
+    FROM cu ab JOIN cu bc ON ab.v = bc.u JOIN cu ac ON ac.u = ab.u AND ac.v = bc.v
+),
+cnt AS (
+    SELECT vertex, COUNT(*) AS n FROM (
+        SELECT a AS vertex FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY vertex
+)
+SELECT verts.vertex, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
+FROM verts LEFT JOIN cnt ON cnt.vertex = verts.vertex
 """,
         "ages": """
 SELECT CAST(user_id AS BIGINT) AS user_id,
