@@ -199,6 +199,15 @@ def connected_components_from_csr(
                 ptr_u, ptr_v = _numpy_cc_pointers(src, dst)
                 if len(ptr_u):
                     yield pd.DataFrame({"u": ptr_u, "v": ptr_v})
+                # self rows carry every block vertex into the global
+                # vertex set, so a vertex whose only edges are
+                # intra-block self-loops (no pointer rows) still gets
+                # labeled when vertices=None (ADVICE r2). They are
+                # dropped from the edge set by the canonical dedup;
+                # cost is |V_block| extra rows in the first shuffle.
+                ids = np.unique(np.concatenate([src_ids, dst]))
+                if len(ids):
+                    yield pd.DataFrame({"u": ids, "v": ids})
 
     pointers = csr.mapInPandas(local, schema="u long, v long")
     return connected_components(

@@ -98,16 +98,27 @@ def ages(snapshot_labels: DataFrame) -> DataFrame:
 
 def end_of_life(snapshot_labels: DataFrame) -> DataFrame:
     """(snapshot_id, component): components present in snapshot t but
-    absent from t+1 (anti-join per consecutive pair). The final
-    snapshot is not an EOL boundary."""
+    absent from the NEXT PRESENT snapshot (consecutive present ids are
+    paired via lead() over the distinct snapshot-id axis, so gap-y
+    sequences like {0, 1, 5} don't spuriously EOL everything at the
+    gap). The final snapshot is not an EOL boundary.
+
+    The snapshot-id axis is tiny (one row per crawl/slice), so the
+    global lead() window and the broadcast of the (id, next_id) map
+    are O(#snapshots), never O(|labels|)."""
     present = snapshot_labels.select("snapshot_id", "component").distinct()
-    nxt = present.select(
-        (F.col("snapshot_id") - 1).alias("snapshot_id"), "component"
+    snaps = present.select("snapshot_id").distinct()
+    nxt_map = snaps.select(
+        "snapshot_id",
+        F.lead("snapshot_id").over(Window.orderBy("snapshot_id")).alias("_next"),
     )
-    last = present.agg(F.max("snapshot_id")).first()[0]
+    nxt_present = present.select(
+        F.col("snapshot_id").alias("_next"), "component"
+    )
     return (
-        present.filter(F.col("snapshot_id") != last)
-        .join(nxt, ["snapshot_id", "component"], "left_anti")
+        present.join(F.broadcast(nxt_map), "snapshot_id")
+        .filter(F.col("_next").isNotNull())
+        .join(nxt_present, ["_next", "component"], "left_anti")
         .select("snapshot_id", "component")
     )
 

@@ -184,6 +184,12 @@ def near_duplicates(
         sh = shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
     banded = _banded(minhash_signatures(sh, n_hashes), bands)
     if max_bucket is not None:
+        if log_dropped:
+            # materialize the banded table once so the dropped-bucket
+            # count below doesn't re-execute the whole signature
+            # pipeline as a second job (|docs| x bands small rows —
+            # cheap to pin relative to recomputing 32 minhashes)
+            banded = banded.localCheckpoint(eager=True)
         banded, dropped = cap_buckets(banded, max_bucket)
         if log_dropped:
             n_drop = dropped.count()

@@ -56,6 +56,12 @@ def pagerank(
     is small so the deeper DAG is cheap — the opposite trade from CC's
     edge-rewriting rounds, where fusion loses). Convergence may
     overshoot by up to k-1 extra iterations — never fewer.
+
+    Within a fused block each iteration references the previous state
+    three times (dangling aggregate, contribs join, self) with no
+    materialization between, so the unsaved-recomputation bound grows
+    ~3^k; exchange reuse hides it at the measured default k=3 but not
+    arbitrarily, so k is capped at 6 (ADVICE r2).
     """
     pairs = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -82,8 +88,13 @@ def pagerank(
     # executor storage, and a resumed run must find it again.
     edges_w = pairs.join(out_deg, "src").repartition("src")
     if harness is not None:
+        from .superstep import fs_exists
+
         epath = f"{harness.root}/edges_w"
-        if resumed is None:
+        # rebuild when missing OR incomplete: a resume from a state
+        # checkpoint written by a run that never persisted edges_w
+        # (or a partial write) must not fail at read (ADVICE r2)
+        if resumed is None or not fs_exists(harness.spark, f"{epath}/_SUCCESS"):
             edges_w.write.mode("overwrite").parquet(epath)
         edges_w = harness.spark.read.parquet(epath)
     else:
@@ -104,7 +115,7 @@ def pagerank(
     state = state.localCheckpoint(eager=True)
 
     base = (1.0 - damping) / n
-    k = max(int(iters_per_check), 1)
+    k = min(max(int(iters_per_check), 1), 6)  # see docstring: plan growth ~3^k
     it = start
     while it < max_iter:
         t0 = harness.timer() if harness is not None else None

@@ -28,6 +28,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (works for any configured scheme)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    p = jvm_path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
 class SuperstepHarness:
     def __init__(
         self,
@@ -67,24 +75,37 @@ class SuperstepHarness:
         path = self._state_path(superstep)
         df.write.mode("overwrite").parquet(path)
         state = self.spark.read.parquet(path)
-        total = state.count()
-        rows_per_sec = total / wall if wall == wall and wall > 0 else float("nan")
-        per_part = (
+        # ONE scan of the just-written state: per-partition row counts
+        # (one tiny row per partition) summed driver-side give the
+        # total, so no standalone count() job on the hot iterative
+        # path (ADVICE r2); the lineage rows are then a local-relation
+        # write, not a second scan.
+        pp = (
             state.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
-            .select(
-                F.lit(self.run_id).alias("run_id"),
-                F.lit(self.algo).alias("algo"),
-                F.lit(superstep).alias("superstep"),
-                "partition_id",
-                "rows",
-                F.lit(changed).cast("long").alias("changed"),
-                F.lit(delta).cast("double").alias("delta"),
-                F.lit(wall).cast("double").alias("wall_s"),
-                F.lit(rows_per_sec).cast("double").alias("rows_per_sec"),
-                F.current_timestamp().alias("ts"),
-            )
+            .collect()
         )
+        total = sum(r["rows"] for r in pp)
+        rows_per_sec = total / wall if wall == wall and wall > 0 else float("nan")
+        per_part = self.spark.createDataFrame(
+            [
+                (
+                    self.run_id,
+                    self.algo,
+                    superstep,
+                    r["partition_id"],
+                    r["rows"],
+                    int(changed),
+                    float(delta),
+                    float(wall),
+                    float(rows_per_sec),
+                )
+                for r in pp
+            ],
+            "run_id string, algo string, superstep int, partition_id int, "
+            "rows long, changed long, delta double, wall_s double, "
+            "rows_per_sec double",
+        ).withColumn("ts", F.current_timestamp())
         per_part.write.mode("append").parquet(f"{self.root}/lineage")
         return state
 

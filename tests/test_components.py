@@ -47,6 +47,24 @@ def test_ages_and_eol(spark):
     assert eol == {(0, 200), (1, 300)}
 
 
+def test_eol_gap_snapshots(spark):
+    # gap-y snapshot axis {0, 1, 5}: EOL pairs consecutive PRESENT
+    # snapshots (lead over the id axis), so nothing spuriously dies at
+    # the 1 -> 5 gap (VERDICT r2 wrong-item #3)
+    snap = spark.createDataFrame(
+        [
+            (0, 1, 100), (0, 2, 200),
+            (1, 1, 100),
+            (5, 1, 100), (5, 3, 300),
+        ],
+        "snapshot_id int, vertex long, component long",
+    )
+    eol = {(r.snapshot_id, r.component) for r in end_of_life(snap).collect()}
+    # 200 dies after snapshot 0; 100 survives the gap; the final
+    # snapshot (5) is not an EOL boundary
+    assert eol == {(0, 200)}
+
+
 def test_incremental_cc_matches_batch(spark):
     batch1 = spark.createDataFrame([(1, 2), (3, 4), (10, 11)], "src long, dst long")
     batch2 = spark.createDataFrame([(2, 3), (20, 21)], "src long, dst long")

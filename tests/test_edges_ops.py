@@ -52,3 +52,14 @@ def test_cc_from_csr_matches_edge_cc(spark):
         for r in connected_components_from_csr(csr_blocks(e, n_blocks=8)).collect()
     )
     assert got == want
+
+
+def test_cc_from_csr_self_loop_only_vertex(spark):
+    """A vertex whose only edge is a self-loop emits no pointer rows;
+    it must still be labeled with itself when vertices=None (ADVICE r2)."""
+    e = spark.createDataFrame([(1, 2), (7, 7)], "src long, dst long")
+    got = {
+        r.vertex: r.component
+        for r in connected_components_from_csr(csr_blocks(e, n_blocks=4)).collect()
+    }
+    assert got == {1: 1, 2: 1, 7: 7}
