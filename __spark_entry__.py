@@ -3,11 +3,12 @@
 ``entry(spark)`` — flagship CC query on sf0.001.
 ``queries()``   — one entry per implemented operator (SURVEY.md §2),
                   each (spark, sf_dir) -> DataFrame.
-``oracle_sql()``— DuckDB-equivalent ANSI SQL per query (omitted for the
-                  genuinely non-SQL-expressible iterative ops, which the
-                  driver then row-checks only; those are additionally
-                  pinned against in-test NumPy/union-find oracles in
-                  tests/).
+``oracle_sql()``— a DuckDB oracle for EVERY query: ANSI SQL where the
+                  semantics are SQL-expressible; otherwise the pinned
+                  expected rows (VALUES literals for the golden
+                  reference fixtures, committed .oracle/ parquet for
+                  the seeded hash-specific/approximate queries — see
+                  tools/pin_oracles.py and tests/test_pinned_oracles.py).
 
 The shared small graph for oracle-checked graph queries is derived
 from the driver's own tables (customer): bipartite nation <-> customer
@@ -190,6 +191,14 @@ def q_degrees_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.orderBy(F.desc("in_deg"), F.asc("vertex")).limit(15)
 
 
+def q_salted_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted in-degree (skew machinery, edges.py): must
+    equal a plain GROUP BY — which is exactly the oracle."""
+    from ccl_spark.edges import salted_in_degrees
+
+    return salted_in_degrees(_edges_small(spark, sf_dir)).select("vertex", "in_deg")
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = triangle_count(_edges_small(spark, sf_dir))
     return spark.createDataFrame([(n,)], "n_triangles long")
@@ -354,8 +363,11 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint — xxhash64-based, no DuckDB twin (rows-only);
-    pinned by tests/test_pipeline_ops.py instead."""
+    """Winnowing fingerprint — xxhash64-based, so no SQL twin; the
+    oracle is the PINNED expected rows at sf0.01 (seeded-deterministic,
+    parallelism-independent — tools/pin_oracles.py, drift caught by
+    tests/test_pinned_oracles.py), like the reference's hard-coded
+    expected arrays (ccl_marker_stack.py:1293-1337)."""
     from ccl_spark.textops import doc_fingerprint
 
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
@@ -375,15 +387,18 @@ def q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints; oracle = pinned expected rows (see
+    q_fingerprint)."""
     from ccl_spark.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents"))
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup (the scale path) — approximate by design,
-    so rows-only at the gate; recall/determinism pinned by pytest. The
-    exact verify layer is oracle-checked via emb_near_dup_exact."""
+    """LSH-bucketed near-dup (the scale path) — approximate by design
+    but seeded-deterministic, so the oracle is the pinned expected
+    rows (see q_fingerprint); the exact verify layer is additionally
+    SQL-oracle-checked via emb_near_dup_exact."""
     from ccl_spark.similarity import embedding_near_duplicates
 
     return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -400,8 +415,9 @@ def q_emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN (multiprobe) — approximate, rows-only at the
-    gate; determinism + planted-near-dup recall pinned by pytest."""
+    """Hyperplane-LSH ANN (multiprobe) — approximate but
+    seeded-deterministic; oracle = pinned expected rows (see
+    q_fingerprint), recall additionally pinned by pytest."""
     from ccl_spark.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -411,7 +427,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (probed lists) — approximate, rows-only."""
+    """IVF coarse-quantizer ANN (probed lists) — approximate but
+    seeded-deterministic; oracle = pinned expected rows (see
+    q_fingerprint)."""
     from ccl_spark.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -653,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_min_size": q_cc_min_size,
         "pagerank": q_pagerank,
         "degrees_topk": q_degrees_topk,
+        "salted_degrees": q_salted_degrees,
         "triangles": q_triangles,
         "triangles_per_vertex": q_triangles_per_vertex,
         "ages": q_ages,
@@ -716,6 +735,10 @@ SELECT component, COUNT(*) AS n_vertices FROM comp GROUP BY component
 HAVING COUNT(*) >= 3
 """,
         "pagerank": _pagerank_sql(PR_ITERS),
+        "salted_degrees": f"""
+WITH e AS ({_EDGES_SQL})
+SELECT dst AS vertex, COUNT(*) AS in_deg FROM e GROUP BY dst
+""",
         "degrees_topk": f"""
 WITH e AS ({_EDGES_SQL}),
 outd AS (SELECT src AS vertex, COUNT(*) AS out_deg FROM e GROUP BY src),
@@ -905,6 +928,15 @@ SELECT component, COUNT(*) AS n_vertices FROM comp GROUP BY component
 ORDER BY n_vertices DESC, component ASC LIMIT 5
 """,
         "corpus_lpa": _corpus_lpa_sql(5),
+        # pinned expected rows for the hash-specific / approximate
+        # queries (seeded-deterministic at the driver's sf0.01 compare
+        # scale; generated by tools/pin_oracles.py, drift caught by
+        # tests/test_pinned_oracles.py)
+        "fingerprint": f"SELECT * FROM '{_ORACLE_DIR}/pinned_fingerprint_sf001.parquet'",
+        "simhash": f"SELECT * FROM '{_ORACLE_DIR}/pinned_simhash_sf001.parquet'",
+        "emb_near_dup": f"SELECT * FROM '{_ORACLE_DIR}/pinned_emb_near_dup_sf001.parquet'",
+        "ann_lsh_topk": f"SELECT * FROM '{_ORACLE_DIR}/pinned_ann_lsh_topk_sf001.parquet'",
+        "ann_ivf_topk": f"SELECT * FROM '{_ORACLE_DIR}/pinned_ann_ivf_topk_sf001.parquet'",
         "golden_grid_labels": _values_sql(
             _grid_cells(GOLDEN_GRID_EXPECTED), ["row", "col", "label"]
         ),
