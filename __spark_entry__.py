@@ -627,14 +627,16 @@ def q_golden_segmented_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end (synth media -> Arrow decode
-    stage): the metadata columns are deterministic arithmetic of
-    media_id, so DuckDB can re-derive them — this oracles the
-    mapInPandas schema/batch plumbing; the codec seam itself is the
-    documented stub (no codecs in container)."""
+    """Multimodal REAL-decode end-to-end: synth emits valid BMP/WAV/AVI
+    containers, the Arrow stage parses them with pure-numpy codecs, and
+    width/height come from the DECODED headers while n_bytes is the
+    container size — all deterministic arithmetic of media_id, so the
+    DuckDB oracle re-derives the BMP/WAV/AVI size formulas
+    independently. The NotImplementedError seam remains only for
+    JPEG/MP4-class compressed formats (multimodal._codec_seam)."""
     from ccl_spark.multimodal import decode_features, synth_media
 
-    feats = decode_features(synth_media(spark, 200, seed=42), dim=16)
+    feats = decode_features(synth_media(spark, 200, seed=42), dim=16, real_decode=True)
     return feats.select("media_id", "kind", "n_bytes", "width", "height")
 
 
@@ -962,12 +964,26 @@ ORDER BY n_vertices DESC, component ASC LIMIT 5
             ],
             ["slice_id", "row", "col", "component"],
         ),
+        # independent re-derivation of the container sizes:
+        # BMP = 54 + h*rowstride (24-bit rows padded to 4 bytes)
+        # WAV = 44 header + 2 bytes/sample at 8 kHz PCM16
+        # AVI = 224 of RIFF/hdrl/strl/movi structure + nf DIB frames
         "multimodal_features": """
+WITH m AS (
+    SELECT i, i % 3 AS k,
+           16 + (i % 64) AS w, 16 + (i % 48) AS h,
+           1000 + 37 * (i % 100) AS dur, 2 + (i % 3) AS nf
+    FROM range(200) t(i)
+)
 SELECT i AS media_id,
-       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(64 + (i % 192) AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN i % 3 = 1 THEN 0 ELSE 16 + (i % 64) END AS INTEGER) AS width,
-       CAST(CASE WHEN i % 3 = 1 THEN 0 ELSE 16 + (i % 48) END AS INTEGER) AS height
-FROM range(200) t(i)
+       CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(CASE k
+            WHEN 0 THEN 54 + h * ((3 * w + 3) // 4 * 4)
+            WHEN 1 THEN 44 + 2 * dur * 8
+            ELSE 224 + nf * (8 + h * ((3 * w + 3) // 4 * 4))
+       END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN k = 1 THEN 0 ELSE w END AS INTEGER) AS width,
+       CAST(CASE WHEN k = 1 THEN 0 ELSE h END AS INTEGER) AS height
+FROM m
 """,
     }

@@ -174,24 +174,68 @@ def test_embedding_near_duplicates(spark, emb):
     assert (3, 7) in pairs and pairs[(3, 7)] > 0.999
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_decode(spark):
     media = synth_media(spark, 30)
-    feats = decode_features(media, dim=16)
+    feats = decode_features(media, dim=16)  # real decode is the default
     rows = feats.collect()
     assert len(rows) == 30
     assert all(len(r.feature) == 16 for r in rows)
     assert all(0.0 <= x <= 1.0 for r in rows for x in r.feature)
+    # width/height come from the DECODED container headers
+    for r in rows:
+        i = r.media_id
+        if r.kind == "audio":
+            assert (r.width, r.height) == (0, 0)
+        else:
+            assert (r.width, r.height) == (16 + i % 64, 16 + i % 48)
     # deterministic across partitionings
     again = decode_features(media.repartition(5), dim=16)
     assert sorted((r.media_id, tuple(r.feature)) for r in again.collect()) == sorted(
         (r.media_id, tuple(r.feature)) for r in rows
     )
+    # real frame sampling: every_ms=500 at 4 fps (250 ms/frame) -> every
+    # 2nd frame of the nf = 2 + i%3 synth frames
     frames = sample_frames(media, every_ms=500, dim=8).collect()
     assert frames and all(len(r.frame_feature) == 8 for r in frames)
-    vids = {r.media_id for r in frames}
-    assert vids <= {r.media_id for r in rows if r.kind == "video"}
-    with pytest.raises(Exception, match="NotImplementedError|not available|codecs"):
-        decode_features(media, real_decode=True).collect()
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r.media_id, []).append(r.frame_idx)
+    for i, idxs in by_vid.items():
+        nf = 2 + i % 3
+        assert sorted(idxs) == list(range(0, nf, 2))
+    assert set(by_vid) == {r.media_id for r in rows if r.kind == "video"}
+
+
+def test_multimodal_codec_roundtrip_and_seam(spark):
+    import numpy as np
+
+    from ccl_spark.multimodal import (
+        avi_decode,
+        avi_encode,
+        bmp_decode,
+        bmp_encode,
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    assert np.array_equal(bmp_decode(bmp_encode(pix)), pix)
+    samp = rng.integers(-(1 << 15), 1 << 15, size=999, dtype=np.int16)
+    rate, back = wav_decode(wav_encode(samp, 8000))
+    assert rate == 8000 and np.array_equal(back, samp)
+    frames = [rng.integers(0, 256, size=(9, 17, 3), dtype=np.uint8) for _ in range(3)]
+    w, h, uspf, back_frames = avi_decode(avi_encode(frames, fps=4))
+    assert (w, h, uspf) == (17, 9, 250_000)
+    assert len(back_frames) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(back_frames, frames))
+    # the codec seam: compressed formats raise at the decode call site
+    jpeg_media = spark.createDataFrame(
+        [(0, "image", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32), 1, 1, 0)],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    with pytest.raises(Exception, match="JPEG.*codec"):
+        decode_features(jpeg_media, real_decode=True).collect()
 
 
 def test_ivf_topk_finds_near_dup(spark, emb):
