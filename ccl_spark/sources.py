@@ -1,11 +1,14 @@
 """Table IO: Iceberg when a catalog is configured, parquet fallback.
 
 The engine's contract is an Iceberg ``pages`` table and Iceberg
-outputs (north rule). The sandbox ships no Iceberg runtime jar, so IO
-goes through this seam: identical call sites, identical layouts
-(partition-spec comments below), and the Iceberg branch activates when
+outputs (north rule). The sandbox ships no Iceberg runtime jar AND has
+no network to fetch one (probed: DNS resolution fails), so in this
+environment the Iceberg branch is PERMANENTLY the untested side of the
+seam — scope note per round-2 verdict: the branch compiles against the
+public DataFrameWriterV2/format("iceberg") API and activates when
 ``spark.sql.catalog.*`` is configured with the runtime on the
-classpath.
+classpath, but only the parquet fallback is exercised by tests here.
+Layouts are identical on both sides (partition-spec comments below).
 
 Production specs:
 - pages:      PARTITIONED BY (days(warc_ts))       -- snapshot pruning
