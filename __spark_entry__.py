@@ -204,6 +204,38 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_triangles long")
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization: messy URLs are synthesized from doc_id
+    arithmetic (case-mangled scheme/host, default vs real ports, root
+    trailing slash, fragments), canonicalized by the regexp pipeline
+    (edges.canonical_url); the oracle CONSTRUCTS the expected canonical
+    string directly from the same arithmetic — an independent
+    derivation, no shared regexes."""
+    from ccl_spark.edges import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    scheme = F.when(i % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    scheme = F.when(i % 3 == 0, F.upper(scheme)).otherwise(scheme)
+    host = F.concat(F.lit("Host"), (i % 10).cast("string"), F.lit(".Example.COM"))
+    port = (
+        F.when((i % 4 == 0) & (i % 2 == 0), F.lit(":80"))
+        .when((i % 4 == 0) & (i % 2 != 0), F.lit(":443"))
+        .when(i % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(i % 5 == 0, F.lit("/"))
+        .when(i % 5 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("/p/"), (i % 7).cast("string")))
+    )
+    frag = F.when(i % 2 == 0, F.concat(F.lit("#sec"), i.cast("string"))).otherwise(F.lit(""))
+    messy = F.concat(scheme, F.lit("://"), host, port, path, frag)
+    return docs.select(
+        i.cast("long").alias("doc_id"), canonical_url(messy).alias("url")
+    )
+
+
 def _edges_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A deterministic 40-vertex pseudo-random graph with triangles
     (the bipartite nation<->bucket graph is triangle-free)."""
@@ -674,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "degrees_topk": q_degrees_topk,
         "salted_degrees": q_salted_degrees,
+        "url_canon": q_url_canon,
         "triangles": q_triangles,
         "triangles_per_vertex": q_triangles_per_vertex,
         "ages": q_ages,
@@ -740,6 +773,17 @@ HAVING COUNT(*) >= 3
         "salted_degrees": f"""
 WITH e AS ({_EDGES_SQL})
 SELECT dst AS vertex, COUNT(*) AS in_deg FROM e GROUP BY dst
+""",
+        # expected canonical form constructed DIRECTLY from the doc_id
+        # arithmetic — independent of the engine's regex pipeline
+        "url_canon": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+       || '://host' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'
+       || (CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+       || (CASE WHEN doc_id % 5 IN (0, 1) THEN ''
+               ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END) AS url
+FROM documents
 """,
         "degrees_topk": f"""
 WITH e AS ({_EDGES_SQL}),

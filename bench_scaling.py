@@ -74,20 +74,32 @@ n_edges = edges.count()
 from ccl_spark.edges import page_edges
 pages = spark.read.parquet(path + "_pages").localCheckpoint(eager=True)
 pages.count()
+def _settle():
+    # each rep leaves superseded localCheckpoint blocks behind until the
+    # driver GC lets ContextCleaner release them; force that between
+    # reps so rep k+1 doesn't pay rep k's executor-storage eviction
+    import gc
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
+
 t_ex = []
 for _ in range(reps):
     t0 = time.monotonic()
     page_edges(pages).count()
     t_ex.append(time.monotonic() - t0)
+    _settle()
 t_cc, t_pr, n_comp = [], [], 0
 for _ in range(reps):
     t0 = time.monotonic()
     n_comp = connected_components(edges).select("component").distinct().count()
     t_cc.append(time.monotonic() - t0)
+    _settle()
 for _ in range(reps):
     t0 = time.monotonic()
     pagerank(edges, tol=1e-6).count()
     t_pr.append(time.monotonic() - t0)
+    _settle()
 print(json.dumps({{"cpus": cpus, "edges": n_edges, "components": n_comp,
                    "t_ex": min(t_ex), "t_cc": min(t_cc), "t_pr": min(t_pr),
                    "t_ex_all": t_ex, "t_cc_all": t_cc, "t_pr_all": t_pr}}))

@@ -33,12 +33,44 @@ def url_id(col: str | F.Column) -> F.Column:
     return F.xxhash64(c)
 
 
-def page_edges(pages: DataFrame, n_salts: int = 64) -> DataFrame:
-    """pages -> deduplicated salted edge table."""
+def canonical_url(col: str | F.Column) -> F.Column:
+    """Web-graph URL canonicalization, all JVM-side regexp (no Python):
+
+    1. strip the fragment (#...)
+    2. lowercase scheme and host (path/query case is significant, so
+       only the authority prefix is lowered)
+    3. drop default ports (:80 for http, :443 for https; any other
+       port is preserved)
+    4. drop a bare trailing slash (root path only — deeper paths keep
+       their exact form)
+
+    Query-parameter reordering/stripping is intentionally NOT done:
+    it changes page identity on real sites. Canonicalizing before
+    ``url_id`` collapses the trivially-duplicate vertices (HTTP://X,
+    http://x/#top, http://x:80) that otherwise fragment components of
+    a crawl graph."""
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*$", "")
+    prefix = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(F.lower(prefix), rest)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80(?=[/?#]|$)", "$1")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443(?=[/?#]|$)", "$1")
+    return F.regexp_replace(u, r"^(https?://[^/?#]*)/$", "$1")
+
+
+def page_edges(
+    pages: DataFrame, n_salts: int = 64, canonicalize: bool = False
+) -> DataFrame:
+    """pages -> deduplicated salted edge table. ``canonicalize`` runs
+    canonical_url over both endpoints before hashing (the right default
+    for a real crawl; off here because the synthetic corpus emits
+    already-canonical urls and the regexes would be a no-op cost)."""
     pairs = extract_link_pairs(pages)
-    e = pairs.select(
-        url_id("src_url").alias("src"), url_id("dst_url").alias("dst")
-    ).distinct()
+    s, d = F.col("src_url"), F.col("dst_url")
+    if canonicalize:
+        s, d = canonical_url(s), canonical_url(d)
+    e = pairs.select(url_id(s).alias("src"), url_id(d).alias("dst")).distinct()
     return with_salt(e, n_salts)
 
 

@@ -21,6 +21,25 @@ def test_salted_degrees_equal_plain(spark):
     assert salted == plain
 
 
+def test_canonical_url(spark):
+    from ccl_spark.edges import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM/Path/To?Q=Mixed#frag", "http://www.example.com/Path/To?Q=Mixed"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com:443", "https://example.com"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        ("http://example.com/", "http://example.com"),
+        ("http://example.com/a/", "http://example.com/a/"),  # deep path kept
+        ("HTTPS://h.io:443/#x", "https://h.io"),
+        ("relative/path#f", "relative/path"),  # no authority: fragment only
+        ("http://example.com:8080/", "http://example.com:8080"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in df.select(canonical_url("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_hub_vertices(spark):
     star = spark.createDataFrame(
         [(i, 1000) for i in range(1, 30)] + [(1, 2)], "src long, dst long"
