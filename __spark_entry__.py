@@ -358,6 +358,17 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_dedup's batch degradation (deterministic first-row-
+    per-hash window; the stream path is watermark-bounded
+    dropDuplicatesWithinWatermark, pinned by test_streaming)."""
+    from ccl_spark.streaming import streaming_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = streaming_dedup(docs, ts_col="doc_id", id_col="doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "text_hash")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -719,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc": q_incremental_cc,
         "quality": q_quality,
         "dedup_exact": q_dedup_exact,
+        "stream_dedup": q_stream_dedup,
         "ann_topk": q_ann_topk,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -872,6 +884,13 @@ FROM documents
 SELECT MD5(text) AS text_hash, COUNT(*) AS n_docs,
        CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
 FROM documents GROUP BY MD5(text)
+""",
+        "stream_dedup": """
+SELECT doc_id, text_hash FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, MD5(text) AS text_hash,
+           ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn = 1
 """,
         "ann_topk": """
 WITH ex AS (

@@ -91,11 +91,33 @@ def pagerank(
         from .superstep import fs_exists
 
         epath = f"{harness.root}/edges_w"
+        spath = f"{harness.root}/edges_w_sig"
+        # order-free exact signature of the INPUT edge set; stored next
+        # to edges_w so a resume detects a mismatched edge table
+        # instead of silently iterating checkpointed state against the
+        # wrong graph (ADVICE r2). One aggregation over the deduped
+        # pairs — the same scan the edges_w build reads anyway.
+        r = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).first()
+        in_sig = (r["n"], r["h"])
+        if resumed is not None and fs_exists(harness.spark, f"{spath}/_SUCCESS"):
+            s = harness.spark.read.parquet(spath).first()
+            if (s["n"], s["h"]) != in_sig:
+                raise ValueError(
+                    "pagerank resume: the edges argument does not match the "
+                    f"edge table this checkpoint was built from ({harness.root}); "
+                    "clear the harness root (or use a new one) to start fresh"
+                )
         # rebuild when missing OR incomplete: a resume from a state
         # checkpoint written by a run that never persisted edges_w
         # (or a partial write) must not fail at read (ADVICE r2)
         if resumed is None or not fs_exists(harness.spark, f"{epath}/_SUCCESS"):
             edges_w.write.mode("overwrite").parquet(epath)
+            harness.spark.createDataFrame([in_sig], "n long, h long").write.mode(
+                "overwrite"
+            ).parquet(spath)
         edges_w = harness.spark.read.parquet(epath)
     else:
         edges_w = edges_w.localCheckpoint(eager=True)

@@ -11,6 +11,13 @@ of timestamped events. This module provides the streaming versions:
   last_seen, n_events, n_days) across microbatches; this is the
   streaming generalization of the reference's m_ages accumulation
   (ccl_marker_stack.py:989-1003).
+- `streaming_dedup`: exact content dedup on an unbounded stream —
+  first occurrence of each content hash passes, later copies are
+  dropped. State is bounded by the event-time watermark
+  (``dropDuplicatesWithinWatermark``), the production shape for a
+  crawl stream where re-fetches of the same page cluster in time; a
+  training corpus is deduped exactly by the batch operators, the
+  stream layer pre-filters the firehose.
 
 Tests drive these with a file source + ``trigger(availableNow=True)``
 so results are deterministic; production uses the same code over
@@ -117,6 +124,37 @@ def _ages_fn(
             "n_events": [n_events],
             "n_days": [n_days],
         }
+    )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-occurrence-wins exact dedup over a stream: rows whose
+    content hash was already seen within the watermark horizon are
+    dropped. State per distinct hash is evicted once the watermark
+    passes, so state size is bounded by the dedup horizon — the only
+    sound contract on an unbounded stream (an unbounded seen-set is a
+    slow OOM). In batch mode the same semantics run as a
+    hash-partitioned first-row window (deterministic: earliest
+    (ts, id) wins), which is how the parity test pins the operator
+    against dedup.exact_duplicates' keep set."""
+    from pyspark.sql import Window
+
+    hashed = docs.withColumn("text_hash", F.md5(F.col(text_col).cast("binary")))
+    if docs.isStreaming:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["text_hash"]
+        )
+    w = Window.partitionBy("text_hash").orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -58,3 +58,21 @@ def test_pagerank_resumes_from_checkpoint(spark, tmp_path):
     got = {r.vertex: r.rank for r in pagerank(e, tol=1e-10, harness=h2).collect()}
     for v in exp:
         assert got[v] == pytest.approx(exp[v], abs=1e-6)
+
+
+def test_pagerank_resume_rejects_mismatched_edges(spark, tmp_path):
+    pages = generate_pages(spark, 150, seed=13)
+    e = page_edges(pages).cache()
+    root = str(tmp_path / "pr_sig")
+    h1 = SuperstepHarness(spark, root, algo="pagerank", run_id="r1", interval=1)
+    with pytest.raises(RuntimeError):
+        pagerank(e, tol=1e-10, max_iter=3, harness=h1)  # leaves a checkpoint
+
+    other = page_edges(generate_pages(spark, 150, seed=99))
+    h2 = SuperstepHarness(spark, root, algo="pagerank", run_id="r2", interval=1)
+    with pytest.raises(ValueError, match="does not match"):
+        pagerank(other, tol=1e-10, harness=h2)
+
+    # the matching edge table still resumes fine
+    h3 = SuperstepHarness(spark, root, algo="pagerank", run_id="r3", interval=1)
+    assert pagerank(e, tol=1e-10, harness=h3).count() > 0

@@ -78,3 +78,47 @@ def test_running_ages_stateful(spark, event_stream, tmp_path):
     )
     for r in batch:
         assert rows[r.user_id].n_days == r.age, f"user {r.user_id}"
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from ccl_spark.dedup import exact_duplicates
+    from ccl_spark.streaming import streaming_dedup
+
+    rows = [
+        (0, "alpha beta", "2026-01-01 00:00:00"),
+        (1, "gamma", "2026-01-01 00:01:00"),
+        (2, "alpha beta", "2026-01-01 00:02:00"),  # dup of 0, in horizon
+        (3, "delta", "2026-01-01 00:03:00"),
+        (4, "gamma", "2026-01-01 00:04:00"),  # dup of 1
+    ]
+    src = tmp_path / "docs"
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts_s string").selectExpr(
+        "doc_id", "text", "cast(ts_s as timestamp) as ts"
+    )
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        str(src)
+    )
+    out = streaming_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.sql("select * from sdedup").collect()}
+    # one survivor per distinct text; within one microbatch the kept row
+    # of a dup group is arbitrary, so assert group-level survival
+    assert len(kept) == 3 and 3 in kept
+    assert len(kept & {0, 2}) == 1 and len(kept & {1, 4}) == 1
+
+    # batch mode: deterministic earliest-(ts, id) winner, keep set equal
+    # to exact_duplicates' min-id representatives on this input
+    batch = streaming_dedup(spark.read.parquet(str(src)))
+    got = {(r.doc_id, r.text) for r in batch.select("doc_id", "text").collect()}
+    assert got == {(0, "alpha beta"), (1, "gamma"), (3, "delta")}
+    dup_groups = exact_duplicates(spark.read.parquet(str(src))).collect()
+    keepers = {r.keep_doc_id for r in dup_groups}
+    assert keepers <= {r[0] for r in got}
