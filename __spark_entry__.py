@@ -309,6 +309,36 @@ def q_activity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union + keyed-window carry-forward): each purchase
+    event picks the user's most recent prior-or-equal view event's
+    value. Oracle = DuckDB's NATIVE ASOF JOIN — a fully independent
+    implementation of the same semantics. Right side pre-aggregated to
+    one row per (user, ts) (ties are ambiguous in any engine); output
+    filtered to matched rows (null-vs-NaN hashing is representation-
+    dependent across engines)."""
+    from ccl_spark.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"), "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id", suffix="_asof")
+    return out.filter(F.col("view_value_asof").isNotNull()).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id",
+        F.col("view_value_asof").alias("view_value"),
+    )
+
+
 def q_component_sizes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
@@ -723,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ages": q_ages,
         "eol": q_eol,
         "sizes_events": q_component_sizes_events,
+        "asof_join": q_asof_join,
         "windowed_activity": q_windowed_activity,
         "activity_rollup": q_activity_rollup,
         "tokens": q_tokens,
@@ -847,6 +878,20 @@ WHERE n.user_id IS NULL
         "sizes_events": """
 SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events
 FROM events GROUP BY user_id
+""",
+        "asof_join": """
+WITH l AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+           CAST(event_id AS BIGINT) AS event_id
+    FROM events WHERE event_type = 'purchase'
+),
+r AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, ts, MAX(value) AS view_value
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.user_id, STRFTIME(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, l.event_id,
+       r.view_value AS view_value
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         "windowed_activity": """
 SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

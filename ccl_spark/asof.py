@@ -1,0 +1,73 @@
+"""As-of join: each left row picks the latest right row with
+``right.on <= left.on`` per key (backward, inclusive) — the temporal
+join training-data and event pipelines use to attach "state as of this
+event" (price as of trade, model version as of sample, crawl snapshot
+as of page fetch).
+
+Spark has no native ASOF join; the naive encoding (range-condition
+join + per-pair max) explodes to |left| x |right| rows per key before
+filtering. This implementation is the union trick: tag both sides,
+union on aligned schemas, ONE shuffle on the key, then a per-key
+ordered window where right-side values are carried forward with
+``last(ignorenulls)`` — linear scan per key, no pair materialization,
+which is the plan that survives 100 TB. DuckDB HAS a native ASOF JOIN,
+which the driver-gate oracle uses as an independent implementation.
+
+The right table must be unique per (by, on) — duplicate right
+timestamps make "the latest row at that instant" ambiguous in any
+engine (DuckDB picks one arbitrarily); pre-aggregate to enforce it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "key",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward inclusive as-of join. Output = every left row with one
+    ``<col>{suffix}`` column per non-key right column, holding the
+    value from the latest right row at or before the left row's ``on``
+    (null when no such row exists)."""
+    rcols = [c for c in right.columns if c not in (on, by)]
+    lcols = [c for c in left.columns if c not in (on, by)]
+    lt = left.select(
+        by,
+        on,
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in rcols
+        ],
+    )
+    rt = right.select(
+        by,
+        on,
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+    )
+    # right rows sort before left rows at equal `on` (tag 0 < 1), which
+    # is exactly the inclusive <= semantics
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lt.unionByName(rt).select(
+        by,
+        on,
+        "_is_left",
+        *lcols,
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in rcols
+        ],
+    )
+    return filled.filter(F.col("_is_left") == 1).drop("_is_left")
