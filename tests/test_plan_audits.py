@@ -65,3 +65,18 @@ def test_cc_small_frontier_broadcasts(spark):
     e = spark.createDataFrame([(i, i + 1) for i in range(20)], "u long, v long")
     plan = _executed(large_star(e, broadcast_mins=True))
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_shuffle_no_python(spark):
+    """asof_join's plan promise: ONE hash exchange (the keyed window),
+    no pair-explosion join, no Python stage."""
+    from ccl_spark.asof import asof_join
+
+    left = spark.range(1000).selectExpr("id % 50 as k", "id as t", "id * 2 as x")
+    right = spark.range(300).selectExpr(
+        "id % 50 as k", "id * 3 as t", "cast(id as double) as v"
+    )
+    plan = _executed(asof_join(left, right, on="t", by="k"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
