@@ -339,6 +339,28 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (bucketized equi-join, no per-key nested
+    loop): every (purchase, view) pair of the same user with the view
+    in the hour before the purchase. Oracle = DuckDB's naive
+    inequality join — independent execution strategy, same pairs."""
+    from ccl_spark.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("ts").alias("t"),
+        F.col("event_id").cast("long").alias("purchase_id"),
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("ts").alias("t"),
+        F.col("event_id").cast("long").alias("view_id"),
+    )
+    out = range_join(left, right, on="t", by="user_id", lower=-3600, upper=0)
+    return out.select("user_id", "purchase_id", F.col("view_id_r").alias("view_id"))
+
+
 def q_component_sizes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
@@ -754,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eol": q_eol,
         "sizes_events": q_component_sizes_events,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "windowed_activity": q_windowed_activity,
         "activity_rollup": q_activity_rollup,
         "tokens": q_tokens,
@@ -892,6 +915,20 @@ r AS (
 SELECT l.user_id, STRFTIME(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, l.event_id,
        r.view_value AS view_value
 FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "range_join": """
+WITH l AS (
+    SELECT CAST(user_id AS BIGINT) AS u, EPOCH(ts) AS t,
+           CAST(event_id AS BIGINT) AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+),
+r AS (
+    SELECT CAST(user_id AS BIGINT) AS u, EPOCH(ts) AS t,
+           CAST(event_id AS BIGINT) AS view_id
+    FROM events WHERE event_type = 'view'
+)
+SELECT l.u AS user_id, l.purchase_id, r.view_id
+FROM l JOIN r ON l.u = r.u AND r.t BETWEEN l.t - 3600 AND l.t
 """,
         "windowed_activity": """
 SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -20,7 +20,7 @@ engine (DuckDB picks one arbitrarily); pre-aggregate to enforce it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def asof_join(
@@ -71,3 +71,51 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("_is_left") == 1).drop("_is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "key",
+    lower: int | float = 0,
+    upper: int | float = 0,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Banded range join: all (left, right) pairs with the same ``by``
+    key and ``left.on + lower <= right.on <= left.on + upper`` (``on``
+    must be numeric — epoch-cast timestamps first).
+
+    Spark turns a raw inequality join into a per-key nested loop
+    (|L| x |R| pairs per key — a hub key explodes). This is the
+    standard bucketization: right rows land in one bucket of width
+    (upper - lower), left rows probe their two covering buckets, the
+    join is an EQUI-join on (by, bucket) — each candidate pair is
+    within 2 buckets of the band, so the post-filter discards at most
+    half the candidates instead of almost all of them. DuckDB executes
+    the naive inequality join correctly at oracle scale, which is what
+    the driver gate compares against."""
+    width = float(upper) - float(lower)
+    if width <= 0:
+        raise ValueError("range_join: upper must exceed lower")
+    rcols = [c for c in right.columns if c not in (on, by)]
+
+    def bucket(col: Column) -> Column:
+        return F.floor(col / F.lit(width)).cast("long")
+
+    rt = right.select(
+        F.col(by),
+        bucket(F.col(on)).alias("_b"),
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+    )
+    probes = F.array(
+        bucket(F.col(on) + F.lit(float(lower))),
+        bucket(F.col(on) + F.lit(float(upper))),
+    )
+    lt = left.withColumn("_b", F.explode(F.array_distinct(probes)))
+    out = lt.join(rt, [by, "_b"]).filter(
+        (F.col(f"{on}{suffix}") >= F.col(on) + F.lit(float(lower)))
+        & (F.col(f"{on}{suffix}") <= F.col(on) + F.lit(float(upper)))
+    )
+    return out.drop("_b")

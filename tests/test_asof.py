@@ -24,6 +24,40 @@ def test_asof_join_backward_inclusive(spark):
     assert len(out) == 5  # every left row survives
 
 
+def test_range_join_banded(spark):
+    from ccl_spark.asof import range_join
+
+    left = spark.createDataFrame([(1, 100, "L1"), (1, 205, "L2"), (2, 50, "L3")], "k long, t long, who string")
+    right = spark.createDataFrame(
+        [(1, 40, "a"), (1, 95, "b"), (1, 100, "c"), (1, 150, "d"), (2, 49, "e"), (3, 50, "f")],
+        "k long, t long, name string",
+    )
+    # band [t-60, t] inclusive both ends
+    out = range_join(left, right, on="t", by="k", lower=-60, upper=0)
+    got = sorted((r.who, r.name_r) for r in out.collect())
+    assert got == [
+        ("L1", "a"), ("L1", "b"), ("L1", "c"),  # 40, 95, 100 in [40, 100]
+        ("L2", "d"),                             # 150 in [145, 205]
+        ("L3", "e"),                             # 49 in [-10, 50]; k=3 never joins
+    ]
+    # brute-force parity on a pseudo-random instance (bucket-boundary cases)
+    import itertools
+    lrows = [(i % 5, (i * 37) % 400) for i in range(60)]
+    rrows = [(i % 5, (i * 23) % 400) for i in range(80)]
+    exp = sorted(
+        (lk, lt_, rt_)
+        for (lk, lt_), (rk, rt_) in itertools.product(lrows, rrows)
+        if lk == rk and lt_ - 45 <= rt_ <= lt_ + 45
+    )
+    ldf = spark.createDataFrame(lrows, "k long, t long")
+    rdf = spark.createDataFrame(rrows, "k long, t long")
+    got2 = sorted(
+        (r.k, r.t, r.t_r)
+        for r in range_join(ldf, rdf, on="t", by="k", lower=-45, upper=45).collect()
+    )
+    assert got2 == exp
+
+
 def test_asof_join_multiple_right_cols_and_determinism(spark):
     left = spark.createDataFrame([(1, 100), (1, 300)], "k long, t long")
     right = spark.createDataFrame(
