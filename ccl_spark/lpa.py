@@ -71,7 +71,10 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
                 (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
             )
-        nxt = cur.localCheckpoint(eager=True)
+        # lazy checkpoint: the changed-count aggregation is the action
+        # that materializes it — one job per fused block instead of two
+        # (same pattern as cc._signature)
+        nxt = cur.localCheckpoint(eager=False)
         changed = nxt.filter("chg").count()
         labels = nxt.select("vertex", "label")
         it += kk
