@@ -95,6 +95,16 @@ for _ in range(reps):
     n_comp = connected_components(edges).select("component").distinct().count()
     t_cc.append(time.monotonic() - t0)
     _settle()
+# pure-distributed CC (no subcritical finish): the ALGORITHM-scaling
+# number — the hybrid finish trades a serial tail for wall time, which
+# deflates the N->4N ratio while speeding both levels up (see
+# BENCH/BASELINE.md round-3 summary)
+t_cc0 = []
+for _ in range(reps):
+    t0 = time.monotonic()
+    connected_components(edges, local_finish_threshold=0).select("component").distinct().count()
+    t_cc0.append(time.monotonic() - t0)
+    _settle()
 for _ in range(reps):
     t0 = time.monotonic()
     pagerank(edges, tol=1e-6).count()
@@ -102,6 +112,7 @@ for _ in range(reps):
     _settle()
 print(json.dumps({{"cpus": cpus, "edges": n_edges, "components": n_comp,
                    "t_ex": min(t_ex), "t_cc": min(t_cc), "t_pr": min(t_pr),
+                   "t_cc0": min(t_cc0), "t_cc0_all": t_cc0,
                    "t_ex_all": t_ex, "t_cc_all": t_cc, "t_pr_all": t_pr}}))
 spark.stop()
 """
@@ -174,6 +185,7 @@ def main() -> None:
     lo, hi = results[execs_lo * 4], results[execs_hi * 4]
     hw = _hw_speedup()
     eff_cc = (lo["t_cc"] / hi["t_cc"]) / 4
+    eff_cc0 = (lo["t_cc0"] / hi["t_cc0"]) / 4
     eff_pr = (lo["t_pr"] / hi["t_pr"]) / 4
     eff_ex = (lo["t_ex"] / hi["t_ex"]) / 4
     summary = {
@@ -192,6 +204,7 @@ def main() -> None:
         "edges_per_sec_pr_local8": round(lo["edges"] / lo["t_pr"], 1),
         "edges_per_sec_pr_local32": round(hi["edges"] / hi["t_pr"], 1),
         "scaling_efficiency_cc": round(eff_cc, 3),
+        "scaling_efficiency_cc_pure_distributed": round(eff_cc0, 3),
         "scaling_efficiency_pagerank": round(eff_pr, 3),
         "raw": {"local8": lo, "local32": hi},
     }
@@ -207,6 +220,7 @@ def main() -> None:
         "|---|---|---|---|",
         f"| extraction (s, CPU-bound) | {summary['local8']['t_ex']} | {summary['local32']['t_ex']} | {summary['scaling_efficiency_extract']} |",
         f"| CC to fixpoint (s) | {summary['local8']['t_cc']} | {summary['local32']['t_cc']} | {summary['scaling_efficiency_cc']} |",
+        f"| CC pure-distributed (s, threshold=0) | {round(lo['t_cc0'], 2)} | {round(hi['t_cc0'], 2)} | {summary['scaling_efficiency_cc_pure_distributed']} |",
         f"| PageRank to 1e-6 (s) | {summary['local8']['t_pr']} | {summary['local32']['t_pr']} | {summary['scaling_efficiency_pagerank']} |",
         f"| CC edges/sec | {summary['edges_per_sec_cc_local8']} | {summary['edges_per_sec_cc_local32']} | |",
         f"| PR edges/sec | {summary['edges_per_sec_pr_local8']} | {summary['edges_per_sec_pr_local32']} | |",
