@@ -7,7 +7,7 @@ Package and run:
         dist/main.py cc --edges s3://bucket/edges --out s3://bucket/components \
         --checkpoint s3://bucket/ckpt/run1 --resume
 
-Subcommands: cc | pagerank | lpa | triangles | extract.
+Subcommands: cc | pagerank | lpa | triangles | extract | dedup.
 Every iterative job takes --checkpoint (superstep state + lineage) and
 --resume (continue the latest complete superstep at that root) — the
 north rule's mid-algorithm resumability.
@@ -33,9 +33,18 @@ def main(argv: list[str] | None = None) -> int:
     from ccl_spark.triangles import triangles_per_vertex
 
     p = argparse.ArgumentParser(prog="ccl_spark")
-    p.add_argument("algo", choices=["cc", "pagerank", "lpa", "triangles", "extract"])
+    p.add_argument(
+        "algo", choices=["cc", "pagerank", "lpa", "triangles", "extract", "dedup"]
+    )
     p.add_argument("--edges", help="parquet edge table (src, dst)")
     p.add_argument("--pages", help="parquet pages table (extract)")
+    p.add_argument("--docs", help="parquet documents table (dedup)")
+    p.add_argument(
+        "--canonicalize",
+        action="store_true",
+        help="extract: canonical_url both endpoints before hashing",
+    )
+    p.add_argument("--threshold", type=float, default=0.8, help="dedup jaccard cutoff")
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint", help="checkpoint/lineage root")
     p.add_argument("--resume", action="store_true")
@@ -65,7 +74,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.algo == "extract":
         from ccl_spark.edges import page_edges
 
-        out = page_edges(spark.read.parquet(args.pages))
+        out = page_edges(spark.read.parquet(args.pages), canonicalize=args.canonicalize)
+    elif args.algo == "dedup":
+        from ccl_spark.dedup import near_duplicates
+
+        out = near_duplicates(spark.read.parquet(args.docs), threshold=args.threshold)
     elif args.algo == "cc":
         out = connected_components(_edges(spark, args.edges), harness=harness)
     elif args.algo == "pagerank":

@@ -70,3 +70,25 @@ def test_cli_refuses_stale_checkpoint(spark, tmp_path):
     # with --resume it completes
     assert main(["cc", "--edges", epath, "--out", str(tmp_path / "o3"),
                  "--checkpoint", ck, "--resume"]) == 0
+
+
+def test_cli_dedup_end_to_end(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    opath = str(tmp_path / "pairs")
+
+    from ccl_spark.cli import main
+
+    rc = main(["dedup", "--docs", dpath, "--out", opath, "--threshold", "0.5",
+               "--master", "local[4]"])
+    assert rc == 0
+    pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(opath).collect()}
+    assert pairs == {(0, 1)}
