@@ -376,6 +376,16 @@ def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (tokenizer-training first stage): full token
+    table with doc frequency + total count, min_count pruning."""
+    from ccl_spark.textops import vocabulary
+
+    return vocabulary(_t(spark, sf_dir, "documents"), min_count=3).select(
+        "token", "n_docs", "count"
+    )
+
+
 def q_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccl_spark.textops import token_count_bpe
 
@@ -781,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_rollup": q_activity_rollup,
         "tokens": q_tokens,
         "tokens_bpe": q_tokens_bpe,
+        "vocab": q_vocab,
         "incremental_cc": q_incremental_cc,
         "quality": q_quality,
         "dedup_exact": q_dedup_exact,
@@ -945,6 +956,14 @@ FROM events GROUP BY ROLLUP (user_id, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d'))
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
 FROM documents
+""",
+        "vocab": """
+SELECT token, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS count
+FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+)
+WHERE token <> ''
+GROUP BY token HAVING COUNT(*) >= 3
 """,
         "tokens_bpe": r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

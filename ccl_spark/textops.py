@@ -95,6 +95,38 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return docs.select(*cols)
 
 
+def vocabulary(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+    pattern: str | None = None,
+) -> DataFrame:
+    """(token, n_docs, count) corpus vocabulary — the first step of
+    tokenizer training. ``pattern`` switches from whitespace tokens to
+    BPE_PATTERN-style regexp tokens. One explode + one groupBy; token
+    frequency is Zipfian (stopwords are hub keys) but count and
+    distinct-doc count aggregate map-side partially, so the skew never
+    reaches a single reducer with raw rows — the same
+    partial-aggregation argument as salted_in_degrees."""
+    toks = (
+        F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        if pattern
+        else _tokens(text_col)
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("_doc"), F.explode(toks).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.countDistinct("_doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("count"),
+        )
+        .filter(F.col("count") >= min_count)
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:

@@ -250,3 +250,21 @@ def test_ivf_topk_finds_near_dup(spark, emb):
     a = sorted((r.id, r.list_id) for r in ivf_assign(emb, 8).collect())
     b = sorted((r.id, r.list_id) for r in ivf_assign(emb.repartition(9), 8).collect())
     assert a == b
+
+
+def test_vocabulary(spark):
+    from ccl_spark.textops import vocabulary
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "c c c")], "doc_id long, text string"
+    )
+    got = {r.token: (r.n_docs, r["count"]) for r in vocabulary(docs).collect()}
+    assert got == {"a": (2, 3), "b": (1, 1), "c": (2, 4)}
+    pruned = {r.token for r in vocabulary(docs, min_count=3).collect()}
+    assert pruned == {"a", "c"}
+    # regexp tokenization path
+    from ccl_spark.textops import BPE_PATTERN
+
+    docs2 = spark.createDataFrame([(0, "x1,x1")], "doc_id long, text string")
+    got2 = {r.token: r["count"] for r in vocabulary(docs2, pattern=BPE_PATTERN).collect()}
+    assert got2 == {"x": 2, "1": 2, ",": 1}
