@@ -103,6 +103,38 @@ pr{k} AS MATERIALIZED (SELECT v.vertex,
     )
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Iterative k-core peel unrolled as chained CTEs (idempotent once
+    the fixpoint is reached, so rounds only needs to exceed the peel
+    depth — 16 >> the depth of the 40-vertex triangle graph)."""
+    pre = f"""
+WITH
+e0 AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+    FROM ({_EDGES_QUAD_SQL}) WHERE src <> dst
+)"""
+    steps = []
+    for i in range(rounds):
+        steps.append(
+            f""",
+d{i} AS (SELECT w, COUNT(*) AS c FROM (
+    SELECT u AS w FROM e{i} UNION ALL SELECT v FROM e{i}) GROUP BY w),
+k{i} AS (SELECT w FROM d{i} WHERE c >= {k}),
+e{i + 1} AS MATERIALIZED (
+    SELECT e{i}.u, e{i}.v FROM e{i}
+    JOIN k{i} ku ON e{i}.u = ku.w JOIN k{i} kv ON e{i}.v = kv.w)"""
+        )
+    return (
+        pre
+        + "".join(steps)
+        + f"""
+SELECT w AS vertex, COUNT(*) AS degree FROM (
+    SELECT u AS w FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+) GROUP BY w
+"""
+    )
+
+
 def _corpus_lpa_sql(iters: int) -> str:
     """Synchronous LPA as chained CTEs over the dumped corpus edges —
     the same deterministic semantics as ccl_spark.lpa (mode of neighbor
@@ -258,6 +290,40 @@ def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_per_vertex(_edges_tri(spark, sf_dir)).select(
         "vertex", F.col("n_triangles").cast("long").alias("n_triangles")
     )
+
+
+def _edges_quad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-map graph (c%100 -> (c^2+1)%100): skewed degrees, so
+    the k=2 peel genuinely cascades (100 vertices -> 6-vertex core in
+    3 rounds at sf0.01) instead of being a no-op fixpoint."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        (F.col("c_custkey") % 100).cast("long").alias("src"),
+        ((F.col("c_custkey") * F.col("c_custkey") + 1) % 100).cast("long").alias("dst"),
+    ).distinct()
+
+
+_EDGES_QUAD_SQL = (
+    "SELECT DISTINCT CAST(c_custkey % 100 AS BIGINT) AS src, "
+    "CAST((c_custkey * c_custkey + 1) % 100 AS BIGINT) AS dst FROM customer"
+)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the quadratic-map graph (iterative peel to fixpoint —
+    3 cascading rounds at sf0.01); oracle = the same peel unrolled as
+    16 chained CTE rounds in DuckDB (>= the actual peel depth, and
+    idempotent past the fixpoint)."""
+    from ccl_spark.kcore import k_core
+
+    return k_core(_edges_quad(spark, sf_dir), k=2).select("vertex", "degree")
+
+
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient 2T/(d(d-1)) per vertex."""
+    from ccl_spark.triangles import clustering_coefficient
+
+    return clustering_coefficient(_edges_tri(spark, sf_dir))
 
 
 def q_ages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "triangles": q_triangles,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "kcore": q_kcore,
+        "clustering": q_clustering,
         "ages": q_ages,
         "eol": q_eol,
         "sizes_events": q_component_sizes_events,
@@ -896,6 +964,32 @@ cnt AS (
 )
 SELECT verts.vertex, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
 FROM verts LEFT JOIN cnt ON cnt.vertex = verts.vertex
+""",
+        "kcore": _kcore_sql(2, 16),
+        "clustering": f"""
+WITH e AS ({_EDGES_TRI_SQL}),
+cu AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM e WHERE src <> dst),
+verts AS (SELECT DISTINCT w AS vertex FROM (SELECT u AS w FROM cu UNION SELECT v FROM cu)),
+deg AS (SELECT w AS vertex, COUNT(*) AS degree FROM (
+    SELECT u AS w FROM cu UNION ALL SELECT v FROM cu) GROUP BY w),
+tri AS (
+    SELECT ab.u AS a, ab.v AS b, bc.v AS c
+    FROM cu ab JOIN cu bc ON ab.v = bc.u JOIN cu ac ON ac.u = ab.u AND ac.v = bc.v
+),
+tcnt AS (
+    SELECT w AS vertex, COUNT(*) AS n FROM (
+        SELECT a AS w FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    ) GROUP BY w
+)
+SELECT verts.vertex,
+       CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(tcnt.n, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN COALESCE(deg.degree, 0) >= 2
+             THEN 2.0 * COALESCE(tcnt.n, 0)
+                  / (CAST(deg.degree AS DOUBLE) * (deg.degree - 1.0))
+             ELSE 0.0 END, 6) AS coefficient
+FROM verts LEFT JOIN deg USING (vertex) LEFT JOIN tcnt USING (vertex)
 """,
         "ages": """
 SELECT CAST(user_id AS BIGINT) AS user_id,

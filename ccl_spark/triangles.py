@@ -58,6 +58,43 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> int:
     return triangles(edges, src, dst).count()
 
 
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """``(vertex, degree, n_triangles, coefficient)`` — local
+    clustering coefficient 2T / (d(d-1)) over the undirected simple
+    graph (0.0 when degree < 2). One degree aggregation joined onto
+    triangles_per_vertex; both sides are |V|-row tables."""
+    canon = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("vertex"))
+        .unionByName(canon.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangles_per_vertex(edges, src, dst)
+    d = F.col("degree").cast("double")
+    coef = F.when(
+        F.col("degree") >= 2, 2.0 * F.col("n_triangles") / (d * (d - 1.0))
+    ).otherwise(F.lit(0.0))
+    return (
+        tri.join(deg, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            "n_triangles",
+            F.round(coef, 6).alias("coefficient"),
+        )
+    )
+
+
 def triangles_per_vertex(
     edges: DataFrame, src: str = "src", dst: str = "dst", vertices: DataFrame | None = None
 ) -> DataFrame:
