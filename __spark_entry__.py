@@ -811,6 +811,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", "width", "height")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real resize stage: decode BMP -> nearest-neighbor resample to
+    24x20 -> re-encode; audio/video pass through. The oracle re-derives
+    every container size: resized images are a CONSTANT BMP size
+    (54 + 20 rows x stride(24)), others keep the synth formulas."""
+    from ccl_spark.multimodal import decode_features, resize_images, synth_media
+
+    resized = resize_images(synth_media(spark, 200, seed=42), width=24, height=20)
+    feats = decode_features(resized, dim=8, real_decode=True)
+    return feats.select("media_id", "kind", "n_bytes", "width", "height")
+
+
 def q_golden_voxel_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3D 26-connectivity CC (contrib/cc3d.ipynb cell 8): space-diagonal
     chains merge; components are canonical min voxel ids."""
@@ -883,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_segmented_labels": q_golden_segmented_labels,
         "golden_voxel_labels": q_golden_voxel_labels,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -1215,6 +1228,26 @@ ORDER BY n_vertices DESC, component ASC LIMIT 5
         "golden_segmented_labels": _values_sql(
             _segmented_expected(), ["slice_id", "row", "col", "label"]
         ),
+        # image rows become a constant-size 24x20 BMP:
+        # stride(24) = (3*24+3)//4*4 = 72; 54 + 20*72 = 1494
+        "multimodal_resize": """
+WITH m AS (
+    SELECT i, i % 3 AS k,
+           16 + (i % 64) AS w, 16 + (i % 48) AS h,
+           1000 + 37 * (i % 100) AS dur, 2 + (i % 3) AS nf
+    FROM range(200) t(i)
+)
+SELECT i AS media_id,
+       CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(CASE k
+            WHEN 0 THEN 1494
+            WHEN 1 THEN 44 + 2 * dur * 8
+            ELSE 224 + nf * (8 + h * ((3 * w + 3) // 4 * 4))
+       END AS BIGINT) AS n_bytes,
+       CAST(CASE k WHEN 0 THEN 24 WHEN 1 THEN 0 ELSE w END AS INTEGER) AS width,
+       CAST(CASE k WHEN 0 THEN 20 WHEN 1 THEN 0 ELSE h END AS INTEGER) AS height
+FROM m
+""",
         "golden_voxel_labels": _values_sql(
             [
                 (0, 0, 0, 0), (1, 1, 1, 0), (2, 2, 2, 0),

@@ -307,6 +307,41 @@ def decode_features(
     return media.mapInPandas(batch, schema=FEATURES_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int, real_decode: bool = True
+) -> DataFrame:
+    """Resize every image row to (width, height) — decode the BMP,
+    nearest-neighbor resample in one numpy take, re-encode; non-image
+    rows pass through untouched. Arrow-batched; same media schema out,
+    so resize stages compose with decode/feature stages."""
+
+    def batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for mid, kind, payload, w0, h0, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["width"], pdf["height"], pdf["duration_ms"],
+            ):
+                if kind != "image":
+                    rows.append((mid, kind, payload, w0, h0, dur))
+                    continue
+                if not real_decode:
+                    rows.append((mid, kind, payload, width, height, dur))
+                    continue
+                pix = bmp_decode(payload)
+                h_src, w_src = pix.shape[:2]
+                yi = (np.arange(height) * h_src) // height
+                xi = (np.arange(width) * w_src) // width
+                resized = pix[yi][:, xi]
+                rows.append((mid, kind, bmp_encode(resized), width, height, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "width", "height", "duration_ms"],
+            )
+
+    return media.mapInPandas(batch, schema=MEDIA_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 500, dim: int = 8, real_decode: bool = True
 ) -> DataFrame:

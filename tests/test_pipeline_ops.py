@@ -268,3 +268,26 @@ def test_vocabulary(spark):
     docs2 = spark.createDataFrame([(0, "x1,x1")], "doc_id long, text string")
     got2 = {r.token: r["count"] for r in vocabulary(docs2, pattern=BPE_PATTERN).collect()}
     assert got2 == {"x": 2, "1": 2, ",": 1}
+
+
+def test_resize_images_pixels(spark):
+    import numpy as np
+
+    from ccl_spark.multimodal import bmp_decode, bmp_encode, resize_images
+
+    rng = np.random.default_rng(3)
+    pix = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(bmp_encode(pix)), 8, 10, 0),
+         (1, "audio", bytearray(b"RIFF1234WAVE"), 0, 0, 5)],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    out = {r.media_id: r for r in resize_images(media, width=4, height=5).collect()}
+    got = bmp_decode(bytes(out[0].payload))
+    # nearest-neighbor: pixel (y, x) comes from (y*10//5, x*8//4)
+    yi = (np.arange(5) * 10) // 5
+    xi = (np.arange(4) * 8) // 4
+    assert np.array_equal(got, pix[yi][:, xi])
+    assert (out[0].width, out[0].height) == (4, 5)
+    # non-image rows pass through byte-identical
+    assert bytes(out[1].payload) == b"RIFF1234WAVE" and out[1].duration_ms == 5
