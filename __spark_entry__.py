@@ -69,9 +69,18 @@ SELECT vertex, MIN(l) AS component FROM reach GROUP BY vertex
 """
 
 
-def _pagerank_sql(iters: int) -> str:
+def _pagerank_sql(iters: int, seeds: list[int] | None = None) -> str:
     """Fixed-iteration PageRank as chained CTEs (matches the engine's
-    deterministic sequence; floats agree to ~1e-14, rounded to 6dp)."""
+    deterministic sequence; floats agree to ~1e-14, rounded to 6dp).
+    With ``seeds``: personalized teleport/dangling to the seed set."""
+    if seeds is None:
+        tele_cte = "tele AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) AS t FROM verts)"
+    else:
+        in_list = ", ".join(str(int(s)) for s in seeds)
+        tele_cte = (
+            "tele AS MATERIALIZED (SELECT vertex, CASE WHEN vertex IN "
+            f"({in_list}) THEN 1.0 / {len(seeds)} ELSE 0.0 END AS t FROM verts)"
+        )
     pre = f"""
 WITH
 e AS MATERIALIZED ({_EDGES_SQL}),
@@ -79,8 +88,23 @@ verts AS MATERIALIZED (SELECT DISTINCT v AS vertex FROM
           (SELECT src AS v FROM e UNION SELECT dst FROM e)),
 nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
 outdeg AS MATERIALIZED (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
-pr0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) AS r FROM verts)
+{tele_cte},
+pr0 AS MATERIALIZED (SELECT vertex, t AS r FROM tele)
 """
+    if seeds is None:
+        # keep the original arithmetic shape (divide dangling by n in
+        # the update) — bit-compatible with the engine's uniform path
+        def update(k: int) -> str:
+            return (
+                f"(1 - {DAMPING}) / (SELECT n FROM nn) "
+                f"+ {DAMPING} * (COALESCE(c.c, 0) + (SELECT d FROM dang{k}) / (SELECT n FROM nn))"
+            )
+    else:
+        def update(k: int) -> str:
+            return (
+                f"(1 - {DAMPING}) * tl.t "
+                f"+ {DAMPING} * (COALESCE(c.c, 0) + (SELECT d FROM dang{k}) * tl.t)"
+            )
     steps = []
     for k in range(1, iters + 1):
         p = f"pr{k - 1}"
@@ -91,10 +115,9 @@ dang{k} AS (SELECT COALESCE(SUM(r), 0) AS d FROM {p}
 contrib{k} AS (SELECT e.dst AS vertex, SUM(p.r / o.deg) AS c
                FROM {p} p JOIN outdeg o USING (vertex)
                JOIN e ON e.src = p.vertex GROUP BY e.dst),
-pr{k} AS MATERIALIZED (SELECT v.vertex,
-          (1 - {DAMPING}) / (SELECT n FROM nn)
-          + {DAMPING} * (COALESCE(c.c, 0) + (SELECT d FROM dang{k}) / (SELECT n FROM nn)) AS r
-          FROM verts v LEFT JOIN contrib{k} c USING (vertex))"""
+pr{k} AS MATERIALIZED (SELECT v.vertex, {update(k)} AS r
+          FROM verts v JOIN tele tl USING (vertex)
+          LEFT JOIN contrib{k} c USING (vertex))"""
         )
     return (
         pre
@@ -221,6 +244,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_degrees_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = degrees(_edges_small(spark, sf_dir))
     return deg.orderBy(F.desc("in_deg"), F.asc("vertex")).limit(15)
+
+
+PPR_SEEDS = [0, 1, 2]
+PPR_ITERS = 10
+
+
+def q_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (TrustRank shape): teleport + dangling
+    mass to seeds {0,1,2}; fixed 10 iterations so the chained-CTE
+    oracle replays the identical deterministic sequence."""
+    pr = pagerank(
+        _edges_small(spark, sf_dir), tol=0.0, max_iter=PPR_ITERS, seeds=PPR_SEEDS
+    )
+    return pr.select("vertex", F.round("rank", 6).alias("rank"))
 
 
 def q_salted_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_sizes_topk": q_cc_sizes_topk,
         "cc_min_size": q_cc_min_size,
         "pagerank": q_pagerank,
+        "pagerank_seeded": q_pagerank_seeded,
         "degrees_topk": q_degrees_topk,
         "salted_degrees": q_salted_degrees,
         "url_canon": q_url_canon,
@@ -928,6 +966,7 @@ SELECT component, COUNT(*) AS n_vertices FROM comp GROUP BY component
 HAVING COUNT(*) >= 3
 """,
         "pagerank": _pagerank_sql(PR_ITERS),
+        "pagerank_seeded": _pagerank_sql(PPR_ITERS, seeds=PPR_SEEDS),
         "salted_degrees": f"""
 WITH e AS ({_EDGES_SQL})
 SELECT dst AS vertex, COUNT(*) AS in_deg FROM e GROUP BY dst

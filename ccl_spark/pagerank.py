@@ -39,6 +39,7 @@ def pagerank(
     vertices: DataFrame | None = None,
     harness: SuperstepHarness | None = None,
     iters_per_check: int = 3,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """Return ``(vertex long, rank double)``; ranks sum to 1.
 
@@ -62,6 +63,13 @@ def pagerank(
     materialization between, so the unsaved-recomputation bound grows
     ~3^k; exchange reuse hides it at the measured default k=3 but not
     arbitrarily, so k is capped at 6 (ADVICE r2).
+
+    ``seeds`` switches to PERSONALIZED PageRank (the TrustRank shape):
+    teleport and dangling mass go to the seed set uniformly instead of
+    to all vertices — rank concentrates around the seeds, vertices
+    unreachable from them converge to 0. The uniform path is left
+    arithmetically untouched (bit-identical to the fixed-iteration
+    oracle sequence).
     """
     pairs = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -124,16 +132,29 @@ def pagerank(
     # iteration state carries deg so delta + next-dangling come from ONE
     # aggregation job per iteration (driver round-trips are the fixed
     # cost that caps strong scaling on small inputs)
+    # teleport column: uniform 1/n, or 1/|seeds| on the seed set
+    if seeds is not None:
+        if not seeds:
+            raise ValueError("pagerank: seeds must be non-empty when given")
+        tele = F.when(
+            F.col("vertex").isin(*[int(s) for s in seeds]),
+            F.lit(1.0 / len(seeds)),
+        ).otherwise(F.lit(0.0))
+    else:
+        tele = F.lit(1.0 / n)
     state = (
         verts.join(out_deg, verts.vertex == out_deg.src, "left")
         .select(
             "vertex",
             F.coalesce("deg", F.lit(0)).alias("deg"),
-            F.lit(1.0 / n).alias("rank"),
+            tele.alias("tele"),
+            tele.alias("rank"),
         )
     )
     if resumed is not None:
         state = resumed[1]
+        if "tele" not in state.columns:  # checkpoint from a pre-seeds run
+            state = state.withColumn("tele", tele)
     state = state.localCheckpoint(eager=True)
 
     base = (1.0 - damping) / n
@@ -145,15 +166,23 @@ def pagerank(
         s = state
         for _ in range(kk):
             # dangling mass in-plan: 1-row aggregate broadcast into the
-            # update expression — no driver round-trip per iteration
-            dang = s.agg(
-                (
-                    F.sum(
-                        F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))
-                    )
-                    / n
-                ).alias("dn")
+            # update expression — no driver round-trip per iteration.
+            # Uniform mode divides by n once in the aggregate (keeps the
+            # original arithmetic bit-identical); seeded mode multiplies
+            # the raw dangling sum by the per-vertex teleport weight.
+            dang_sum = F.sum(
+                F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))
             )
+            if seeds is None:
+                dang = s.agg((dang_sum / n).alias("dn"))
+                new_rank = F.lit(base) + F.lit(damping) * (
+                    F.coalesce("contrib", F.lit(0.0)) + F.col("dn")
+                )
+            else:
+                dang = s.agg(dang_sum.alias("dn"))
+                new_rank = F.lit(1.0 - damping) * F.col("tele") + F.lit(damping) * (
+                    F.coalesce("contrib", F.lit(0.0)) + F.col("dn") * F.col("tele")
+                )
             contribs = (
                 edges_w.join(s.select("vertex", "rank"), edges_w.src == F.col("vertex"))
                 .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -166,17 +195,14 @@ def pagerank(
                 .select(
                     "vertex",
                     "deg",
+                    "tele",
                     F.col("rank").alias("old"),
-                    (
-                        F.lit(base)
-                        + F.lit(damping)
-                        * (F.coalesce("contrib", F.lit(0.0)) + F.col("dn"))
-                    ).alias("rank"),
+                    new_rank.alias("rank"),
                 )
             )
         new_state = s.localCheckpoint(eager=False)
         delta = new_state.agg(F.max(F.abs(F.col("rank") - F.col("old")))).first()[0]
-        state = new_state.select("vertex", "deg", "rank")
+        state = new_state.select("vertex", "deg", "tele", "rank")
         it += kk
         if harness is not None:
             harness.record(

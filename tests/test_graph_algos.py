@@ -112,3 +112,35 @@ def test_cc_deterministic_across_parallelism(spark):
     assert sorted((r.vertex, r.component) for r in a) == sorted(
         (r.vertex, r.component) for r in b
     )
+
+
+def test_personalized_pagerank(spark):
+    # star: 0 -> {1, 2}, plus an island 5 -> 6 unreachable from seed 0
+    e = spark.createDataFrame([(0, 1), (0, 2), (1, 0), (5, 6)], "src long, dst long")
+    from ccl_spark.pagerank import pagerank
+
+    pr = {r.vertex: r.rank for r in pagerank(e, tol=1e-12, seeds=[0]).collect()}
+    # mass sums to 1, concentrates on the seed component, island gets 0
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+    assert pr[5] == pytest.approx(0.0, abs=1e-12)
+    assert pr[6] == pytest.approx(0.0, abs=1e-12)
+    assert pr[0] > pr[1] == pr[2] > 0  # symmetry of 1 and 2
+    # numpy oracle for the seeded recurrence
+    import numpy as np
+
+    verts = [0, 1, 2, 5, 6]
+    idx = {v: i for i, v in enumerate(verts)}
+    t = np.zeros(5)
+    t[idx[0]] = 1.0
+    out = {0: [1, 2], 1: [0], 5: [6]}
+    r = t.copy()
+    for _ in range(200):
+        nxt = np.zeros(5)
+        dang = sum(r[idx[v]] for v in verts if v not in out)
+        for u, nbrs in out.items():
+            for v in nbrs:
+                nxt[idx[v]] += 0.85 * r[idx[u]] / len(nbrs)
+        nxt += (0.15 + 0.85 * dang) * t
+        r = nxt
+    for v in verts:
+        assert pr[v] == pytest.approx(r[idx[v]], abs=1e-9), v
