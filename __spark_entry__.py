@@ -126,6 +126,48 @@ pr{k} AS MATERIALIZED (SELECT v.vertex, {update(k)} AS r
     )
 
 
+def _hits_sql(iters: int) -> str:
+    """Fixed-iteration HITS as chained CTEs: authority from previous
+    hub, L2-normalize, hub from the NEW authority, L2-normalize —
+    the same deterministic sequence as ccl_spark.hits."""
+    pre = f"""
+WITH
+e AS MATERIALIZED ({_EDGES_SQL}),
+verts AS MATERIALIZED (SELECT DISTINCT v AS vertex FROM
+          (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+h0 AS MATERIALIZED (SELECT vertex, 1.0 AS s FROM verts)
+"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f""",
+ar{k} AS (SELECT e.dst AS vertex, SUM(h.s) AS s FROM e
+          JOIN h{k - 1} h ON h.vertex = e.src GROUP BY e.dst),
+af{k} AS (SELECT v.vertex, COALESCE(r.s, 0) AS s
+          FROM verts v LEFT JOIN ar{k} r USING (vertex)),
+an{k} AS (SELECT SQRT(SUM(s * s)) AS n FROM af{k}),
+a{k} AS MATERIALIZED (SELECT vertex,
+       CASE WHEN (SELECT n FROM an{k}) > 0
+            THEN s / (SELECT n FROM an{k}) ELSE 0.0 END AS s FROM af{k}),
+hr{k} AS (SELECT e.src AS vertex, SUM(a.s) AS s FROM e
+          JOIN a{k} a ON a.vertex = e.dst GROUP BY e.src),
+hf{k} AS (SELECT v.vertex, COALESCE(r.s, 0) AS s
+          FROM verts v LEFT JOIN hr{k} r USING (vertex)),
+hn{k} AS (SELECT SQRT(SUM(s * s)) AS n FROM hf{k}),
+h{k} AS MATERIALIZED (SELECT vertex,
+       CASE WHEN (SELECT n FROM hn{k}) > 0
+            THEN s / (SELECT n FROM hn{k}) ELSE 0.0 END AS s FROM hf{k})"""
+        )
+    return (
+        pre
+        + "".join(steps)
+        + f"""
+SELECT h.vertex, ROUND(h.s, 6) AS hub, ROUND(a.s, 6) AS authority
+FROM h{iters} h JOIN a{iters} a USING (vertex)
+"""
+    )
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Iterative k-core peel unrolled as chained CTEs (idempotent once
     the fixpoint is reached, so rounds only needs to exceed the peel
@@ -258,6 +300,20 @@ def q_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         _edges_small(spark, sf_dir), tol=0.0, max_iter=PPR_ITERS, seeds=PPR_SEEDS
     )
     return pr.select("vertex", F.round("rank", 6).alias("rank"))
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, fixed 10 iterations (chained-CTE
+    oracle replays the identical normalize-after-each-half-step
+    sequence)."""
+    from ccl_spark.hits import hits
+
+    out = hits(_edges_small(spark, sf_dir), max_iter=10)
+    return out.select(
+        "vertex",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
 
 
 def q_salted_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_min_size": q_cc_min_size,
         "pagerank": q_pagerank,
         "pagerank_seeded": q_pagerank_seeded,
+        "hits": q_hits,
         "degrees_topk": q_degrees_topk,
         "salted_degrees": q_salted_degrees,
         "url_canon": q_url_canon,
@@ -967,6 +1024,7 @@ HAVING COUNT(*) >= 3
 """,
         "pagerank": _pagerank_sql(PR_ITERS),
         "pagerank_seeded": _pagerank_sql(PPR_ITERS, seeds=PPR_SEEDS),
+        "hits": _hits_sql(10),
         "salted_degrees": f"""
 WITH e AS ({_EDGES_SQL})
 SELECT dst AS vertex, COUNT(*) AS in_deg FROM e GROUP BY dst

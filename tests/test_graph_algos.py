@@ -144,3 +144,32 @@ def test_personalized_pagerank(spark):
         r = nxt
     for v in verts:
         assert pr[v] == pytest.approx(r[idx[v]], abs=1e-9), v
+
+
+def test_hits_numpy_oracle(spark):
+    import numpy as np
+
+    from ccl_spark.hits import hits
+
+    edges = [(0, 2), (0, 3), (1, 2), (1, 3), (2, 4), (4, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: (r.hub, r.authority) for r in hits(e, max_iter=8).collect()}
+
+    verts = sorted({v for p in edges for v in p})
+    idx = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    h = np.ones(len(verts))
+    for _ in range(8):
+        a = A.T @ h
+        a = a / np.linalg.norm(a) if np.linalg.norm(a) > 0 else a
+        h = A @ a
+        h = h / np.linalg.norm(h) if np.linalg.norm(h) > 0 else h
+    for v in verts:
+        assert got[v][0] == pytest.approx(h[idx[v]], abs=1e-9), ("hub", v)
+        assert got[v][1] == pytest.approx(a[idx[v]], abs=1e-9), ("auth", v)
+    # structure: 0 and 1 are the hubs (point at both authorities 2,3)
+    assert got[0][0] == pytest.approx(got[1][0], abs=1e-9)
+    assert got[2][1] == pytest.approx(got[3][1], abs=1e-9)
+    assert got[0][0] > got[2][0] and got[2][1] > got[0][1]
