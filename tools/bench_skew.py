@@ -68,7 +68,16 @@ def run_pair(spark, edges):
     n = edges.count()
     out = {"edges": n}
     for name, fn in [
-        ("cc", lambda: connected_components(edges).select("component").distinct().count()),
+        # threshold=0 forces pure-distributed CC: at this edge count the
+        # default hybrid would local-finish immediately and the skew
+        # stress would never touch the distributed star rounds
+        (
+            "cc",
+            lambda: connected_components(edges, local_finish_threshold=0)
+            .select("component")
+            .distinct()
+            .count(),
+        ),
         ("pagerank", lambda: pagerank(edges, tol=1e-6).count()),
     ]:
         best = None
