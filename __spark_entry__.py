@@ -200,6 +200,107 @@ SELECT w AS vertex, COUNT(*) AS degree FROM (
     )
 
 
+# shared by the near_dup_minhash and dup_clusters oracles: all-pairs
+# exact 3-gram Jaccard over distinct-text representatives
+_NEAR_DUP_CTES = """
+reps AS MATERIALIZED (
+    SELECT MIN(CAST(doc_id AS BIGINT)) AS id, text FROM documents GROUP BY text
+),
+tk AS MATERIALIZED (
+    SELECT id, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS i
+    FROM reps
+),
+g3 AS (
+    SELECT a.id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+    FROM tk a JOIN tk b ON b.id = a.id AND b.i = a.i + 1
+              JOIN tk c ON c.id = a.id AND c.i = a.i + 2
+),
+gshort AS (
+    SELECT id, ARRAY_TO_STRING(STRING_SPLIT(text, ' '), ' ') AS g
+    FROM reps WHERE LEN(STRING_SPLIT(text, ' ')) < 3
+),
+grams AS MATERIALIZED (
+    SELECT DISTINCT id, g FROM (SELECT * FROM g3 UNION ALL SELECT * FROM gshort)
+),
+sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM grams GROUP BY id),
+inter AS MATERIALIZED (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+    FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+    GROUP BY 1, 2
+)"""
+
+BPE_MERGE_ROUNDS = 8
+
+
+def _bpe_sql(rounds: int) -> str:
+    """BPE merge training unrolled as chained CTEs — the same
+    deterministic semantics as textops.bpe_merges (corpus-weighted
+    adjacent-pair counts over the distinct-word symbol table, argmax
+    with lexicographic tie-break, left-to-right non-overlapping merge
+    via even-offset-within-run, positions re-sequenced per round)."""
+    pre = """
+WITH
+wrd AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+    ) WHERE word <> '' GROUP BY word
+),
+r0 AS MATERIALIZED (
+    SELECT word, wc, i AS pos,
+           CASE WHEN i <= LEN(word) THEN SUBSTR(word, i, 1) ELSE '</w>' END AS sym
+    FROM (SELECT word, wc, UNNEST(RANGE(1, LEN(word) + 2)) AS i FROM wrd)
+)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        p = f"r{k - 1}"
+        steps.append(
+            f""",
+cnt{k} AS (
+    SELECT x.sym AS a, y.sym AS b, CAST(SUM(x.wc) AS BIGINT) AS c
+    FROM {p} x JOIN {p} y ON y.word = x.word AND y.pos = x.pos + 1
+    GROUP BY 1, 2
+),
+best{k} AS MATERIALIZED (SELECT a, b, c FROM cnt{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+m{k} AS (
+    SELECT word, wc, pos, sym,
+           COALESCE(sym = (SELECT a FROM best{k})
+                    AND LEAD(sym) OVER (PARTITION BY word ORDER BY pos)
+                        = (SELECT b FROM best{k}), FALSE) AS cand
+    FROM {p}
+),
+g{k} AS (
+    SELECT word, wc, pos, sym, cand,
+           pos - SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY word ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS grp
+    FROM m{k}
+),
+act{k} AS (
+    SELECT word, wc, pos, sym,
+           cand AND (pos - MIN(CASE WHEN cand THEN pos END)
+                           OVER (PARTITION BY word, grp)) % 2 = 0 AS active
+    FROM g{k}
+),
+r{k} AS MATERIALIZED (
+    SELECT word, wc, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+           CASE WHEN active
+                THEN (SELECT a FROM best{k}) || (SELECT b FROM best{k})
+                ELSE sym END AS sym
+    FROM (
+        SELECT word, wc, pos, sym, active,
+               LAG(active) OVER (PARTITION BY word ORDER BY pos) AS prev_active
+        FROM act{k}
+    ) WHERE NOT COALESCE(prev_active, FALSE)
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, c AS n FROM best{k}"
+        for k in range(1, rounds + 1)
+    )
+    return pre + "".join(steps) + "\n" + finals
+
+
 def _corpus_lpa_sql(iters: int) -> str:
     """Synchronous LPA as chained CTEs over the dumped corpus edges —
     the same deterministic semantics as ccl_spark.lpa (mode of neighbor
@@ -650,6 +751,27 @@ def q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs collapsed to transitive clusters + keep-set
+    (dedup.dup_clusters = near_duplicates ∘ connected_components).
+    Oracle: recursive min-label closure over the SAME exact-Jaccard
+    pair set the near_dup_minhash oracle derives."""
+    from ccl_spark.dedup import dup_clusters, near_duplicates
+
+    pairs = near_duplicates(
+        _t(spark, sf_dir, "documents"), n=3, n_hashes=32, bands=16, threshold=0.8
+    )
+    return dup_clusters(pairs).select("cluster_id", "doc_id", "keep")
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (8 rounds) over the documents corpus; oracle
+    replays the identical rounds as chained CTEs in DuckDB."""
+    from ccl_spark.textops import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=BPE_MERGE_ROUNDS)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints; oracle = pinned expected rows (see
     q_fingerprint)."""
@@ -975,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "near_dup_minhash": q_near_dup_minhash,
+        "dup_clusters": q_dup_clusters,
+        "bpe_merges": q_bpe_merges,
         "simhash": q_simhash,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_exact": q_emb_near_dup_exact,
@@ -1230,39 +1354,36 @@ SELECT doc_id, n_en, n_de, n_fr,
             ELSE 'und' END AS lang_guess
 FROM s
 """,
-        "near_dup_minhash": """
-WITH reps AS MATERIALIZED (
-    SELECT MIN(CAST(doc_id AS BIGINT)) AS id, text FROM documents GROUP BY text
-),
-tk AS MATERIALIZED (
-    SELECT id, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
-           GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS i
-    FROM reps
-),
-g3 AS (
-    SELECT a.id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
-    FROM tk a JOIN tk b ON b.id = a.id AND b.i = a.i + 1
-              JOIN tk c ON c.id = a.id AND c.i = a.i + 2
-),
-gshort AS (
-    SELECT id, ARRAY_TO_STRING(STRING_SPLIT(text, ' '), ' ') AS g
-    FROM reps WHERE LEN(STRING_SPLIT(text, ' ')) < 3
-),
-grams AS MATERIALIZED (
-    SELECT DISTINCT id, g FROM (SELECT * FROM g3 UNION ALL SELECT * FROM gshort)
-),
-sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM grams GROUP BY id),
-inter AS MATERIALIZED (
-    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-    FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
-    GROUP BY 1, 2
-)
+        "near_dup_minhash": f"""
+WITH {_NEAR_DUP_CTES}
 SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
        CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
        ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b
 WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.8
 """,
+        # transitive closure of the SAME verified pair set (recursive
+        # min-label reach — an independent union-find), emitting the
+        # min-id representative keep-set per dup cluster
+        "dup_clusters": f"""
+WITH RECURSIVE {_NEAR_DUP_CTES},
+pairs AS MATERIALIZED (
+    SELECT id_a, id_b
+    FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.8
+),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+dverts AS (SELECT DISTINCT u AS vertex FROM und),
+reach(vertex, l) AS (
+    SELECT vertex, vertex FROM dverts
+    UNION
+    SELECT und.u, r.l FROM und JOIN reach r ON und.v = r.vertex WHERE r.l < und.u
+)
+SELECT MIN(l) AS cluster_id, vertex AS doc_id,
+       CAST(CASE WHEN vertex = MIN(l) THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM reach GROUP BY vertex
+""",
+        "bpe_merges": _bpe_sql(BPE_MERGE_ROUNDS),
         "emb_near_dup_exact": """
 WITH ex AS MATERIALIZED (
     SELECT CAST(vec_id AS BIGINT) AS vec_id,

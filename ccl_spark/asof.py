@@ -8,10 +8,18 @@ Spark has no native ASOF join; the naive encoding (range-condition
 join + per-pair max) explodes to |left| x |right| rows per key before
 filtering. This implementation is the union trick: tag both sides,
 union on aligned schemas, ONE shuffle on the key, then a per-key
-ordered window where right-side values are carried forward with
+ordered window where the right-side row is carried forward with
 ``last(ignorenulls)`` — linear scan per key, no pair materialization,
 which is the plan that survives 100 TB. DuckDB HAS a native ASOF JOIN,
 which the driver-gate oracle uses as an independent implementation.
+
+All right columns travel as ONE struct, so the carried value is always
+an atomic right ROW: a legitimate NULL inside the latest matching right
+row stays NULL (the struct itself is non-null, so ``last(ignorenulls)``
+still picks it), and multiple right value columns can never mix values
+from different right rows (ADVICE r3 — per-column carry had both
+defects). This matches DuckDB's ASOF semantics, which returns the
+matched row's fields verbatim.
 
 The right table must be unique per (by, on) — duplicate right
 timestamps make "the latest row at that instant" ambiguous in any
@@ -34,24 +42,24 @@ def asof_join(
     ``<col>{suffix}`` column per non-key right column, holding the
     value from the latest right row at or before the left row's ``on``
     (null when no such row exists)."""
+    from pyspark.sql import types as T
+
     rcols = [c for c in right.columns if c not in (on, by)]
     lcols = [c for c in left.columns if c not in (on, by)]
+    rstruct = T.StructType([T.StructField(c, right.schema[c].dataType) for c in rcols])
     lt = left.select(
         by,
         on,
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-            for c in rcols
-        ],
+        F.lit(None).cast(rstruct).alias("_r"),
     )
     rt = right.select(
         by,
         on,
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("_r"),
     )
     # right rows sort before left rows at equal `on` (tag 0 < 1), which
     # is exactly the inclusive <= semantics
@@ -65,12 +73,14 @@ def asof_join(
         on,
         "_is_left",
         *lcols,
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in rcols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return filled.filter(F.col("_is_left") == 1).drop("_is_left")
+    return filled.filter(F.col("_is_left") == 1).select(
+        by,
+        on,
+        *lcols,
+        *[F.col("_r").getField(c).alias(f"{c}{suffix}") for c in rcols],
+    )
 
 
 def range_join(

@@ -212,6 +212,58 @@ def near_duplicates(
     return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 
 
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Collapse verified near-dup PAIRS into transitive dup CLUSTERS
+    with a keep-set: ``(cluster_id, doc_id, keep)`` for every doc that
+    appears in at least one pair. ``cluster_id`` is the canonical
+    minimum doc id of the cluster and ``keep=1`` marks that one
+    representative (min-id wins — deterministic at any parallelism),
+    so ``filter(keep == 0)`` is exactly the removal list a training-
+    data dedup pass applies to the corpus.
+
+    This composes the pair-emitting operators (near_duplicates,
+    simhash_near_pairs, embedding_near_duplicates) with the alternating-
+    star union-find (cc.connected_components): A~B and B~C land in one
+    cluster {A, B, C} even when A and C were never directly compared —
+    the reference's merge/fork equivalence closure
+    (ccl_marker_stack.py:484-530) applied to the pipeline's flagship
+    dedup job. Scale shape: the pair table is tiny relative to the
+    corpus (only verified dups), so the closure converges in a handful
+    of star rounds; the output joins back to the corpus on doc_id."""
+    from .cc import connected_components
+
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    return comp.select(
+        F.col("component").alias("cluster_id"),
+        F.col("vertex").alias("doc_id"),
+        (F.col("vertex") == F.col("component")).cast("long").alias("keep"),
+    )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **near_dup_kwargs,
+) -> DataFrame:
+    """End-to-end corpus dedup: near-dup pairs -> transitive clusters ->
+    keep the min-id representative of each cluster plus every unpaired
+    doc. Returns the deduplicated ``docs`` (same schema). Exact dups are
+    collapsed inside near_duplicates (pre_collapse), so the pair ids
+    are representatives already; docs whose text matches a removed
+    representative are dropped via their text hash."""
+    reps = collapse_exact(docs, id_col, text_col)  # (id = min doc per text, text)
+    pairs = near_duplicates(docs, id_col, text_col, **near_dup_kwargs)
+    drop = dup_clusters(pairs).filter(F.col("keep") == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    keep_ids = reps.join(drop, "id", "left_anti").select(
+        F.col("id").alias(id_col)
+    )
+    # exact dups fall out too: only each text's min-id doc is a rep
+    return docs.join(keep_ids, id_col, "left_semi")
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

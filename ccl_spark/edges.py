@@ -78,6 +78,30 @@ def with_salt(edges: DataFrame, n_salts: int = 64) -> DataFrame:
     return edges.withColumn("salt", F.pmod(F.xxhash64("src"), F.lit(n_salts)).cast("int"))
 
 
+def cache_partitioned(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-partition ``df`` on ``keys`` and pin it IN CACHE so every
+    subsequent equi-join on those keys reuses the partitioning (the
+    join exchanges only its other side).
+
+    This must be ``persist()``, not ``localCheckpoint()``: a
+    checkpointed RDD reports UnknownPartitioning, so Catalyst silently
+    re-exchanges it in every join — which turned the iterative
+    algorithms' "shuffle the edge table once" promise into a full
+    edge-table exchange per iteration (round-4 finding; the cached
+    plan keeps its HashPartitioning — audited by
+    tests/test_plan_audits.py::test_cache_partitioned_join_reuses_partitioning).
+    The partition count is pinned to spark.sql.shuffle.partitions so
+    the cached layout is compatible with the state-side exchanges.
+
+    At 100 TB the equivalent durable structure is a bucketed/
+    cluster-keyed Iceberg table; this is the in-memory form for
+    iteration-lifetime reuse. Call ``.unpersist()`` when done."""
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = df.repartition(sp, *keys).persist()
+    out.count()
+    return out
+
+
 def url_vertices(pages: DataFrame) -> DataFrame:
     return pages.select(url_id("url").alias("vertex")).distinct()
 

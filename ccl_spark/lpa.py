@@ -8,8 +8,11 @@ sequential numbering forced is kept here by construction.
 
 Per superstep: one join (labels onto the undirected neighbor table) +
 one count aggregation + one row_number window — all JVM-side. The
-neighbor table is built once, repartitioned by dst and cached so each
-round reshuffles only the labels.
+neighbor table is built once, repartitioned by the JOIN key (``v``,
+the neighbor side the labels attach to) and cached with ``persist()``
+— NOT localCheckpoint, which reports UnknownPartitioning and forces a
+full neighbor-table re-exchange every round (round-4 finding, see
+hits.py) — so each round reshuffles only the |V|-sized labels.
 """
 
 from __future__ import annotations
@@ -37,12 +40,13 @@ def label_propagation(
     pairs = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    nbrs = (
+    from .edges import cache_partitioned
+
+    nbrs = cache_partitioned(
         pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .repartition("u")
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "v",
     )
     verts = pairs.select(F.col("u").alias("vertex")).unionByName(
         pairs.select(F.col("v").alias("vertex"))
@@ -80,4 +84,5 @@ def label_propagation(
         it += kk
         if changed == 0:
             break
+    nbrs.unpersist()
     return labels

@@ -123,7 +123,12 @@ def bmp_decode(payload: bytes) -> np.ndarray:
     _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
     if bpp != 24 or comp != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={comp}: only 24-bit BI_RGB")
-    return _dib_rows_to_rgb(payload[off:], w, abs(h))
+    if h < 0:
+        # top-down BMP (negative biHeight): rows are NOT bottom-up, so
+        # the flip in _dib_rows_to_rgb would mirror the image — refuse
+        # like the other unsupported-variant guards (ADVICE r3)
+        raise NotImplementedError("top-down BMP (negative biHeight) not supported")
+    return _dib_rows_to_rgb(payload[off:], w, h)
 
 
 def _riff_chunks(data: bytes) -> Iterator[tuple[bytes, bytes]]:

@@ -89,27 +89,38 @@ def pagerank(
     resumed = harness.latest() if harness is not None else None
     if resumed is not None:
         start = resumed[0]
-    # one-time shuffle of the big side; reused by every iteration's join.
-    # With a harness the weighted edge table goes to DURABLE storage
-    # (parquet; Iceberg at scale) instead of executor-memory
-    # localCheckpoint — at 100 TB the edge table must not be pinned in
-    # executor storage, and a resumed run must find it again.
-    edges_w = pairs.join(out_deg, "src").repartition("src")
+    # one-time shuffle of the big side; reused by every iteration's join
+    # via persist() — NOT localCheckpoint, whose RDD reports
+    # UnknownPartitioning and silently re-exchanges the edge table in
+    # every iteration's join (round-4 finding; a cached plan keeps its
+    # HashPartitioning, so only the |V|-sized ranks shuffle — the
+    # mechanism is audited by tests/test_plan_audits.py::
+    # test_cache_partitioned_join_reuses_partitioning).
+    # With a harness the weighted edge table ALSO goes to DURABLE
+    # storage (parquet; Iceberg at scale) — at 100 TB the edge table
+    # must not be pinned in executor storage, and a resumed run must
+    # find it again; the read-back is re-bucketed + cached the same way.
+    edges_w = pairs.join(out_deg, "src")
     if harness is not None:
         from .superstep import fs_exists
 
         epath = f"{harness.root}/edges_w"
         spath = f"{harness.root}/edges_w_sig"
-        # order-free exact signature of the INPUT edge set; stored next
-        # to edges_w so a resume detects a mismatched edge table
-        # instead of silently iterating checkpointed state against the
-        # wrong graph (ADVICE r2). One aggregation over the deduped
-        # pairs — the same scan the edges_w build reads anyway.
+        # order-free exact signature of the INPUT edge set, plus the
+        # recurrence parameters (damping, seed set); stored next to
+        # edges_w so a resume detects a mismatched edge table OR a
+        # mismatched recurrence (resuming a uniform checkpoint with
+        # seeds now supplied — or different damping — would silently
+        # continue a DIFFERENT power iteration mid-stream, ADVICE r3).
+        # ``tol`` is deliberately NOT pinned: it only decides when to
+        # stop, so resuming to a tighter tolerance is a legitimate
+        # continuation of the same recurrence.
         r = pairs.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
         ).first()
         in_sig = (r["n"], r["h"])
+        seeds_str = "" if seeds is None else ",".join(str(int(s)) for s in seeds)
         if resumed is not None and fs_exists(harness.spark, f"{spath}/_SUCCESS"):
             s = harness.spark.read.parquet(spath).first()
             if (s["n"], s["h"]) != in_sig:
@@ -118,17 +129,31 @@ def pagerank(
                     f"edge table this checkpoint was built from ({harness.root}); "
                     "clear the harness root (or use a new one) to start fresh"
                 )
+            stored = (
+                (s["damping"], s["seeds"])
+                if "damping" in s.asDict()
+                else None  # signature from a pre-params run: parameters unknown
+            )
+            if stored != (float(damping), seeds_str):
+                raise ValueError(
+                    "pagerank resume: damping/seeds do not match the run this "
+                    f"checkpoint was built from ({harness.root}: stored={stored}, "
+                    f"requested=({float(damping)}, {seeds_str!r})); clear the "
+                    "harness root (or use a new one) to start fresh"
+                )
         # rebuild when missing OR incomplete: a resume from a state
         # checkpoint written by a run that never persisted edges_w
         # (or a partial write) must not fail at read (ADVICE r2)
         if resumed is None or not fs_exists(harness.spark, f"{epath}/_SUCCESS"):
             edges_w.write.mode("overwrite").parquet(epath)
-            harness.spark.createDataFrame([in_sig], "n long, h long").write.mode(
-                "overwrite"
-            ).parquet(spath)
+            harness.spark.createDataFrame(
+                [(in_sig[0], in_sig[1], float(damping), seeds_str)],
+                "n long, h long, damping double, seeds string",
+            ).write.mode("overwrite").parquet(spath)
         edges_w = harness.spark.read.parquet(epath)
-    else:
-        edges_w = edges_w.localCheckpoint(eager=True)
+    from .edges import cache_partitioned
+
+    edges_w = cache_partitioned(edges_w, "src")
     # iteration state carries deg so delta + next-dangling come from ONE
     # aggregation job per iteration (driver round-trips are the fixed
     # cost that caps strong scaling on small inputs)
@@ -209,7 +234,9 @@ def pagerank(
                 superstep=it - 1, df=state, changed=-1, delta=float(delta), timer=t0
             )
         if tol > 0 and delta < tol:
+            edges_w.unpersist()
             return state.select("vertex", "rank")
     if tol == 0:
+        edges_w.unpersist()
         return state.select("vertex", "rank")
     raise RuntimeError(f"pagerank: no convergence to {tol} in {max_iter} iterations")

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 EN_STOP = ["a", "the", "and", "of", "to", "in", "is", "it"]
 DE_STOP = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"]
@@ -125,6 +125,116 @@ def vocabulary(
         )
         .filter(F.col("count") >= min_count)
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """BPE tokenizer training, stage 2 (Sennrich et al. 2016): the
+    iterative most-frequent-pair merge loop, as DataFrame ops over the
+    DISTINCT-WORD table. Returns the learned merge list
+    ``(merge_rank, lhs, rhs, n)`` — rank-k merge of symbols lhs+rhs,
+    n = corpus-weighted occurrence count at the time of the merge.
+
+    Semantics (deterministic, engine-independent, mirrored by the
+    driver-gate's chained-CTE DuckDB oracle):
+    - words weighted by corpus frequency; symbols start as single
+      characters plus an ``end_marker`` sentinel;
+    - each round: count adjacent symbol pairs weighted by word count;
+      the merge pair is argmax count, ties broken lexicographically
+      (smallest lhs, then rhs);
+    - occurrences merge LEFT-TO-RIGHT NON-OVERLAPPING ("aaa" with
+      pair (a,a) yields [aa, a]) — encoded as: candidate positions
+      grouped into maximal consecutive runs, every other position of a
+      run (even offset) merges. A run longer than 1 only exists when
+      lhs == rhs, which is exactly the overlapping case.
+
+    Scale shape: state is the distinct-word symbol table (bounded by
+    total characters of the VOCABULARY, not the corpus — the one-time
+    word-count groupBy absorbed the corpus scan), re-sequenced and
+    localCheckpoint'ed per round; the per-round argmax is a 1-row
+    driver fetch (the merge literal must reach the plan builder, the
+    same O(1)/round driver traffic as a convergence scalar)."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    rows = (
+        words.select(
+            "word",
+            "wc",
+            F.explode(F.sequence(F.lit(1), F.length("word") + 1)).alias("pos"),
+        )
+        .select(
+            "word",
+            "wc",
+            "pos",
+            F.when(F.col("pos") <= F.length("word"), F.expr("substr(word, pos, 1)"))
+            .otherwise(F.lit(end_marker))
+            .alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wpos = Window.partitionBy("word").orderBy("pos")
+    out: list[tuple[int, str, str, int]] = []
+    for k in range(1, n_merges + 1):
+        nxt_sym = F.lead("sym").over(wpos)
+        cnt = (
+            rows.withColumn("b", nxt_sym)
+            .filter(F.col("b").isNotNull())
+            .groupBy(F.col("sym").alias("a"), "b")
+            .agg(F.sum("wc").alias("c"))
+        )
+        best = cnt.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).first()
+        if best is None:
+            break
+        a, b, c = best["a"], best["b"], int(best["c"])
+        out.append((k, a, b, c))
+        marked = (
+            rows.withColumn(
+                "cand",
+                F.coalesce(
+                    (F.col("sym") == F.lit(a)) & (nxt_sym == F.lit(b)), F.lit(False)
+                ),
+            )
+            .withColumn(
+                "rn",
+                F.sum(F.col("cand").cast("long")).over(
+                    wpos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .withColumn("grp", F.col("pos") - F.col("rn"))
+        )
+        wgrp = Window.partitionBy("word", "grp")
+        marked = marked.withColumn(
+            "active",
+            F.col("cand")
+            & (
+                (
+                    (F.col("pos") - F.min(F.when(F.col("cand"), F.col("pos"))).over(wgrp))
+                    % 2
+                )
+                == 0
+            ),
+        ).withColumn("prev_active", F.lag("active").over(wpos))
+        rows = (
+            marked.filter(~F.coalesce(F.col("prev_active"), F.lit(False)))
+            .select(
+                "word",
+                "wc",
+                F.row_number().over(wpos).alias("pos"),
+                F.when(F.col("active"), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(out, "merge_rank long, lhs string, rhs string, n long")
 
 
 def doc_fingerprint(

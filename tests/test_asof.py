@@ -58,6 +58,26 @@ def test_range_join_banded(spark):
     assert got2 == exp
 
 
+def test_asof_join_null_in_matched_row_stays_null(spark):
+    """ASOF semantics (ADVICE r3): a NULL field in the LATEST matching
+    right row must come through as NULL — not be backfilled from an
+    older right row — and multiple right columns must always come from
+    the SAME matched row (row atomicity)."""
+    left = spark.createDataFrame([(1, 100), (1, 300)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 50, 1.0, "old"), (1, 200, None, "new")],
+        "k long, t long, v double, s string",
+    )
+    got = {
+        r.t: (r.v_asof, r.s_asof)
+        for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    assert got[100] == (1.0, "old")
+    # matched row is t=200: v is genuinely NULL there, s is "new" —
+    # the per-column-carry bug returned (1.0, "new"), mixing rows
+    assert got[300] == (None, "new")
+
+
 def test_asof_join_multiple_right_cols_and_determinism(spark):
     left = spark.createDataFrame([(1, 100), (1, 300)], "k long, t long")
     right = spark.createDataFrame(

@@ -236,6 +236,13 @@ def test_multimodal_codec_roundtrip_and_seam(spark):
     )
     with pytest.raises(Exception, match="JPEG.*codec"):
         decode_features(jpeg_media, real_decode=True).collect()
+    # top-down BMP (negative biHeight) refuses instead of mirroring
+    import struct
+
+    topdown = bytearray(bmp_encode(pix))
+    topdown[22:26] = struct.pack("<i", -13)
+    with pytest.raises(NotImplementedError, match="top-down"):
+        bmp_decode(bytes(topdown))
 
 
 def test_ivf_topk_finds_near_dup(spark, emb):

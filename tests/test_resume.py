@@ -76,3 +76,23 @@ def test_pagerank_resume_rejects_mismatched_edges(spark, tmp_path):
     # the matching edge table still resumes fine
     h3 = SuperstepHarness(spark, root, algo="pagerank", run_id="r3", interval=1)
     assert pagerank(e, tol=1e-10, harness=h3).count() > 0
+
+
+def test_pagerank_resume_rejects_mismatched_params(spark, tmp_path):
+    """Same edge table but different recurrence (seeds supplied, or a
+    different damping) must be rejected — resuming would silently
+    continue a different power iteration (ADVICE r3)."""
+    pages = generate_pages(spark, 150, seed=13)
+    e = page_edges(pages).cache()
+    root = str(tmp_path / "pr_params")
+    h1 = SuperstepHarness(spark, root, algo="pagerank", run_id="r1", interval=1)
+    with pytest.raises(RuntimeError):
+        pagerank(e, tol=1e-10, max_iter=3, harness=h1)  # leaves a checkpoint
+
+    h2 = SuperstepHarness(spark, root, algo="pagerank", run_id="r2", interval=1)
+    with pytest.raises(ValueError, match="damping/seeds"):
+        pagerank(e, tol=1e-10, harness=h2, seeds=[0, 1])
+
+    h3 = SuperstepHarness(spark, root, algo="pagerank", run_id="r3", interval=1)
+    with pytest.raises(ValueError, match="damping/seeds"):
+        pagerank(e, tol=1e-10, harness=h3, damping=0.5)
