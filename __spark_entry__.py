@@ -813,16 +813,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (probed lists) — approximate but
+    """IVF coarse-quantizer ANN with TRAINED centroids (3 spherical
+    k-means iterations over the corpus, integer-quantized exact sums
+    so training is parallelism-independent) — approximate but
     seeded-deterministic; oracle = pinned expected rows (see
-    q_fingerprint)."""
-    from ccl_spark.similarity import ivf_topk
+    q_fingerprint); recall >= the random-centroid baseline is pinned
+    by tests/test_pipeline_ops.py::test_ivf_trained_recall."""
+    from ccl_spark.similarity import ivf_topk, ivf_train
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    out = ivf_topk(
-        emb.filter(F.col("vec_id") != 0), list(q), k=10, n_lists=16, n_probe=4
-    )
+    base = emb.filter(F.col("vec_id") != 0)
+    cents = ivf_train(base, n_lists=16, n_iters=3)
+    out = ivf_topk(base, list(q), k=10, n_lists=16, n_probe=4, centroids=cents)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1446,8 +1449,10 @@ ORDER BY n_vertices DESC, component ASC LIMIT 5
         "golden_segmented_labels": _values_sql(
             _segmented_expected(), ["slice_id", "row", "col", "label"]
         ),
-        # image rows become a constant-size 24x20 BMP:
-        # stride(24) = (3*24+3)//4*4 = 72; 54 + 20*72 = 1494
+        # image rows become a constant-size 24x20 container, re-encoded
+        # in their source family:
+        # BMP (i%6=0): stride(24) = (3*24+3)//4*4 = 72; 54 + 20*72 = 1494
+        # PNG (i%6=3): 68 + 20*(3*24+1) = 68 + 1460 = 1528
         "multimodal_resize": """
 WITH m AS (
     SELECT i, i % 3 AS k,
@@ -1458,7 +1463,7 @@ WITH m AS (
 SELECT i AS media_id,
        CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        CAST(CASE k
-            WHEN 0 THEN 1494
+            WHEN 0 THEN (CASE WHEN i % 6 = 3 THEN 1528 ELSE 1494 END)
             WHEN 1 THEN 44 + 2 * dur * 8
             ELSE 224 + nf * (8 + h * ((3 * w + 3) // 4 * 4))
        END AS BIGINT) AS n_bytes,
@@ -1474,7 +1479,10 @@ FROM m
             ["slice_id", "row", "col", "component"],
         ),
         # independent re-derivation of the container sizes:
-        # BMP = 54 + h*rowstride (24-bit rows padded to 4 bytes)
+        # BMP (i%6=0) = 54 + h*rowstride (24-bit rows padded to 4 bytes)
+        # PNG (i%6=3) = 8 sig + 25 IHDR + 12 IDAT frame + 12 IEND
+        #               + zlib(2 hdr + 5 stored-block hdr + raw + 4 adler)
+        #             = 68 + h*(3w+1)   [one stored block: raw <= 65531]
         # WAV = 44 header + 2 bytes/sample at 8 kHz PCM16
         # AVI = 224 of RIFF/hdrl/strl/movi structure + nf DIB frames
         "multimodal_features": """
@@ -1487,7 +1495,8 @@ WITH m AS (
 SELECT i AS media_id,
        CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        CAST(CASE k
-            WHEN 0 THEN 54 + h * ((3 * w + 3) // 4 * 4)
+            WHEN 0 THEN (CASE WHEN i % 6 = 3 THEN 68 + h * (3 * w + 1)
+                              ELSE 54 + h * ((3 * w + 3) // 4 * 4) END)
             WHEN 1 THEN 44 + 2 * dur * 8
             ELSE 224 + nf * (8 + h * ((3 * w + 3) // 4 * 4))
        END AS BIGINT) AS n_bytes,

@@ -7,12 +7,14 @@ pure-numpy parsers — no codec library needed:
 
 - BMP  (BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bit BI_RGB,
         bottom-up BGR rows padded to 4 bytes)
+- PNG  (8-bit truecolor, stdlib zlib inflate + pure-numpy scanline
+        unfiltering, all five filter types on decode)
 - WAV  (RIFF/WAVE, PCM 16-bit mono)
 - AVI  (RIFF/'AVI ', 'vids'/'DIB ' stream, raw bottom-up DIB frames
         in '00db' movi chunks)
 
-so decode -> feature is an actual pixel/sample pipeline. Compressed
-codec formats (JPEG/PNG/MP4 — their libraries are not in this
+so decode -> feature is an actual pixel/sample pipeline. Lossy codec
+formats (JPEG/MP4/Ogg/WebM — their libraries are not in this
 container) hit a documented NotImplementedError at the exact seam a
 codec would occupy; ``real_decode=False`` switches to a deterministic
 byte-fold stand-in for fully opaque payloads.
@@ -105,6 +107,104 @@ def avi_encode(frames: list[np.ndarray], fps: int = _AVI_FPS) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray, level: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit truecolor, filter 0 per
+    scanline). Default compression level 0 emits deflate STORED blocks,
+    so the container size is a closed formula the driver-gate oracle
+    re-derives independently: 68 + h*(3w+1) bytes while the filtered
+    scanlines fit one stored block (<= 65531 bytes)."""
+    import zlib
+
+    h, w = pixels.shape[:2]
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB — stdlib zlib inflate + pure
+    numpy/python unfiltering, ALL five scanline filters (None/Sub/Up/
+    Average/Paeth), so PNGs from external writers decode too. 8-bit
+    truecolor (color type 2), non-interlaced only — the variants a
+    synth/feature pipeline emits; others refuse like the BMP guards."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}: "
+                    "only 8-bit truecolor non-interlaced"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    stride = 3 * w
+    raw = zlib.decompress(idat)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: per-channel cumulative sum mod 256
+            rec = line.copy()
+            for ch in range(3):
+                rec[ch::3] = np.cumsum(line[ch::3]) % 256
+        elif ftype == 2:  # Up
+            rec = (line + prior) % 256
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - 3] if x >= 3 else 0
+                up = prior[x]
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = prior[x - 3] if x >= 3 else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG scanline filter {ftype} invalid")
+        out[y] = rec
+        prior = rec.astype(np.int32)
+    return out.reshape(h, w, 3)
+
+
 # --------------------------------------------------------------------------
 # container parsers (pure numpy/struct — the real decode path)
 # --------------------------------------------------------------------------
@@ -183,7 +283,6 @@ def avi_decode(payload: bytes) -> tuple[int, int, int, list[np.ndarray]]:
 
 _CODEC_MAGICS = {
     b"\xff\xd8\xff": "JPEG",
-    b"\x89PNG": "PNG",
     b"OggS": "Ogg",
     b"\x1a\x45\xdf\xa3": "Matroska/WebM",
 }
@@ -211,8 +310,9 @@ def _codec_seam(payload: bytes) -> None:
 # --------------------------------------------------------------------------
 
 def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic media table with VALID containers: BMP images,
-    PCM16 WAV audio, uncompressed-DIB AVI video (seeded content)."""
+    """Deterministic media table with VALID containers: BMP and PNG
+    images (ids alternate: i%6==0 -> BMP, i%6==3 -> PNG), PCM16 WAV
+    audio, uncompressed-DIB AVI video (seeded content)."""
 
     def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -223,7 +323,8 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 kind = kinds[i % 3]
                 w, h = int(16 + (i % 64)), int(16 + (i % 48))
                 if kind == "image":
-                    payload = bmp_encode(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+                    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    payload = png_encode(pix) if i % 6 == 3 else bmp_encode(pix)
                     meta = (w, h, 0)
                 elif kind == "audio":
                     dur = int(1000 + 37 * (i % 100))
@@ -260,11 +361,25 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return _fold(np.frombuffer(payload, dtype=np.uint8) / 255.0, dim)
 
 
+def _image_decode(payload: bytes) -> np.ndarray:
+    """Dispatch BMP/PNG still-image payloads to their parser."""
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(payload)
+    raise ValueError(f"not a supported still-image container: {payload[:8]!r}")
+
+
+def _image_encode(pixels: np.ndarray, like: bytes) -> bytes:
+    """Re-encode pixels in the same container family as ``like``."""
+    return png_encode(pixels) if like[:8] == b"\x89PNG\r\n\x1a\n" else bmp_encode(pixels)
+
+
 def _real_decode_row(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
     """Parse the container, return (width, height, feature) from the
     DECODED pixels/samples — not from metadata columns."""
-    if payload[:2] == b"BM":
-        pix = bmp_decode(payload)
+    if payload[:2] == b"BM" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        pix = _image_decode(payload)
         return pix.shape[1], pix.shape[0], _fold(pix / 255.0, dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         _, samples = wav_decode(payload)
@@ -315,8 +430,9 @@ def decode_features(
 def resize_images(
     media: DataFrame, width: int, height: int, real_decode: bool = True
 ) -> DataFrame:
-    """Resize every image row to (width, height) — decode the BMP,
-    nearest-neighbor resample in one numpy take, re-encode; non-image
+    """Resize every image row to (width, height) — decode the BMP/PNG,
+    nearest-neighbor resample in one numpy take, re-encode in the same
+    container family; non-image
     rows pass through untouched. Arrow-batched; same media schema out,
     so resize stages compose with decode/feature stages."""
 
@@ -333,12 +449,12 @@ def resize_images(
                 if not real_decode:
                     rows.append((mid, kind, payload, width, height, dur))
                     continue
-                pix = bmp_decode(payload)
+                pix = _image_decode(payload)
                 h_src, w_src = pix.shape[:2]
                 yi = (np.arange(height) * h_src) // height
                 xi = (np.arange(width) * w_src) // width
                 resized = pix[yi][:, xi]
-                rows.append((mid, kind, bmp_encode(resized), width, height, dur))
+                rows.append((mid, kind, _image_encode(resized, payload), width, height, dur))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "kind", "payload", "width", "height", "duration_ms"],

@@ -117,27 +117,34 @@ def lsh_topk(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def _seed_centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
+    c = _planes(dim, n_lists, seed)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
 def ivf_assign(
     emb: DataFrame,
     n_lists: int = 16,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF coarse quantizer: (id, list_id) by argmax dot against
-    ``n_lists`` seeded random unit centroids (one numpy matmul per
-    Arrow batch). At scale the assignment table is the partition key —
-    a query touches only its probed lists' partitions."""
+    """IVF coarse quantizer: (id, list_id) by argmax dot against the
+    centroids (one numpy matmul per Arrow batch) — seeded random unit
+    vectors by default, or TRAINED centroids from ivf_train. At scale
+    the assignment table is the partition key — a query touches only
+    its probed lists' partitions."""
+    fixed = centroids
 
     def batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents = None
+        cents = fixed
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             if cents is None:
-                cents = _planes(mat.shape[1], n_lists, seed)
-                cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+                cents = _seed_centroids(mat.shape[1], n_lists, seed)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
@@ -146,6 +153,85 @@ def ivf_assign(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(batch, schema="id long, list_id long")
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_lists: int = 16,
+    n_iters: int = 3,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: ``n_iters`` spherical Lloyd
+    (k-means) iterations as DataFrame ops, seeded-deterministic AND
+    parallelism-independent. Returns the (n_lists, dim) unit centroids.
+
+    Each iteration is ONE Arrow pass that fuses assignment with a
+    map-side partial update: per batch, argmax-assign against the
+    current centroids, then accumulate per-list sums of the
+    INTEGER-QUANTIZED vectors (round(x*1000) int64) plus counts —
+    so the shuffle carries n_lists x dim partial rows per batch, never
+    the vectors, and the reduced sums are exact integers (float sums
+    would depend on partition order and break the pinned-oracle
+    determinism contract). New centroid = mean of members, normalized,
+    rounded to 9 decimals; empty lists keep their previous centroid.
+    The n_lists x dim reduced table collected per iteration is
+    centroid-sized driver traffic, same scale as a convergence scalar."""
+    cents = None
+
+    for _ in range(n_iters):
+        cur = cents  # bind for closure
+
+        def batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = cur
+            for pdf in pdf_iter:
+                if pdf.empty:
+                    continue
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                if c is None:
+                    c = _seed_centroids(mat.shape[1], n_lists, seed)
+                a = np.argmax(mat @ c.T, axis=1)
+                q = np.round(mat * 1000).astype(np.int64)
+                sums = np.zeros((n_lists, mat.shape[1]), dtype=np.int64)
+                np.add.at(sums, a, q)
+                cnts = np.bincount(a, minlength=n_lists)
+                nz = np.nonzero(cnts)[0]
+                dim = mat.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "list_id": np.repeat(nz, dim),
+                        "pos": np.tile(np.arange(dim, dtype=np.int64), len(nz)),
+                        "s": sums[nz].ravel(),
+                        "c": np.repeat(cnts[nz].astype(np.int64), dim),
+                    }
+                )
+
+        parts = (
+            emb.select(id_col, vec_col)
+            .mapInPandas(batch, schema="list_id long, pos long, s long, c long")
+            .groupBy("list_id", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect()
+        )
+        if not parts:
+            raise ValueError("ivf_train: empty embedding table")
+        dim = 1 + max(r["pos"] for r in parts)
+        if cents is None:
+            cents = _seed_centroids(dim, n_lists, seed)
+        new = cents.copy()
+        counts = np.zeros(n_lists, dtype=np.int64)
+        sums = np.zeros((n_lists, dim), dtype=np.int64)
+        for r in parts:
+            sums[r["list_id"], r["pos"]] = r["s"]
+            counts[r["list_id"]] = r["c"]
+        member = counts > 0
+        means = sums[member] / (counts[member, None] * 1000.0)
+        norms = np.linalg.norm(means, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new[member] = np.round(means / norms, 9)
+        cents = new
+    return cents
 
 
 def ivf_topk(
@@ -157,14 +243,18 @@ def ivf_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` centroids closest
-    to the query, exact cosine inside the probed lists only."""
+    to the query, exact cosine inside the probed lists only.
+    ``centroids`` switches from seeded random lists to TRAINED ones
+    (ivf_train) — same probing, better-balanced lists/recall."""
     q = np.asarray(query, dtype=np.float64)
-    cents = _planes(len(query), n_lists, seed)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = (
+        centroids if centroids is not None else _seed_centroids(len(query), n_lists, seed)
+    )
     probes = np.argsort(-(cents @ q))[:n_probe].tolist()
-    assign = ivf_assign(emb, n_lists, seed, id_col, vec_col)
+    assign = ivf_assign(emb, n_lists, seed, id_col, vec_col, centroids=cents)
     cand_ids = assign.filter(F.col("list_id").isin(*probes)).select(
         F.col("id").alias(id_col)
     )

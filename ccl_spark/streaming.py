@@ -158,6 +158,62 @@ def streaming_dedup(
     )
 
 
+def latest_cc_labels(spark, root: str):
+    """(version, labels DataFrame) of the newest COMPLETE snapshot under
+    ``root`` written by streaming_cc, or None. Completeness is judged by
+    the parquet _SUCCESS marker (same contract as SuperstepHarness)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    rootp = jvm_path(root)
+    fs = rootp.getFileSystem(conf)
+    if not fs.exists(rootp):
+        return None
+    versions = []
+    for status in fs.listStatus(rootp):
+        name = status.getPath().getName()
+        if name.startswith("labels_v"):
+            v = int(name[len("labels_v"):])
+            if fs.exists(jvm_path(f"{root}/labels_v{v}/_SUCCESS")):
+                versions.append(v)
+    if not versions:
+        return None
+    best = max(versions)
+    return best, spark.read.parquet(f"{root}/labels_v{best}")
+
+
+def streaming_cc(
+    edge_stream: DataFrame,
+    root: str,
+    src: str = "src",
+    dst: str = "dst",
+):
+    """Continuous crawl-snapshot fold-in: each microbatch of edges
+    merges into the persisted component labels via
+    components.incremental_cc (prior labels enter the union-find as
+    already-converged star edges, so only newly-connected regions
+    iterate), and the updated ``(vertex, component)`` table lands in
+    ``root/labels_v{batch_id}`` — the streaming generalization of the
+    reference's slice-by-slice ccl_relabel2 linking
+    (ccl_marker_stack.py:262-723). Labels stay canonical minima, so the
+    stream's final snapshot equals from-scratch CC over all edges seen
+    (pinned by tests/test_streaming.py::test_streaming_cc_parity) and
+    the fold is insensitive to batch order.
+
+    Returns the DataStreamWriter — caller sets checkpointLocation /
+    trigger and calls .start(). Use trigger(availableNow=True) to fold
+    a backlog and stop."""
+    from .components import incremental_cc
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = latest_cc_labels(spark, root)
+        prev = latest[1] if latest is not None else None
+        out = incremental_cc(prev, batch_df, src, dst)
+        out.write.mode("overwrite").parquet(f"{root}/labels_v{batch_id}")
+
+    return edge_stream.writeStream.foreachBatch(fold)
+
+
 def running_ages(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Custom stateful operator: per-key running lifetime stats."""
     return (

@@ -245,6 +245,65 @@ def test_multimodal_codec_roundtrip_and_seam(spark):
         bmp_decode(bytes(topdown))
 
 
+def test_png_roundtrip_and_filters(spark):
+    """PNG: encode->decode identity (stored-block and compressed), the
+    size formula the oracle re-derives, and decode of ALL five scanline
+    filter types via an independently forward-filtered stream (what an
+    external writer would emit)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ccl_spark.multimodal import _png_chunk, png_decode, png_encode
+
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    payload = png_encode(pix)
+    assert np.array_equal(png_decode(payload), pix)
+    assert len(payload) == 68 + 17 * (3 * 23 + 1)  # oracle formula
+    # a really-compressed stream decodes identically too
+    assert np.array_equal(png_decode(png_encode(pix, level=6)), pix)
+
+    # forward-filter each scanline with filter type y%5 (independent
+    # reference implementation of the PNG spec's filter definitions)
+    h, w = pix.shape[:2]
+    stride = 3 * w
+    flat = pix.reshape(h, stride).astype(np.int32)
+    raw = b""
+    for y in range(h):
+        ft = y % 5
+        cur, up = flat[y], (flat[y - 1] if y else np.zeros(stride, np.int32))
+        left = np.concatenate([[0, 0, 0], cur[:-3]])
+        ul = np.concatenate([[0, 0, 0], up[:-3]])
+        if ft == 0:
+            out = cur
+        elif ft == 1:
+            out = cur - left
+        elif ft == 2:
+            out = cur - up
+        elif ft == 3:
+            out = cur - (left + up) // 2
+        else:
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+            out = cur - pred
+        raw += bytes([ft]) + (out % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ext = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(ext), pix)
+    # unsupported variants refuse at the guard
+    bad = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # RGBA
+    with pytest.raises(NotImplementedError, match="truecolor"):
+        png_decode(b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", bad))
+
+
 def test_ivf_topk_finds_near_dup(spark, emb):
     rows = emb.collect()
     q = [float(x) for x in dict((r.vec_id, r.embedding) for r in rows)[3]]
@@ -257,6 +316,62 @@ def test_ivf_topk_finds_near_dup(spark, emb):
     a = sorted((r.id, r.list_id) for r in ivf_assign(emb, 8).collect())
     b = sorted((r.id, r.list_id) for r in ivf_assign(emb.repartition(9), 8).collect())
     assert a == b
+
+
+def test_ivf_trained_recall(spark):
+    """Trained centroids (ivf_train k-means): MEAN recall@10 over 20
+    queries vs the exact brute-force top-10 must be >= the
+    random-centroid baseline (single-query recall is coin-flip noise;
+    measured 0.555 vs 0.49 at n_probe=4 on this corpus), and training
+    must be deterministic at any partitioning (exact integer
+    accumulation — the pinned-oracle contract)."""
+    import numpy as np
+
+    from ccl_spark.similarity import _seed_centroids, ivf_topk, ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = ivf_train(emb, n_lists=16, n_iters=3)
+    cents2 = ivf_train(emb.repartition(7), n_lists=16, n_iters=3)
+    assert np.array_equal(cents, cents2)
+
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.vstack([r.embedding for r in rows]).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    def mean_recall(c: np.ndarray) -> float:
+        assign = np.argmax(M @ c.T, axis=1)
+        tot = 0
+        for qi in range(20):
+            q = Mn[qi]
+            sims = Mn @ q
+            sims[qi] = -2
+            exact = set(ids[np.argsort(-sims)[:10]])
+            probes = set(np.argsort(-(c @ q))[:4])
+            cand = np.array(
+                [i for i in range(len(ids)) if assign[i] in probes and i != qi]
+            )
+            got = set(ids[cand[np.argsort(-(Mn[cand] @ q))[:10]]])
+            tot += len(got & exact)
+        return tot / 200.0
+
+    r_rand = mean_recall(_seed_centroids(M.shape[1], 16, 7))
+    r_train = mean_recall(cents)
+    assert r_train >= r_rand, (r_train, r_rand)
+
+    # engine path agrees with the numpy evaluation for one query
+    i0 = int(np.where(ids == 0)[0][0])
+    q0 = [float(x) for x in M[i0]]
+    base = emb.filter("vec_id <> 0")
+    eng = {
+        r.vec_id
+        for r in ivf_topk(base, q0, k=10, n_lists=16, n_probe=4, centroids=cents).collect()
+    }
+    assign = np.argmax(M @ cents.T, axis=1)
+    probes = set(np.argsort(-(cents @ Mn[i0]))[:4])
+    cand = np.array([i for i in range(len(ids)) if assign[i] in probes and i != i0])
+    ref = set(ids[cand[np.argsort(-(Mn[cand] @ Mn[i0]))[:10]]])
+    assert eng == ref
 
 
 def test_vocabulary(spark):

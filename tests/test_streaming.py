@@ -122,3 +122,49 @@ def test_streaming_dedup(spark, tmp_path):
     dup_groups = exact_duplicates(spark.read.parquet(str(src))).collect()
     keepers = {r.keep_doc_id for r in dup_groups}
     assert keepers <= {r[0] for r in got}
+
+
+def test_streaming_cc_parity(spark, tmp_path):
+    """Crawl-snapshot fold-in: stream the edge set in 3 file-batches
+    through streaming_cc (foreachBatch incremental_cc); the final
+    label snapshot must equal from-scratch CC over ALL edges, and
+    intermediate snapshots must exist per processed batch."""
+    from ccl_spark.cc import connected_components
+    from ccl_spark.streaming import latest_cc_labels, streaming_cc
+
+    # a chain split across batches so components MERGE at fold time:
+    # batch files each hold a third of a 30-vertex path + a separate clique
+    edges = [(i, i + 1) for i in range(29)] + [(100, 101), (101, 102), (100, 102)]
+    src_dir = tmp_path / "edges_in"
+    src_dir.mkdir()
+    for b in range(3):
+        chunk = [e for i, e in enumerate(edges) if i % 3 == b]
+        spark.createDataFrame(chunk, "src long, dst long").coalesce(1).write.parquet(
+            str(src_dir / f"b{b}")
+        )
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    root = str(tmp_path / "cc_snapshots")
+    q = (
+        streaming_cc(stream, root)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    latest = latest_cc_labels(spark, root)
+    assert latest is not None
+    version, labels = latest
+    assert version >= 2  # one snapshot per file-batch
+    got = {r.vertex: r.component for r in labels.collect()}
+    exp = {
+        r.vertex: r.component
+        for r in connected_components(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    assert got == exp
