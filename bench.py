@@ -56,9 +56,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    def settle():
+        # ContextCleaner frees superseded localCheckpoint/cache blocks
+        # only after a DRIVER gc surfaces the dead references; without
+        # this, rep 2 can run against a half-full storage pool and
+        # swing 2x+ (same hygiene as bench_scaling, round-3 verdict)
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        time.sleep(0.5)
+
     def timed(name, fn):
         best, out = None, None
         for _ in range(reps):
+            settle()
             t0 = time.monotonic()
             out = fn()
             dt = time.monotonic() - t0

@@ -78,28 +78,43 @@ def with_salt(edges: DataFrame, n_salts: int = 64) -> DataFrame:
     return edges.withColumn("salt", F.pmod(F.xxhash64("src"), F.lit(n_salts)).cast("int"))
 
 
-def cache_partitioned(df: DataFrame, *keys: str) -> DataFrame:
-    """Hash-partition ``df`` on ``keys`` and pin it IN CACHE so every
-    subsequent equi-join on those keys reuses the partitioning (the
-    join exchanges only its other side).
+def cache_partitioned(df: DataFrame, *keys: str, colocate: bool = False) -> DataFrame:
+    """Pin an iteration-lifetime table (the edge relation of an
+    iterative algorithm) in executor storage, in one of two measured
+    shapes (round-4 finding; call ``.unpersist()`` when done):
 
-    This must be ``persist()``, not ``localCheckpoint()``: a
-    checkpointed RDD reports UnknownPartitioning, so Catalyst silently
-    re-exchanges it in every join — which turned the iterative
-    algorithms' "shuffle the edge table once" promise into a full
-    edge-table exchange per iteration (round-4 finding; the cached
-    plan keeps its HashPartitioning — audited by
-    tests/test_plan_audits.py::test_cache_partitioned_join_reuses_partitioning).
-    The partition count is pinned to spark.sql.shuffle.partitions so
-    the cached layout is compatible with the state-side exchanges.
+    ``colocate=True`` — ``repartition(keys).persist()``: the cached
+    plan keeps its HashPartitioning (partition count pinned to
+    spark.sql.shuffle.partitions), so every equi-join on ``keys``
+    reuses it and exchanges ONLY its other side — zero edge-relation
+    exchanges per iteration (audited by tests/test_plan_audits.py::
+    test_cache_partitioned_join_reuses_partitioning). This is the
+    cluster shape: on a 1000-executor network, re-exchanging a 10^12-
+    edge table every iteration is the dominant cost, and the durable
+    equivalent is a bucketed/cluster-keyed Iceberg table.
 
-    At 100 TB the equivalent durable structure is a bucketed/
-    cluster-keyed Iceberg table; this is the in-memory form for
-    iteration-lifetime reuse. Call ``.unpersist()`` when done."""
-    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    out = df.repartition(sp, *keys).persist()
-    out.count()
-    return out
+    ``colocate=False`` (default) — plain eager ``localCheckpoint()``:
+    a checkpointed RDD reports UnknownPartitioning, so each
+    materialized job re-exchanges the table — but ONCE per job, not
+    once per iteration: Catalyst's ReusedExchange shares the exchange
+    across all fused iterations inside the job, and its output is
+    shuffle files read back cheaply. NOTE ``localCheckpoint`` of a
+    ``repartition(key)`` does NOT keep the partitioning (measured:
+    UnknownPartitioning, both join sides re-exchanged), so no
+    repartition is done here — it would be a wasted shuffle.
+
+    Measured on this single-node/tmpfs sandbox (where a shuffle is a
+    memory copy): checkpoint beats persist at BOTH 340k and 6.8M edges
+    (PageRank to 1e-6: 58s vs 81s; HITS 10 iters: 76s vs 102s) because
+    the persisted table pays columnar cache decode on every one of the
+    fused plan's edge scans while the exchange is paid once per job.
+    On a network-bound cluster the trade reverses, hence the switch."""
+    if colocate:
+        sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        out = df.repartition(sp, *keys).persist()
+        out.count()
+        return out
+    return df.localCheckpoint(eager=True)
 
 
 def url_vertices(pages: DataFrame) -> DataFrame:

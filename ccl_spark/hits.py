@@ -4,29 +4,33 @@ Per iteration: authority(v) = sum of hub over in-neighbors, then
 L2-normalize; hub(u) = sum of authority over out-neighbors, then
 L2-normalize.
 
-Scale shape: the edge table is shuffled ONCE per join orientation —
-TWO cached copies are materialized up front, ``e_src`` hash-partitioned
-by src (authority half-step) and ``e_dst`` by dst (hub half-step) — so
-every iteration's joins reshuffle only the |V|-sized state table, never
-the edge relation (round-3 verdict: the single-orientation version
-re-exchanged the full edge table on the dst side every iteration; at
-10^12 edges that exchange is the dominant per-iteration cost and the
-second copy is the textbook space-for-shuffle trade).
+Scale shape (round-4 rework, all measured — see edges.cache_partitioned
+for the numbers):
 
-The orientations are ``repartition(key).persist()`` — NOT
-localCheckpoint: a checkpointed RDD reports UnknownPartitioning, so
-Catalyst re-exchanges it in every join, while a cached plan keeps its
-HashPartitioning and the join reuses it (measured on this Spark:
-0 exchanges above the InMemoryTableScan; asserted by
-tests/test_plan_audits.py::test_hits_iteration_no_edge_exchange).
-Each half-step is one co-located equi-join + one map-side-combined
-groupBy sum; the normalization scalar is a 1-row aggregate broadcast
-into the plan.
+- ``iters_per_check=2`` fuses two full iterations per materialization,
+  so the edge-relation exchanges inside a job are shared by Catalyst's
+  ReusedExchange instead of being paid per iteration (6.8M edges, 10
+  iters: 75s -> 61s; k=3's plan depth erodes the gain back to 71s).
+- ``colocate=True`` switches to TWO cached co-partitioned edge
+  orientations (``e_src`` by src for the authority half-step, ``e_dst``
+  by dst for the hub half-step) so NEITHER join ever exchanges the
+  edge relation — only the |V|-sized state shuffles (plan-audited by
+  tests/test_plan_audits.py::test_hits_iteration_no_edge_exchange).
+  That is the shape for network-bound clusters where an edge exchange
+  dominates; on this single-node sandbox the columnar cache decode
+  costs more than the tmpfs shuffle, so the default is the checkpoint
+  + fused-exchange-reuse shape.
+
+Each half-step is one equi-join + one map-side-combined groupBy sum;
+the normalization scalar is a 1-row aggregate broadcast into the plan.
 
 Fixed-iteration mode (tol=0) replays a deterministic sequence, which
-is what the driver-gate's chained-CTE oracle reproduces; in that mode
-no delta aggregation runs at all (ADVICE r3) — state is materialized
-by an eager localCheckpoint and the convergence scan is skipped.
+is what the driver-gate's chained-CTE oracle reproduces (block fusion
+never changes the arithmetic or the iteration count); in that mode no
+delta aggregation runs at all (ADVICE r3) — state is materialized by
+an eager localCheckpoint and the convergence scan is skipped. With
+``tol > 0`` the check runs once per block, so convergence may overshoot
+by up to k-1 iterations — never stop early.
 """
 
 from __future__ import annotations
@@ -34,8 +38,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _prepare(edges: DataFrame, src: str, dst: str):
-    """Vertex set + the two cached, co-partitioned edge orientations."""
+def _prepare(edges: DataFrame, src: str, dst: str, colocate: bool = False):
+    """Vertex set + the edge table(s): two cached co-partitioned
+    orientations when colocating, one shared checkpoint otherwise
+    (duplicating the bytes buys nothing without pinned partitioning)."""
+    from .edges import cache_partitioned
+
     pairs = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).distinct()
@@ -45,10 +53,11 @@ def _prepare(edges: DataFrame, src: str, dst: str):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    from .edges import cache_partitioned
-
-    e_src = cache_partitioned(pairs, "src")
-    e_dst = cache_partitioned(pairs, "dst")
+    if colocate:
+        e_src = cache_partitioned(pairs, "src", colocate=True)
+        e_dst = cache_partitioned(pairs, "dst", colocate=True)
+    else:
+        e_src = e_dst = cache_partitioned(pairs, "src")
     return verts, e_src, e_dst
 
 
@@ -63,14 +72,16 @@ def _normalized(scores: DataFrame, col: str) -> DataFrame:
 
 
 def _msgs_auth(e_src: DataFrame, state: DataFrame) -> DataFrame:
-    """The authority half-step's edge x state join — e_src's cached
-    HashPartitioning(src) is reused, only state shuffles (plan-audited)."""
+    """The authority half-step's edge x state join — with colocated
+    orientations, e_src's cached HashPartitioning(src) is reused and
+    only state shuffles (plan-audited)."""
     return e_src.join(state.select(F.col("vertex").alias("src"), "hub"), "src")
 
 
 def _msgs_hub(e_dst: DataFrame, auth: DataFrame) -> DataFrame:
-    """The hub half-step's edge x authority join — e_dst's cached
-    HashPartitioning(dst) is reused, only auth shuffles (plan-audited)."""
+    """The hub half-step's edge x authority join — with colocated
+    orientations, e_dst's cached HashPartitioning(dst) is reused and
+    only auth shuffles (plan-audited)."""
     return e_dst.join(auth.select(F.col("vertex").alias("dst"), "authority"), "dst")
 
 
@@ -110,31 +121,38 @@ def hits(
     dst: str = "dst",
     max_iter: int = 20,
     tol: float = 0.0,
+    iters_per_check: int = 2,
+    colocate: bool = False,
 ) -> DataFrame:
     """Return ``(vertex long, hub double, authority double)``, both
     scores L2-normalized. ``tol > 0`` stops early when the max
-    per-vertex change of both scores drops below it."""
-    verts, e_src, e_dst = _prepare(edges, src, dst)
+    per-vertex change of both scores drops below it (checked once per
+    fused block)."""
+    verts, e_src, e_dst = _prepare(edges, src, dst, colocate=colocate)
 
     # init all-ones; the in-iteration normalization makes the sequence
     # of NORMALIZED scores independent of the initial scaling
     state = verts.select(
         "vertex", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        auth = _auth_step(e_src, state, verts)
-        hub = _hub_step(e_dst, auth, verts)
+    k = max(int(iters_per_check), 1)
+    it = 0
+    while it < max_iter:
+        kk = min(k, max_iter - it)
+        s = state
+        for _ in range(kk):
+            auth = _auth_step(e_src, s, verts)
+            hub = _hub_step(e_dst, auth, verts)
+            s = _join2(s.select("vertex"), hub, auth)
         if tol > 0:
             nxt = (
-                _join2(
-                    state.select(
-                        "vertex",
-                        F.col("hub").alias("old_hub"),
-                        F.col("authority").alias("old_authority"),
-                    ),
-                    hub,
-                    auth,
-                ).localCheckpoint(eager=False)
+                state.select(
+                    "vertex",
+                    F.col("hub").alias("old_hub"),
+                    F.col("authority").alias("old_authority"),
+                )
+                .join(s, "vertex")
+                .localCheckpoint(eager=False)
             )
             delta = nxt.agg(
                 F.max(
@@ -145,16 +163,17 @@ def hits(
                 )
             ).first()[0]
             state = nxt.select("vertex", "hub", "authority")
+            it += kk
             if delta is not None and delta < tol:
                 break
         else:
             # fixed-iteration mode: no discarded delta aggregation
             # (ADVICE r3) — the eager checkpoint is the materializer
-            state = _join2(
-                state.select("vertex"), hub, auth
-            ).localCheckpoint(eager=True)
+            state = s.localCheckpoint(eager=True)
+            it += kk
     e_src.unpersist()
-    e_dst.unpersist()
+    if e_dst is not e_src:
+        e_dst.unpersist()
     return state
 
 

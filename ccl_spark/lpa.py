@@ -8,11 +8,12 @@ sequential numbering forced is kept here by construction.
 
 Per superstep: one join (labels onto the undirected neighbor table) +
 one count aggregation + one row_number window — all JVM-side. The
-neighbor table is built once, repartitioned by the JOIN key (``v``,
-the neighbor side the labels attach to) and cached with ``persist()``
-— NOT localCheckpoint, which reports UnknownPartitioning and forces a
-full neighbor-table re-exchange every round (round-4 finding, see
-hits.py) — so each round reshuffles only the |V|-sized labels.
+neighbor table is pinned once for the run via edges.cache_partitioned
+(default: checkpoint, with the per-job exchange shared across the
+fused rounds by ReusedExchange; ``colocate=True``: cached
+HashPartitioning on the JOIN key ``v`` so rounds never exchange the
+neighbor table — the network-bound-cluster shape; see
+cache_partitioned for the measurements behind the default).
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ def label_propagation(
     max_iter: int = 10,
     vertices: DataFrame | None = None,
     rounds_per_check: int = 3,
+    colocate: bool = False,
 ) -> DataFrame:
     """Return ``(vertex long, label long)`` after at most ``max_iter``
     synchronous rounds (stops early when no label changes).
@@ -47,6 +49,7 @@ def label_propagation(
         .filter(F.col("u") != F.col("v"))
         .distinct(),
         "v",
+        colocate=colocate,
     )
     verts = pairs.select(F.col("u").alias("vertex")).unionByName(
         pairs.select(F.col("v").alias("vertex"))

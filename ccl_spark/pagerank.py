@@ -40,6 +40,7 @@ def pagerank(
     harness: SuperstepHarness | None = None,
     iters_per_check: int = 3,
     seeds: list[int] | None = None,
+    colocate: bool = False,
 ) -> DataFrame:
     """Return ``(vertex long, rank double)``; ranks sum to 1.
 
@@ -89,17 +90,15 @@ def pagerank(
     resumed = harness.latest() if harness is not None else None
     if resumed is not None:
         start = resumed[0]
-    # one-time shuffle of the big side; reused by every iteration's join
-    # via persist() — NOT localCheckpoint, whose RDD reports
-    # UnknownPartitioning and silently re-exchanges the edge table in
-    # every iteration's join (round-4 finding; a cached plan keeps its
-    # HashPartitioning, so only the |V|-sized ranks shuffle — the
-    # mechanism is audited by tests/test_plan_audits.py::
-    # test_cache_partitioned_join_reuses_partitioning).
-    # With a harness the weighted edge table ALSO goes to DURABLE
-    # storage (parquet; Iceberg at scale) — at 100 TB the edge table
-    # must not be pinned in executor storage, and a resumed run must
-    # find it again; the read-back is re-bucketed + cached the same way.
+    # the weighted edge table is pinned once for the iteration's
+    # lifetime; see edges.cache_partitioned for the two measured
+    # shapes (default: checkpoint + per-job ReusedExchange across the
+    # fused iterations; colocate=True: cached HashPartitioning(src) so
+    # the per-iteration join never exchanges the edge relation — the
+    # network-bound-cluster shape). With a harness the table ALSO goes
+    # to DURABLE storage (parquet; Iceberg at scale) — at 100 TB the
+    # edge table must not be pinned in executor storage, and a resumed
+    # run must find it again.
     edges_w = pairs.join(out_deg, "src")
     if harness is not None:
         from .superstep import fs_exists
@@ -153,7 +152,7 @@ def pagerank(
         edges_w = harness.spark.read.parquet(epath)
     from .edges import cache_partitioned
 
-    edges_w = cache_partitioned(edges_w, "src")
+    edges_w = cache_partitioned(edges_w, "src", colocate=colocate)
     # iteration state carries deg so delta + next-dangling come from ONE
     # aggregation job per iteration (driver round-trips are the fixed
     # cost that caps strong scaling on small inputs)

@@ -80,10 +80,11 @@ def _edge_side_not_exchanged(plan: str) -> bool:
 
 def test_cache_partitioned_join_reuses_partitioning(spark):
     """The shared primitive behind PageRank / HITS / LPA edge caching
-    (edges.cache_partitioned): an equi-join on the cached key must NOT
-    re-exchange the cached side — localCheckpoint loses the
-    partitioning (UnknownPartitioning), persist keeps it (round-4
-    finding; this is what makes 'shuffle the edge table once' true)."""
+    (edges.cache_partitioned): with colocate=True, an equi-join on the
+    cached key must NOT re-exchange the cached side — localCheckpoint
+    loses the partitioning (UnknownPartitioning), the cached plan keeps
+    it (round-4 finding; this is what makes 'shuffle the edge table
+    once' literally true on a cluster)."""
     from pyspark.sql import functions as F
 
     from ccl_spark.edges import cache_partitioned
@@ -94,13 +95,15 @@ def test_cache_partitioned_join_reuses_partitioning(spark):
         pairs = spark.range(5000).select(
             (F.col("id") % 500).alias("src"), ((F.col("id") * 7 + 1) % 500).alias("dst")
         )
-        e = cache_partitioned(pairs, "src")
+        e = cache_partitioned(pairs, "src", colocate=True)
         state = spark.range(500).select(
             F.col("id").alias("src"), F.lit(1.0).alias("rank")
         ).localCheckpoint(eager=True)
         assert _edge_side_not_exchanged(_executed(e.join(state, "src")))
-        # control: the localCheckpoint version DOES re-exchange
-        e_ckpt = pairs.repartition("src").localCheckpoint(eager=True)
+        # control: the default (checkpoint) shape re-exchanges BOTH
+        # sides — acceptable only because the exchange is shared per
+        # job by ReusedExchange across fused iterations
+        e_ckpt = cache_partitioned(pairs, "src")
         bad = _executed(e_ckpt.join(state, "src"))
         assert "InMemoryTableScan" not in bad
         assert bad.count("Exchange hashpartitioning") == 2
@@ -110,10 +113,10 @@ def test_cache_partitioned_join_reuses_partitioning(spark):
 
 
 def test_hits_iteration_no_edge_exchange(spark):
-    """HITS's plan promise (round-3 verdict): with the two cached edge
-    orientations, NEITHER half-step join re-exchanges the edge
-    relation — only the |V|-sized state shuffles. Audits the REAL
-    half-step builders hits() iterates."""
+    """HITS's plan promise (round-3 verdict): in colocate mode, with
+    the two cached edge orientations, NEITHER half-step join
+    re-exchanges the edge relation — only the |V|-sized state
+    shuffles. Audits the REAL half-step builders hits() iterates."""
     from pyspark.sql import functions as F
 
     from ccl_spark.hits import _msgs_auth, _msgs_hub, _prepare, hits
@@ -124,7 +127,7 @@ def test_hits_iteration_no_edge_exchange(spark):
         edges = spark.createDataFrame(
             [(i, (i * 7 + 1) % 40) for i in range(200)], "src long, dst long"
         )
-        verts, e_src, e_dst = _prepare(edges, "src", "dst")
+        verts, e_src, e_dst = _prepare(edges, "src", "dst", colocate=True)
         state = verts.select(
             "vertex", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
         ).localCheckpoint(eager=True)
