@@ -1016,13 +1016,15 @@ def q_golden_segmented_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal REAL-decode end-to-end: synth emits valid BMP/WAV/AVI
-    containers, the Arrow stage parses them with pure-numpy codecs, and
-    width/height come from the DECODED headers while n_bytes is the
-    container size — all deterministic arithmetic of media_id, so the
-    DuckDB oracle re-derives the BMP/WAV/AVI size formulas
-    independently. The NotImplementedError seam remains only for
-    JPEG/MP4-class compressed formats (multimodal._codec_seam)."""
+    """Multimodal REAL-decode end-to-end: synth emits valid
+    BMP/PNG/WAV/AVI containers, the Arrow stage parses them with
+    pure-numpy codecs (PNG: stdlib zlib inflate + scanline
+    unfiltering), and width/height come from the DECODED headers while
+    n_bytes is the container size — all deterministic arithmetic of
+    media_id, so the DuckDB oracle re-derives every container-size
+    formula independently (PNG level-0 emits deflate STORED blocks,
+    making its size a closed formula too). The NotImplementedError
+    seam remains only for lossy codecs (multimodal._codec_seam)."""
     from ccl_spark.multimodal import decode_features, synth_media
 
     feats = decode_features(synth_media(spark, 200, seed=42), dim=16, real_decode=True)

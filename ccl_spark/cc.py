@@ -226,6 +226,8 @@ def connected_components(
     rounds_per_check: int = 1,
     broadcast_threshold: int = 10_000,
     local_finish_threshold: int = 4_000_000,
+    late_fuse_threshold: int = 0,
+    late_rounds_per_check: int = 3,
 ) -> DataFrame:
     """Return ``(vertex long, component long)``.
 
@@ -255,10 +257,21 @@ def connected_components(
     - ``rounds_per_check``: star rounds fused per materialization /
       convergence check (an extra fused round at the fixpoint is
       idempotent, so any value is correct). Measured on this box:
-      fusing LOSES at both 341k and 6.8M edges (the deeper
-      per-job DAG costs more than the saved signature job), so the
-      default is 1; the knob exists for cluster topologies where
+      fusing LOSES at both 341k and 6.8M edges at FULL frontier (the
+      deeper per-job DAG costs more than the saved signature job), so
+      the default is 1; the knob exists for cluster topologies where
       per-job scheduling dominates per-stage cost.
+    - ``late_fuse_threshold`` / ``late_rounds_per_check``: adaptive
+      fusion for rounds whose surviving edge set is below the
+      threshold (round-3 verdict ask, tried and MEASURED OFF by
+      default): at 6.8M input edges / 1.98M-pair fixpoint, fusing
+      sub-4M rounds ran 1.9-2.9x SLOWER at both 1x4 and 4x4 executors
+      (47.8s -> 91.7s; 21.3s -> 61.9s) — within a lazily-checkpointed
+      fused block each star round re-references its input ~3x with no
+      materialization between, so the recomputation bound grows ~9^k
+      and swamps the saved per-round fixed cost. The knob remains for
+      genuinely tiny tails (<= broadcast_threshold scale) on
+      schedulers with second-scale job latency; 0 (default) disables.
     - ``broadcast_threshold``: once the surviving edge set is smaller
       than this, the per-vertex min table is broadcast (explicit
       BroadcastExchange) so late rounds stop shuffling the frontier.
@@ -348,10 +361,13 @@ def connected_components(
             converged = True
             break
         bcast = sig[0] <= broadcast_threshold
+        k = max(rounds_per_check, 1)
+        if late_fuse_threshold and 0 < sig[0] <= late_fuse_threshold:
+            k = max(k, int(late_rounds_per_check))
         # lazy checkpoint: the signature aggregation is the action that
         # materializes it — one job per fused round group instead of two
         nxt = cur
-        for _ in range(max(rounds_per_check, 1)):
+        for _ in range(k):
             nxt = small_star(
                 large_star(nxt, canonical=True, broadcast_mins=bcast),
                 canonical=True,

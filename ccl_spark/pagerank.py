@@ -41,6 +41,8 @@ def pagerank(
     iters_per_check: int = 3,
     seeds: list[int] | None = None,
     colocate: bool = False,
+    frontier: bool = False,
+    frontier_theta: float = 0.1,
 ) -> DataFrame:
     """Return ``(vertex long, rank double)``; ranks sum to 1.
 
@@ -71,6 +73,22 @@ def pagerank(
     unreachable from them converge to 0. The uniform path is left
     arithmetically untouched (bit-identical to the fixed-iteration
     oracle sequence).
+
+    ``frontier`` (tol > 0 only) switches to residual-push delta
+    propagation (_frontier_loop): the contribution sum is maintained
+    incrementally and each iteration joins the edge table only against
+    sources whose accumulated change exceeds ``frontier_theta * tol``,
+    with convergence declared ONLY after an exact-refresh iteration
+    passes the same successive-delta test — so the answer meets the
+    identical tolerance contract (parity-tested to ~1e-8). Measured
+    honestly (round 4): it LOSES on this corpus — 22.5s vs 17.2s at
+    341k edges, worse at 6.8M — because global-PageRank deltas decay
+    uniformly (the frontier only empties in the final iterations, and
+    the deferred-residual waves slow the measured convergence), and
+    the iteration count to 1e-6 is already small (~16) since ranks are
+    ~1/n-scale. Kept non-default as the shape for workloads where
+    change IS localized (incremental rank maintenance on a slowly
+    mutating graph).
     """
     pairs = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -183,6 +201,17 @@ def pagerank(
 
     base = (1.0 - damping) / n
     k = min(max(int(iters_per_check), 1), 6)  # see docstring: plan growth ~3^k
+    if frontier and tol > 0:
+        if harness is not None:
+            raise ValueError(
+                "pagerank: frontier mode does not support harness "
+                "checkpoint/resume (its state carries residuals a resumed "
+                "plain run would misread); run with frontier=False"
+            )
+        return _frontier_loop(
+            edges_w, state, n, damping, tol, max_iter, seeds,
+            theta=frontier_theta * tol, k=min(k, 3),
+        )
     it = start
     while it < max_iter:
         t0 = harness.timer() if harness is not None else None
@@ -239,3 +268,167 @@ def pagerank(
         edges_w.unpersist()
         return state.select("vertex", "rank")
     raise RuntimeError(f"pagerank: no convergence to {tol} in {max_iter} iterations")
+
+
+def _dang_and_update(s: DataFrame, n: int, damping: float, seeds):
+    """(dangling 1-row aggregate, new-rank expression) — shared by the
+    plain and frontier loops; uniform mode divides the dangling sum by
+    n inside the aggregate to keep the original arithmetic."""
+    dang_sum = F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0)))
+    if seeds is None:
+        dang = s.agg((dang_sum / F.lit(float(n))).alias("dn"))
+        new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+            F.col("contrib") + F.col("dn")
+        )
+    else:
+        dang = s.agg(dang_sum.alias("dn"))
+        new_rank = F.lit(1.0 - damping) * F.col("tele") + F.lit(damping) * (
+            F.col("contrib") + F.col("dn") * F.col("tele")
+        )
+    return dang, new_rank
+
+
+def _frontier_loop(
+    edges_w: DataFrame,
+    state0: DataFrame,
+    n: int,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    seeds,
+    theta: float,
+    k: int,
+) -> DataFrame:
+    """Residual-push ("frontier") power iteration: maintain the full
+    contribution sum ``contrib = P^T r`` incrementally and, each
+    iteration, join the edge table only against sources whose
+    ACCUMULATED rank change exceeds ``theta`` — late iterations touch
+    a shrinking frontier of edges instead of all of them (Gauss-Seidel
+    -flavored delta propagation; same idea as incremental/push PageRank
+    in the literature).
+
+    Correctness contract: residuals are never dropped — a source below
+    theta keeps accumulating until it crosses it — and convergence is
+    only DECLARED after an EXACT refresh: when the incremental deltas
+    fall below tol, contrib is recomputed from scratch and one full
+    iteration runs; its true successive delta must itself be < tol
+    (the same stopping criterion as the plain loop), else iteration
+    continues from the refreshed exact state. So theta only shapes
+    wall time, never the answer's tolerance."""
+    # initial exact contribution sum (one full join — the same work one
+    # plain iteration does)
+    def full_contrib(st: DataFrame) -> DataFrame:
+        return (
+            edges_w.join(st.select("vertex", "rank"), edges_w.src == F.col("vertex"))
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+
+    fc = full_contrib(state0)
+    state = (
+        state0.join(fc, state0.vertex == fc.dst, "left")
+        .select(
+            "vertex",
+            "deg",
+            "tele",
+            "rank",
+            F.coalesce("contrib", F.lit(0.0)).alias("contrib"),
+            F.lit(0.0).alias("res"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    it = 0
+    while it < max_iter:
+        kk = min(k, max_iter - it)
+        s = state
+        for _ in range(kk):
+            dang, new_rank = _dang_and_update(s, n, damping, seeds)
+            stepped = (
+                s.crossJoin(F.broadcast(dang))
+                .select(
+                    "vertex",
+                    "deg",
+                    "tele",
+                    "contrib",
+                    "res",
+                    F.col("rank").alias("old"),
+                    new_rank.alias("rank"),
+                )
+                .withColumn("res2", F.col("res") + F.col("rank") - F.col("old"))
+                # dangling sources have no out-edges: their mass moves
+                # through the exact dang aggregate, never through res
+                .withColumn(
+                    "act", (F.abs(F.col("res2")) > theta) & (F.col("deg") > 0)
+                )
+            )
+            push = (
+                edges_w.join(
+                    stepped.filter("act").select(
+                        F.col("vertex").alias("_v"),
+                        (F.col("res2") / F.col("deg")).alias("p"),
+                    ),
+                    edges_w.src == F.col("_v"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("p").alias("dp"))
+            )
+            s = stepped.join(push, stepped.vertex == push.dst, "left").select(
+                "vertex",
+                "deg",
+                "tele",
+                "old",
+                "rank",
+                (F.col("contrib") + F.coalesce("dp", F.lit(0.0))).alias("contrib"),
+                F.when(F.col("act"), F.lit(0.0)).otherwise(F.col("res2")).alias("res"),
+            )
+        nxt = s.localCheckpoint(eager=False)
+        delta = nxt.agg(F.max(F.abs(F.col("rank") - F.col("old")))).first()[0]
+        state = nxt.select("vertex", "deg", "tele", "rank", "contrib", "res")
+        it += kk
+        if delta < tol:
+            # exact refresh: rebuild contrib from scratch, run ONE full
+            # iteration, and require ITS true delta < tol
+            fc2 = full_contrib(state)
+            st2 = (
+                state.select("vertex", "deg", "tele", "rank")
+                .join(fc2, state.vertex == fc2.dst, "left")
+                .select(
+                    "vertex",
+                    "deg",
+                    "tele",
+                    "rank",
+                    F.coalesce("contrib", F.lit(0.0)).alias("contrib"),
+                )
+            )
+            dang, new_rank = _dang_and_update(st2, n, damping, seeds)
+            exact = (
+                st2.crossJoin(F.broadcast(dang))
+                .select(
+                    "vertex",
+                    "deg",
+                    "tele",
+                    "contrib",
+                    F.col("rank").alias("old"),
+                    new_rank.alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            d2 = exact.agg(F.max(F.abs(F.col("rank") - F.col("old")))).first()[0]
+            it += 1
+            if d2 < tol:
+                edges_w.unpersist()
+                return exact.select("vertex", "rank")
+            # not there yet: continue from the exact state — contrib is
+            # P^T(old), so the fresh delta rides in res until pushed
+            state = exact.select(
+                "vertex",
+                "deg",
+                "tele",
+                "rank",
+                "contrib",
+                (F.col("rank") - F.col("old")).alias("res"),
+            ).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"pagerank(frontier): no convergence to {tol} in {max_iter} iterations"
+    )

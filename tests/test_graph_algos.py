@@ -58,6 +58,23 @@ def test_pagerank_chain_with_dangling(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_pagerank_frontier_parity(spark):
+    """Residual-push mode meets the same tolerance contract as the
+    plain loop (uniform AND seeded), including dangling handling —
+    theta shapes wall time, never the answer."""
+    edges = [(i, (i * 7 + 3) % 25) for i in range(40)] + [(3, 30)]  # 30 dangles
+    e = df_edges(spark, edges)
+    for kw in ({}, {"seeds": [1, 2]}):
+        plain = {r.vertex: r.rank for r in pagerank(e, tol=1e-9, **kw).collect()}
+        front = {
+            r.vertex: r.rank
+            for r in pagerank(e, tol=1e-9, frontier=True, **kw).collect()
+        }
+        assert plain.keys() == front.keys()
+        for v in plain:
+            assert front[v] == pytest.approx(plain[v], abs=1e-7)
+
+
 def test_pagerank_star_hub(spark):
     star = [(i, 1000) for i in range(1, 51)]  # 50 spokes -> hub (skew path)
     e = df_edges(spark, star)
