@@ -7,7 +7,8 @@ Package and run:
         dist/main.py cc --edges s3://bucket/edges --out s3://bucket/components \
         --checkpoint s3://bucket/ckpt/run1 --resume
 
-Subcommands: cc | pagerank | lpa | triangles | extract | dedup.
+Subcommands: cc | pagerank | lpa | triangles | extract | dedup |
+dedup-corpus (near-dup pairs -> transitive clusters -> deduped docs).
 Every iterative job takes --checkpoint (superstep state + lineage) and
 --resume (continue the latest complete superstep at that root) — the
 north rule's mid-algorithm resumability.
@@ -34,7 +35,8 @@ def main(argv: list[str] | None = None) -> int:
 
     p = argparse.ArgumentParser(prog="ccl_spark")
     p.add_argument(
-        "algo", choices=["cc", "pagerank", "lpa", "triangles", "extract", "dedup"]
+        "algo",
+        choices=["cc", "pagerank", "lpa", "triangles", "extract", "dedup", "dedup-corpus"],
     )
     p.add_argument("--edges", help="parquet edge table (src, dst)")
     p.add_argument("--pages", help="parquet pages table (extract)")
@@ -79,6 +81,11 @@ def main(argv: list[str] | None = None) -> int:
         from ccl_spark.dedup import near_duplicates
 
         out = near_duplicates(spark.read.parquet(args.docs), threshold=args.threshold)
+    elif args.algo == "dedup-corpus":
+        # full pipeline: pairs -> transitive clusters -> min-id keep-set
+        from ccl_spark.dedup import dedup_corpus
+
+        out = dedup_corpus(spark.read.parquet(args.docs), threshold=args.threshold)
     elif args.algo == "cc":
         out = connected_components(_edges(spark, args.edges), harness=harness)
     elif args.algo == "pagerank":

@@ -92,3 +92,25 @@ def test_cli_dedup_end_to_end(spark, tmp_path):
     assert rc == 0
     pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(opath).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_cli_dedup_corpus_end_to_end(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    dpath = str(tmp_path / "docs_c")
+    docs.write.parquet(dpath)
+    opath = str(tmp_path / "deduped")
+
+    from ccl_spark.cli import main
+
+    rc = main(["dedup-corpus", "--docs", dpath, "--out", opath,
+               "--threshold", "0.5", "--master", "local[4]"])
+    assert rc == 0
+    kept = sorted(r.doc_id for r in spark.read.parquet(opath).collect())
+    assert kept == [0, 2]  # doc 1 is the near-dup of 0; min id wins
