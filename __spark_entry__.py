@@ -301,6 +301,19 @@ r{k} AS MATERIALIZED (
     return pre + "".join(steps) + "\n" + finals
 
 
+def _bpe_segment_sql(rounds: int) -> str:
+    """The same training rounds (shared CTE body with _bpe_sql), but
+    reporting the final SEGMENTATION of every vocabulary word (the
+    encoder's view) — r{rounds} holds each word's symbol sequence."""
+    body = _bpe_sql(rounds).rsplit("\nSELECT CAST(", 1)[0]
+    return (
+        body
+        + f"""
+SELECT word, STRING_AGG(sym, '|' ORDER BY pos) AS seg FROM r{rounds} GROUP BY word
+"""
+    )
+
+
 def _corpus_lpa_sql(iters: int) -> str:
     """Synchronous LPA as chained CTEs over the dumped corpus edges —
     the same deterministic semantics as ccl_spark.lpa (mode of neighbor
@@ -772,6 +785,22 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=BPE_MERGE_ROUNDS)
 
 
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODER parity: train 8 merges, apply them to the
+    vocabulary (textops.bpe_apply), report each word's segmentation;
+    oracle = the same rounds' final symbol table in DuckDB."""
+    from ccl_spark.textops import bpe_apply, bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_merges(docs, n_merges=BPE_MERGE_ROUNDS).orderBy("merge_rank").collect()
+    ]
+    return bpe_apply(docs, merges).select(
+        "word", F.array_join("syms", "|").alias("seg")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints; oracle = pinned expected rows (see
     q_fingerprint)."""
@@ -1104,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_minhash": q_near_dup_minhash,
         "dup_clusters": q_dup_clusters,
         "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
         "simhash": q_simhash,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_exact": q_emb_near_dup_exact,
@@ -1389,6 +1419,7 @@ SELECT MIN(l) AS cluster_id, vertex AS doc_id,
 FROM reach GROUP BY vertex
 """,
         "bpe_merges": _bpe_sql(BPE_MERGE_ROUNDS),
+        "bpe_segment": _bpe_segment_sql(BPE_MERGE_ROUNDS),
         "emb_near_dup_exact": """
 WITH ex AS MATERIALIZED (
     SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -197,44 +197,90 @@ def bpe_merges(
             break
         a, b, c = best["a"], best["b"], int(best["c"])
         out.append((k, a, b, c))
-        marked = (
-            rows.withColumn(
-                "cand",
-                F.coalesce(
-                    (F.col("sym") == F.lit(a)) & (nxt_sym == F.lit(b)), F.lit(False)
-                ),
-            )
-            .withColumn(
-                "rn",
-                F.sum(F.col("cand").cast("long")).over(
-                    wpos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ),
-            )
-            .withColumn("grp", F.col("pos") - F.col("rn"))
-        )
-        wgrp = Window.partitionBy("word", "grp")
-        marked = marked.withColumn(
-            "active",
-            F.col("cand")
-            & (
-                (
-                    (F.col("pos") - F.min(F.when(F.col("cand"), F.col("pos"))).over(wgrp))
-                    % 2
-                )
-                == 0
-            ),
-        ).withColumn("prev_active", F.lag("active").over(wpos))
-        rows = (
-            marked.filter(~F.coalesce(F.col("prev_active"), F.lit(False)))
-            .select(
-                "word",
-                "wc",
-                F.row_number().over(wpos).alias("pos"),
-                F.when(F.col("active"), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        rows = _merge_pass(rows, a, b, wpos).localCheckpoint(eager=True)
     return spark.createDataFrame(out, "merge_rank long, lhs string, rhs string, n long")
+
+
+def _merge_pass(rows: DataFrame, a: str, b: str, wpos) -> DataFrame:
+    """One left-to-right non-overlapping merge of adjacent (a, b) over
+    the (word, pos, sym) table — the rewrite shared by training
+    (bpe_merges) and encoding (bpe_apply)."""
+    nxt_sym = F.lead("sym").over(wpos)
+    marked = (
+        rows.withColumn(
+            "cand",
+            F.coalesce((F.col("sym") == F.lit(a)) & (nxt_sym == F.lit(b)), F.lit(False)),
+        )
+        .withColumn(
+            "rn",
+            F.sum(F.col("cand").cast("long")).over(
+                wpos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("grp", F.col("pos") - F.col("rn"))
+    )
+    wgrp = Window.partitionBy("word", "grp")
+    marked = marked.withColumn(
+        "active",
+        F.col("cand")
+        & (
+            ((F.col("pos") - F.min(F.when(F.col("cand"), F.col("pos"))).over(wgrp)) % 2)
+            == 0
+        ),
+    ).withColumn("prev_active", F.lag("active").over(wpos))
+    keep = [c for c in rows.columns if c not in ("pos", "sym")]
+    return marked.filter(~F.coalesce(F.col("prev_active"), F.lit(False))).select(
+        *keep,
+        F.row_number().over(wpos).alias("pos"),
+        F.when(F.col("active"), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """The ENCODER side of the tokenizer: apply learned merges (rank
+    order) and return ``(word, syms array<string>)`` — the
+    segmentation of every DISTINCT corpus word. Applying merges at
+    vocabulary scale and joining back to documents is the standard
+    trick that keeps tokenization O(|vocab| * n_merges) instead of
+    O(|corpus| * n_merges); downstream, ``docs.select(explode(split))``
+    joined on word tokenizes the corpus order-preservingly."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    rows = (
+        words.select(
+            "word",
+            F.explode(F.sequence(F.lit(1), F.length("word") + 1)).alias("pos"),
+        )
+        .select(
+            "word",
+            "pos",
+            F.when(F.col("pos") <= F.length("word"), F.expr("substr(word, pos, 1)"))
+            .otherwise(F.lit(end_marker))
+            .alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wpos = Window.partitionBy("word").orderBy("pos")
+    for i, (a, b) in enumerate(merges):
+        rows = _merge_pass(rows, a, b, wpos)
+        # checkpoint every few passes: lineage depth grows by ~5 window
+        # ops per merge and the table only shrinks
+        if (i + 1) % 4 == 0:
+            rows = rows.localCheckpoint(eager=True)
+    return rows.groupBy("word").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "sym")))
+        .getField("sym")
+        .alias("syms")
+    )
 
 
 def doc_fingerprint(

@@ -38,7 +38,30 @@ def _ref_bpe(texts: list[str], n_merges: int) -> list[tuple[int, str, str, int]]
     return out
 
 
+def _ref_segment(texts: list[str], n_merges: int) -> dict[str, list[str]]:
+    """Final per-word segmentation from the reference trainer."""
+    merges = [(a, b) for _, a, b, _ in _ref_bpe(texts, n_merges)]
+    words = {w for t in texts for w in t.split(" ") if w}
+    out = {}
+    for w in words:
+        syms = list(w) + [END]
+        for a, b in merges:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        out[w] = syms
+    return out
+
+
 def _run(spark, texts, n):
+    from ccl_spark.textops import bpe_apply
+
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
@@ -47,6 +70,13 @@ def _run(spark, texts, n):
         for r in bpe_merges(docs, n_merges=n).orderBy("merge_rank").collect()
     ]
     assert got == _ref_bpe(texts, n)
+    # encoder side: applying the learned merges reproduces the
+    # reference segmentation of every vocabulary word
+    seg = {
+        r.word: list(r.syms)
+        for r in bpe_apply(docs, [(a, b) for _, a, b, _ in got]).collect()
+    }
+    assert seg == _ref_segment(texts, n)
     return got
 
 
