@@ -785,6 +785,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=BPE_MERGE_ROUNDS)
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment pairs (asymmetric near-dup): exact
+    inverted-index mode (max_df=None), oracle = DuckDB all-pairs char
+    8-gram intersection with the same normalization."""
+    from ccl_spark.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), k=8, threshold=0.8
+    )
+
+
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer ENCODER parity: train 8 merges, apply them to the
     vocabulary (textops.bpe_apply), report each word's segmentation;
@@ -1132,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "near_dup_minhash": q_near_dup_minhash,
         "dup_clusters": q_dup_clusters,
+        "containment": q_containment,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
         "simhash": q_simhash,
@@ -1420,6 +1432,30 @@ FROM reach GROUP BY vertex
 """,
         "bpe_merges": _bpe_sql(BPE_MERGE_ROUNDS),
         "bpe_segment": _bpe_segment_sql(BPE_MERGE_ROUNDS),
+        "containment": r"""
+WITH g AS MATERIALIZED (
+    SELECT DISTINCT CAST(doc_id AS BIGINT) AS id,
+           SUBSTR(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g')), i, 8) AS gr
+    FROM (
+        SELECT doc_id, text,
+               UNNEST(RANGE(1, GREATEST(
+                   LEN(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) - 7, 1) + 1)) AS i
+        FROM documents
+    )
+),
+sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM g GROUP BY id),
+inter AS MATERIALIZED (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+    FROM g a JOIN g b ON a.gr = b.gr AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / sa.n, 6) AS containment_a,
+       ROUND(CAST(n_inter AS DOUBLE) / sb.n, 6) AS containment_b
+FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / sa.n, 6) >= 0.8
+   OR ROUND(CAST(n_inter AS DOUBLE) / sb.n, 6) >= 0.8
+""",
         "emb_near_dup_exact": """
 WITH ex AS MATERIALIZED (
     SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -264,6 +264,77 @@ def dedup_corpus(
     return docs.join(keep_ids, id_col, "left_semi")
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Substring-CONTAINMENT near-dup pairs — the asymmetric case
+    Jaccard misses: a short doc quoted/embedded inside a long one has
+    ``C(A,B) = |grams(A) ∩ grams(B)| / |grams(A)|`` near 1 while
+    Jaccard stays near |A|/|B|. Returns
+    ``(id_a, id_b, containment_a, containment_b)`` for ordered pairs
+    (id_a < id_b) where EITHER direction reaches ``threshold`` —
+    containment_a = fraction of A's char k-grams present in B.
+
+    Shape: distinct whitespace-normalized char k-grams per doc, then an
+    INVERTED-INDEX equi-join on the gram (only docs sharing a gram ever
+    pair; work is sum over grams of df^2). On a web corpus the df
+    distribution is Zipfian — boilerplate grams have huge df and
+    quadratic bucket cost — so the scale path sets ``max_df`` to skip
+    (and log) grams above it, exactly the cap_buckets defense the LSH
+    operators use; ubiquitous grams carry no containment signal. With
+    ``max_df=None`` the result is exact, which is what the driver-gate
+    `containment` query checks against a DuckDB all-pairs oracle; at
+    100 TB you would additionally xxhash64 the gram strings to shrink
+    the shuffle (string grams kept here so the oracle shares no hash)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower(regexp_replace({text_col},"
+        f" '\\\\s+', ' '))) - {k} + 1, 1)),"
+        f" i -> substring(lower(regexp_replace({text_col}, '\\\\s+', ' ')), i, {k}))"
+    )
+    g = (
+        docs.select(F.col(id_col).cast("long").alias("id"), F.explode(grams).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        g, dropped = cap_buckets(g, max_df, keys=["g"])
+        if log_dropped:
+            n_drop = dropped.count()
+            if n_drop:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "containment_pairs: skipped %d grams with df > %d", n_drop, max_df
+                )
+    a = g.select(F.col("id").alias("id_a"), "g")
+    b = g.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    ca = F.round(F.col("n_inter").cast("double") / F.col("n_a"), 6)
+    cb = F.round(F.col("n_inter").cast("double") / F.col("n_b"), 6)
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", ca.alias("containment_a"), cb.alias("containment_b"))
+        .filter(
+            (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
+        )
+    )
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -65,3 +65,50 @@ def test_dup_clusters_keep_count_matches_cluster_count(spark):
     n_clusters = cl.select("cluster_id").distinct().count()
     n_keep = cl.filter(F.col("keep") == 1).count()
     assert n_clusters == n_keep == 10
+
+
+def test_containment_pairs_subset_doc(spark):
+    """The asymmetric case Jaccard misses: a short doc fully embedded
+    in a long one has containment ~1 while Jaccard is ~|A|/|B|."""
+    from ccl_spark.dedup import containment_pairs
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long_ = (
+        "intro paragraph with plenty of other words here . "
+        + short
+        + " . and a long tail of unrelated material follows this quotation"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "completely different text entirely")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.id_a, r.id_b): (r.containment_a, r.containment_b)
+        for r in containment_pairs(docs, k=8, threshold=0.9).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    ca, cb = rows[(1, 2)]
+    assert ca >= 0.9  # doc 1's grams are (almost) all inside doc 2
+    assert cb < 0.5  # but doc 2 is NOT contained in doc 1
+
+
+def test_containment_pairs_max_df_drops_boilerplate(spark):
+    """Scale path: grams above max_df are skipped — a ubiquitous
+    boilerplate suffix must not pair up everything, while a genuine
+    containment (sharing rare grams) survives."""
+    from pyspark.sql import functions as F
+
+    from ccl_spark.dedup import containment_pairs
+
+    boiler = " copyright footer all rights reserved"
+    docs = spark.createDataFrame(
+        [(i, f"unique body text number {i} with its own words{boiler}") for i in range(20)]
+        + [(100, "a very distinctive quoted sentence appears here"),
+           (101, "prefix words then a very distinctive quoted sentence appears here plus more")],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(docs, k=8, threshold=0.9, max_df=5, log_dropped=False)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (100, 101) in pairs
+    # the 20 boilerplate docs share only capped grams -> no flood
+    assert all(a >= 100 for a, b in pairs), pairs
