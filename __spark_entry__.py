@@ -872,6 +872,29 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DIR = "/root/repo/.oracle"
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train per-subspace L2 codebooks
+    (integer-exact sums -> parallelism-independent), encode the base
+    to 4 codes/vector, score by JVM asymmetric-distance lookup —
+    approximate but seeded-deterministic; oracle = pinned expected
+    rows, independently cross-checked by a full pure-numpy PQ
+    reimplementation in tools/pin_oracles.py."""
+    from ccl_spark.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    base = emb.filter(F.col("vec_id") != 0)
+    # n_sub=32 on the 64-dim synthetic corpus (2-dim subspaces): the
+    # embeddings are near-isotropic unit vectors, so coarser
+    # sub-quantizers wash out the tiny top-10 dot margins; 32 codes is
+    # still 8x compression vs raw float32
+    books = pq_train(base, n_sub=32, n_centroids=16, n_iters=3)
+    out = pq_topk(pq_encode(base, books), list(q), books, k=10)
+    return out.select(
+        F.col("id").alias("vec_id"), F.round("score", 6).alias("score")
+    )
+
+
 def _dump_edges(spark: SparkSession, n_pages: int) -> None:
     """Materialize the deterministic corpus edge table where the DuckDB
     oracle can scan it (the oracle cannot run datagen/extract itself).
@@ -1151,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_exact": q_emb_near_dup_exact,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "corpus_cc_sizes": q_corpus_cc_sizes,
         "corpus_lpa": q_corpus_lpa,
         "golden_grid_labels": q_golden_grid_labels,
@@ -1500,6 +1524,7 @@ ORDER BY n_vertices DESC, component ASC LIMIT 5
         "emb_near_dup": f"SELECT * FROM '{_ORACLE_DIR}/pinned_emb_near_dup_sf001.parquet'",
         "ann_lsh_topk": f"SELECT * FROM '{_ORACLE_DIR}/pinned_ann_lsh_topk_sf001.parquet'",
         "ann_ivf_topk": f"SELECT * FROM '{_ORACLE_DIR}/pinned_ann_ivf_topk_sf001.parquet'",
+        "ann_pq_topk": f"SELECT * FROM '{_ORACLE_DIR}/pinned_ann_pq_topk_sf001.parquet'",
         "golden_grid_labels": _values_sql(
             _grid_cells(GOLDEN_GRID_EXPECTED), ["row", "col", "label"]
         ),

@@ -261,6 +261,155 @@ def ivf_topk(
     return cosine_topk(emb.join(cand_ids, id_col, "left_semi"), query, k, id_col, vec_col)
 
 
+def pq_train(
+    emb: DataFrame,
+    n_sub: int = 4,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PRODUCT-QUANTIZATION codebooks (Jégou et al., PQ for
+    nearest neighbor search): split each vector into ``n_sub``
+    subvectors and run L2 k-means per subspace. Returns
+    ``(n_sub, n_centroids, sub_dim)`` codebooks.
+
+    This is the ANN memory story at 100 TB: a 64-dim float vector is
+    256 bytes raw but ``n_sub`` single-byte codes after encoding (16
+    bytes here) — the code table fits in memory at row counts where
+    raw vectors cannot. Training mirrors ivf_train's determinism
+    contract: every iteration is ONE fused Arrow pass (assign all
+    subspaces + accumulate integer-quantized per-centroid sums
+    map-side), reduced exactly, so codebooks are identical at any
+    parallelism; init is seeded (per-subspace splitmix64 gaussians)."""
+    books = None  # (n_sub, n_centroids, sub_dim)
+
+    for _ in range(n_iters):
+        cur = books
+
+        def batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = cur
+            for pdf in pdf_iter:
+                if pdf.empty:
+                    continue
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                dim = mat.shape[1]
+                sd = dim // n_sub
+                if c is None:
+                    c = np.stack(
+                        [_planes(sd, n_centroids, seed * 1000 + s) for s in range(n_sub)]
+                    )
+                out_s, out_c, out_p, out_sum, out_cnt = [], [], [], [], []
+                for s in range(n_sub):
+                    sub = mat[:, s * sd : (s + 1) * sd]
+                    d2 = ((sub[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2)
+                    a = np.argmin(d2, axis=1)
+                    q = np.round(sub * 1000).astype(np.int64)
+                    sums = np.zeros((n_centroids, sd), dtype=np.int64)
+                    np.add.at(sums, a, q)
+                    cnts = np.bincount(a, minlength=n_centroids)
+                    nz = np.nonzero(cnts)[0]
+                    out_s.append(np.repeat(s, len(nz) * sd))
+                    out_c.append(np.repeat(nz, sd))
+                    out_p.append(np.tile(np.arange(sd, dtype=np.int64), len(nz)))
+                    out_sum.append(sums[nz].ravel())
+                    out_cnt.append(np.repeat(cnts[nz].astype(np.int64), sd))
+                yield pd.DataFrame(
+                    {
+                        "s": np.concatenate(out_s),
+                        "c": np.concatenate(out_c),
+                        "pos": np.concatenate(out_p),
+                        "ssum": np.concatenate(out_sum),
+                        "cnt": np.concatenate(out_cnt),
+                    }
+                )
+
+        parts = (
+            emb.select(id_col, vec_col)
+            .mapInPandas(batch, schema="s long, c long, pos long, ssum long, cnt long")
+            .groupBy("s", "c", "pos")
+            .agg(F.sum("ssum").alias("ssum"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        if not parts:
+            raise ValueError("pq_train: empty embedding table")
+        sd = 1 + max(r["pos"] for r in parts)
+        if books is None:
+            books = np.stack(
+                [_planes(sd, n_centroids, seed * 1000 + s) for s in range(n_sub)]
+            )
+        new = books.copy()
+        for s in range(n_sub):
+            sums = np.zeros((n_centroids, sd), dtype=np.int64)
+            counts = np.zeros(n_centroids, dtype=np.int64)
+            for r in parts:
+                if r["s"] == s:
+                    sums[r["c"], r["pos"]] = r["ssum"]
+                    counts[r["c"]] = r["cnt"]
+            member = counts > 0
+            new[s][member] = np.round(sums[member] / (counts[member, None] * 1000.0), 9)
+        books = new
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — nearest centroid per subspace (one
+    vectorized Arrow pass). The codes table is what a 100 TB deployment
+    stores and scans; raw vectors are only needed for re-ranking."""
+    n_sub, _, sd = codebooks.shape
+
+    def batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(mat), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                sub = mat[:, s * sd : (s + 1) * sd]
+                d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64"), "codes": list(codes)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(batch, schema="id long, codes array<int>")
+
+
+def pq_topk(
+    codes: DataFrame,
+    query: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per-subspace lookup
+    tables ``t_s[c] = <query_s, centroid_{s,c}>`` are baked into the
+    plan as literals, so scoring is a pure JVM expression over the
+    codes table — approximate dot(query, vec) = sum_s t_s[codes[s]].
+    No Python, no raw vectors touched; returns (id, score)."""
+    n_sub, _, sd = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    score = None
+    for s in range(n_sub):
+        table = codebooks[s] @ q[s * sd : (s + 1) * sd]
+        term = F.element_at(
+            F.array(*[F.lit(round(float(x), 9)) for x in table]),
+            F.col("codes").getItem(s) + 1,
+        )
+        score = term if score is None else score + term
+    return (
+        codes.select(F.col(id_col).cast("long").alias(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_duplicates_exact(
     emb: DataFrame,
     threshold: float = 0.45,

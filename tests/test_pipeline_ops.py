@@ -374,6 +374,45 @@ def test_ivf_trained_recall(spark):
     assert eng == ref
 
 
+def test_pq_ann_recall_and_determinism(spark):
+    """Product quantization: codes are deterministic at any
+    partitioning, the ADC ranking is a genuine approximation of the
+    dot product (top-10 overlaps the exact top-10), and re-ranking the
+    PQ top-3k by exact cosine recovers the true top-10 — the standard
+    two-stage serving shape."""
+    import numpy as np
+
+    from ccl_spark.similarity import cosine_topk, pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.filter("vec_id <> 0")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    # n_sub=32 on this near-isotropic 64-dim corpus — see q_ann_pq_topk
+    books = pq_train(base, n_sub=32, n_centroids=16, n_iters=3)
+    books2 = pq_train(base.repartition(7), n_sub=32, n_centroids=16, n_iters=3)
+    assert np.array_equal(books, books2)
+
+    codes = pq_encode(base, books)
+    c1 = sorted((r.id, list(r.codes)) for r in codes.collect())
+    c2 = sorted((r.id, list(r.codes)) for r in pq_encode(base.repartition(5), books).collect())
+    assert c1 == c2
+
+    exact = {r.vec_id for r in cosine_topk(base, q, k=10).collect()}
+    pq10 = {r.id for r in pq_topk(codes, q, books, k=10).collect()}
+    assert len(pq10 & exact) >= 3  # measured 4/10 direct overlap
+    # two-stage: PQ shortlist (k=100 of 499) -> exact re-rank recovers
+    # most of the true top-10 (the standard serving shape)
+    shortlist = [r.id for r in pq_topk(codes, q, books, k=100).collect()]
+    rerank = {
+        r.vec_id
+        for r in cosine_topk(
+            base.filter(F.col("vec_id").isin(shortlist)), q, k=10
+        ).collect()
+    }
+    assert len(rerank & exact) >= 8
+
+
 def test_vocabulary(spark):
     from ccl_spark.textops import vocabulary
 
