@@ -10,7 +10,7 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1): V = sf * 1e6 pages
 tokens) run directly against the sf-dir parquet. Parallelism:
 local[$SPARK_GRAFT_CPUS] (default 32).
 
-Every query is timed as the MIN of ``BENCH_REPS`` (default 2) repeats,
+Every query is timed as the MIN of ``BENCH_REPS`` (default 3) repeats,
 so the recorded artifact reflects the shipped code's steady-state cost
 rather than first-run JIT/shuffle-file warm-up (round-2 verdict: the
 r2 artifact shipped a pre-fusion pagerank number).
@@ -52,7 +52,11 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("ccl_spark_bench", master=f"local[{cpus}]")
 
-    reps = max(int(os.environ.get("BENCH_REPS", "2")), 1)
+    # min-of-3: single runs swing 31-36s on this box (page-cache /
+    # thermal phases, documented in BENCH/BASELINE.md); three reps per
+    # query make the recorded steady-state minimum robust to one slow
+    # phase while keeping the whole bench under ~5 minutes
+    reps = max(int(os.environ.get("BENCH_REPS", "3")), 1)
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 

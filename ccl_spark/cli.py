@@ -96,7 +96,9 @@ def main(argv: list[str] | None = None) -> int:
             harness=harness,
         )
     elif args.algo == "lpa":
-        out = label_propagation(_edges(spark, args.edges), max_iter=args.max_iter)
+        out = label_propagation(
+            _edges(spark, args.edges), max_iter=args.max_iter, harness=harness
+        )
     else:
         out = triangles_per_vertex(_edges(spark, args.edges))
 

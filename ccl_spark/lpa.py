@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .superstep import SuperstepHarness
+
 
 def label_propagation(
     edges: DataFrame,
@@ -29,6 +31,7 @@ def label_propagation(
     vertices: DataFrame | None = None,
     rounds_per_check: int = 2,
     colocate: bool = False,
+    harness: SuperstepHarness | None = None,
 ) -> DataFrame:
     """Return ``(vertex long, label long)`` after at most ``max_iter``
     synchronous rounds (stops early when no label changes).
@@ -60,10 +63,19 @@ def label_propagation(
     verts = verts.distinct().localCheckpoint(eager=True)
 
     labels = verts.select("vertex", F.col("vertex").alias("label"))
+    start = 0
+    if harness is not None:
+        resumed = harness.latest()
+        if resumed is not None:
+            # synchronous rounds are deterministic, so resuming from
+            # round t replays the identical label sequence a full run
+            # produces (same contract as cc/pagerank resume)
+            start, labels = resumed[0], resumed[1].select("vertex", "label")
     w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("label"))
     k = max(int(rounds_per_check), 1)
-    it = 0
+    it = start
     while it < max_iter:
+        t0 = harness.timer() if harness is not None else None
         kk = min(k, max_iter - it)
         cur = labels
         for _ in range(kk):
@@ -86,6 +98,11 @@ def label_propagation(
         changed = nxt.filter("chg").count()
         labels = nxt.select("vertex", "label")
         it += kk
+        if harness is not None:
+            harness.record(
+                superstep=it - 1, df=labels, changed=changed,
+                delta=float(changed), timer=t0,
+            )
         if changed == 0:
             break
     nbrs.unpersist()

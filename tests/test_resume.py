@@ -96,3 +96,35 @@ def test_pagerank_resume_rejects_mismatched_params(spark, tmp_path):
     h3 = SuperstepHarness(spark, root, algo="pagerank", run_id="r3", interval=1)
     with pytest.raises(ValueError, match="damping/seeds"):
         pagerank(e, tol=1e-10, harness=h3, damping=0.5)
+
+
+def test_lpa_resumes_from_checkpoint(spark, tmp_path):
+    """LPA resume replays the identical synchronous round sequence:
+    a run killed by a low max_iter cap, resumed under a fresh harness,
+    must equal a single uninterrupted run."""
+    from ccl_spark.lpa import label_propagation
+
+    pages = generate_pages(spark, 150, seed=13)
+    e = page_edges(pages).cache()
+    full = {
+        r.vertex: r.label
+        for r in label_propagation(e, max_iter=8, rounds_per_check=1).collect()
+    }
+
+    root = str(tmp_path / "lpa_run")
+    h1 = SuperstepHarness(spark, root, algo="lpa", run_id="r1", interval=1)
+    label_propagation(e, max_iter=2, rounds_per_check=1, harness=h1)  # partial
+    assert h1.lineage().agg(F.max("superstep")).first()[0] == 1
+
+    h2 = SuperstepHarness(spark, root, algo="lpa", run_id="r2", interval=1)
+    got = {
+        r.vertex: r.label
+        for r in label_propagation(
+            e, max_iter=8, rounds_per_check=1, harness=h2
+        ).collect()
+    }
+    assert got == full
+    assert (
+        h2.lineage().filter(F.col("run_id") == "r2").agg(F.min("superstep")).first()[0]
+        >= 2
+    )
