@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .superstep import SuperstepHarness
+
 
 def _prepare(edges: DataFrame, src: str, dst: str, colocate: bool = False):
     """Vertex set + the edge table(s): two cached co-partitioned
@@ -123,11 +125,15 @@ def hits(
     tol: float = 0.0,
     iters_per_check: int = 2,
     colocate: bool = False,
+    harness: SuperstepHarness | None = None,
 ) -> DataFrame:
     """Return ``(vertex long, hub double, authority double)``, both
     scores L2-normalized. ``tol > 0`` stops early when the max
     per-vertex change of both scores drops below it (checked once per
-    fused block)."""
+    fused block). ``harness`` checkpoints per-block state + lineage and
+    resumes mid-algorithm (the deterministic iteration sequence makes a
+    resumed run equal an uninterrupted one — same contract as
+    cc/pagerank/lpa)."""
     verts, e_src, e_dst = _prepare(edges, src, dst, colocate=colocate)
 
     # init all-ones; the in-iteration normalization makes the sequence
@@ -135,9 +141,15 @@ def hits(
     state = verts.select(
         "vertex", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
     ).localCheckpoint(eager=True)
-    k = max(int(iters_per_check), 1)
     it = 0
+    if harness is not None:
+        resumed = harness.latest()
+        if resumed is not None:
+            it = resumed[0]
+            state = resumed[1].select("vertex", "hub", "authority")
+    k = max(int(iters_per_check), 1)
     while it < max_iter:
+        t0 = harness.timer() if harness is not None else None
         kk = min(k, max_iter - it)
         s = state
         for _ in range(kk):
@@ -164,6 +176,11 @@ def hits(
             ).first()[0]
             state = nxt.select("vertex", "hub", "authority")
             it += kk
+            if harness is not None:
+                harness.record(
+                    superstep=it - 1, df=state, changed=-1,
+                    delta=float(delta) if delta is not None else 0.0, timer=t0,
+                )
             if delta is not None and delta < tol:
                 break
         else:
@@ -171,6 +188,10 @@ def hits(
             # (ADVICE r3) — the eager checkpoint is the materializer
             state = s.localCheckpoint(eager=True)
             it += kk
+            if harness is not None:
+                harness.record(
+                    superstep=it - 1, df=state, changed=-1, delta=0.0, timer=t0
+                )
     e_src.unpersist()
     if e_dst is not e_src:
         e_dst.unpersist()

@@ -128,3 +128,26 @@ def test_lpa_resumes_from_checkpoint(spark, tmp_path):
         h2.lineage().filter(F.col("run_id") == "r2").agg(F.min("superstep")).first()[0]
         >= 2
     )
+
+
+def test_hits_resumes_from_checkpoint(spark, tmp_path):
+    """HITS resume: a run capped at 2 of 6 iterations, resumed under a
+    fresh harness, equals one uninterrupted 6-iteration run."""
+    from ccl_spark.hits import hits
+
+    pages = generate_pages(spark, 120, seed=13)
+    e = page_edges(pages).cache()
+    full = {
+        r.vertex: (round(r.hub, 9), round(r.authority, 9))
+        for r in hits(e, max_iter=6).collect()
+    }
+
+    root = str(tmp_path / "hits_run")
+    h1 = SuperstepHarness(spark, root, algo="hits", run_id="r1", interval=1)
+    hits(e, max_iter=2, harness=h1)  # partial
+    h2 = SuperstepHarness(spark, root, algo="hits", run_id="r2", interval=1)
+    got = {
+        r.vertex: (round(r.hub, 9), round(r.authority, 9))
+        for r in hits(e, max_iter=6, harness=h2).collect()
+    }
+    assert got == full
