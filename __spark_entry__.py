@@ -516,6 +516,19 @@ _EDGES_QUAD_SQL = (
 )
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (web bow-tie core) of the
+    DIRECTED quadratic-map graph (functional graph: tree tails feeding
+    cycles, so SCCs are the cycles + singletons). Oracle = DuckDB
+    transitive closure with mutual-reachability min labels — a fully
+    independent SCC definition."""
+    from ccl_spark.scc import strongly_connected_components
+
+    return strongly_connected_components(_edges_quad(spark, sf_dir)).select(
+        "vertex", "component"
+    )
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the quadratic-map graph (iterative peel to fixpoint —
     3 cascading rounds at sf0.01); oracle = the same peel unrolled as
@@ -1146,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "triangles_per_vertex": q_triangles_per_vertex,
         "kcore": q_kcore,
+        "scc": q_scc,
         "clustering": q_clustering,
         "ages": q_ages,
         "eol": q_eol,
@@ -1271,6 +1285,25 @@ SELECT verts.vertex, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
 FROM verts LEFT JOIN cnt ON cnt.vertex = verts.vertex
 """,
         "kcore": _kcore_sql(2, 16),
+        "scc": f"""
+WITH RECURSIVE
+e AS (SELECT src, dst FROM ({_EDGES_QUAD_SQL}) WHERE src <> dst),
+verts AS (SELECT DISTINCT w AS vertex FROM
+          (SELECT src AS w FROM ({_EDGES_QUAD_SQL}) UNION SELECT dst FROM ({_EDGES_QUAD_SQL}))),
+reach(a, b) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+    SELECT r1.a AS u, r1.b AS v
+    FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT v.vertex,
+       LEAST(v.vertex, COALESCE(MIN(m.v), v.vertex)) AS component
+FROM verts v LEFT JOIN mutual m ON m.u = v.vertex
+GROUP BY v.vertex
+""",
         "clustering": f"""
 WITH e AS ({_EDGES_TRI_SQL}),
 cu AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v

@@ -1,0 +1,85 @@
+"""Strongly connected components vs an independent Kosaraju oracle."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ccl_spark.scc import strongly_connected_components
+
+
+def kosaraju(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Min-member SCC labels, classic two-pass DFS (iterative)."""
+    fwd, rev = defaultdict(list), defaultdict(list)
+    verts = set()
+    for u, v in edges:
+        verts |= {u, v}
+        if u != v:
+            fwd[u].append(v)
+            rev[v].append(u)
+    order, seen = [], set()
+    for s in sorted(verts):
+        if s in seen:
+            continue
+        stack = [(s, iter(fwd[s]))]
+        seen.add(s)
+        while stack:
+            node, it = stack[-1]
+            nxt = next(it, None)
+            if nxt is None:
+                order.append(node)
+                stack.pop()
+            elif nxt not in seen:
+                seen.add(nxt)
+                stack.append((nxt, iter(fwd[nxt])))
+    labels: dict[int, int] = {}
+    for s in reversed(order):
+        if s in labels:
+            continue
+        comp, stack = [s], [s]
+        labels[s] = -1
+        while stack:
+            node = stack.pop()
+            for nxt in rev[node]:
+                if nxt not in labels:
+                    labels[nxt] = -1
+                    comp.append(nxt)
+                    stack.append(nxt)
+        m = min(comp)
+        for v in comp:
+            labels[v] = m
+    return labels
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.vertex: r.component for r in strongly_connected_components(df).collect()
+    }
+    assert got == kosaraju(edges)
+
+
+def test_scc_cycle_with_tail(spark):
+    # 0->1->2->0 cycle, 2->3->4 tail, isolated self-loop 9
+    _check(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (9, 9)])
+
+
+def test_scc_two_cycles_one_way_bridge(spark):
+    # {0,1,2} and {5,6} cycles joined 2->5: two separate SCCs
+    _check(spark, [(0, 1), (1, 2), (2, 0), (2, 5), (5, 6), (6, 5)])
+
+
+def test_scc_pure_dag_all_singletons(spark):
+    _check(spark, [(i, i + 1) for i in range(8)] + [(0, 5), (3, 7)])
+
+
+def test_scc_functional_graph(spark):
+    # quadratic map c -> (c^2 + 1) % 37: tree tails feeding cycles
+    _check(spark, [(c, (c * c + 1) % 37) for c in range(37)])
+
+
+def test_scc_pseudo_random(spark):
+    for seed in (3, 11):
+        edges = [
+            ((i * 7 + seed) % 23, (i * i * 5 + 2 * seed) % 23) for i in range(60)
+        ]
+        _check(spark, [e for e in edges if e[0] != e[1]])
