@@ -529,6 +529,15 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (core / in / out / other) of the directed
+    quadratic-map graph; oracle derives the same regions from the
+    transitive closure."""
+    from ccl_spark.scc import bowtie
+
+    return bowtie(_edges_quad(spark, sf_dir)).select("vertex", "region")
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the quadratic-map graph (iterative peel to fixpoint —
     3 cascading rounds at sf0.01); oracle = the same peel unrolled as
@@ -1160,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "kcore": q_kcore,
         "scc": q_scc,
+        "bowtie": q_bowtie,
         "clustering": q_clustering,
         "ages": q_ages,
         "eol": q_eol,
@@ -1303,6 +1313,41 @@ SELECT v.vertex,
        LEAST(v.vertex, COALESCE(MIN(m.v), v.vertex)) AS component
 FROM verts v LEFT JOIN mutual m ON m.u = v.vertex
 GROUP BY v.vertex
+""",
+        "bowtie": f"""
+WITH RECURSIVE
+e AS (SELECT src, dst FROM ({_EDGES_QUAD_SQL}) WHERE src <> dst),
+verts AS (SELECT DISTINCT w AS vertex FROM
+          (SELECT src AS w FROM ({_EDGES_QUAD_SQL}) UNION SELECT dst FROM ({_EDGES_QUAD_SQL}))),
+reach(a, b) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+    SELECT r1.a AS u, r1.b AS v
+    FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+lab AS MATERIALIZED (
+    SELECT v.vertex, LEAST(v.vertex, COALESCE(MIN(m.v), v.vertex)) AS component
+    FROM verts v LEFT JOIN mutual m ON m.u = v.vertex
+    GROUP BY v.vertex
+),
+core_sel AS (
+    SELECT component FROM (SELECT component, COUNT(*) AS n FROM lab GROUP BY component)
+    ORDER BY n DESC, component ASC LIMIT 1
+),
+corev AS MATERIALIZED (
+    SELECT vertex FROM lab WHERE component = (SELECT component FROM core_sel)
+)
+SELECT l.vertex,
+       CASE WHEN l.component = (SELECT component FROM core_sel) THEN 'core'
+            WHEN EXISTS (SELECT 1 FROM reach r JOIN corev c ON r.b = c.vertex
+                         WHERE r.a = l.vertex) THEN 'in'
+            WHEN EXISTS (SELECT 1 FROM reach r JOIN corev c ON r.a = c.vertex
+                         WHERE r.b = l.vertex) THEN 'out'
+            ELSE 'other' END AS region
+FROM lab l
 """,
         "clustering": f"""
 WITH e AS ({_EDGES_TRI_SQL}),

@@ -170,3 +170,74 @@ def strongly_connected_components(
     for d in done[1:]:
         out = out.unionByName(d)
     return out
+
+
+def _closure(e: DataFrame, seed: DataFrame, direction: str, max_iter: int) -> DataFrame:
+    """Reachability closure of ``seed`` (column ``vertex``) over
+    directed edges: 'forward' = vertices reachable FROM the seed,
+    'backward' = vertices that can REACH it. Count-fixpoint loop of
+    semi-join rounds (each round one equi-join over the edge table —
+    O(diameter) rounds, the same bound as PageRank iterations)."""
+    grown = seed.select("vertex").localCheckpoint(eager=True)
+    n = grown.count()
+    for _ in range(max_iter):
+        if direction == "forward":
+            step = e.join(
+                grown.select(F.col("vertex").alias("u")), "u", "left_semi"
+            ).select(F.col("v").alias("vertex"))
+        else:
+            step = e.join(
+                grown.select(F.col("vertex").alias("v")), "v", "left_semi"
+            ).select(F.col("u").alias("vertex"))
+        nxt = grown.unionByName(step).distinct().localCheckpoint(eager=True)
+        n2 = nxt.count()
+        grown = nxt
+        if n2 == n:
+            return grown
+        n = n2
+    raise RuntimeError(f"closure: no fixpoint in {max_iter} rounds")
+
+
+def bowtie(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al.):
+    ``(vertex, region)`` with region in {'core', 'in', 'out', 'other'}
+    — core = the LARGEST strongly connected component (ties broken by
+    smallest label), 'in' = can reach the core, 'out' = reachable from
+    the core, 'other' = tendrils + disconnected mass. Composes
+    strongly_connected_components with two reachability closures."""
+    labels = strongly_connected_components(edges, src, dst, max_iter=max_iter)
+    labels = labels.localCheckpoint(eager=True)
+    core_row = (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("component"))
+        .first()
+    )
+    core = labels.filter(F.col("component") == core_row["component"]).select("vertex")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_set = _closure(e, core, "forward", max_iter)
+    in_set = _closure(e, core, "backward", max_iter)
+    return (
+        labels.join(in_set.select("vertex", F.lit(1).alias("_in")), "vertex", "left")
+        .join(out_set.select("vertex", F.lit(1).alias("_out")), "vertex", "left")
+        .select(
+            "vertex",
+            F.when(F.col("component") == core_row["component"], F.lit("core"))
+            .when(F.col("_in") == 1, F.lit("in"))
+            .when(F.col("_out") == 1, F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("region"),
+        )
+    )

@@ -83,3 +83,67 @@ def test_scc_pseudo_random(spark):
             ((i * 7 + seed) % 23, (i * i * 5 + 2 * seed) % 23) for i in range(60)
         ]
         _check(spark, [e for e in edges if e[0] != e[1]])
+
+
+def bowtie_ref(edges: list[tuple[int, int]]) -> dict[int, str]:
+    from collections import Counter
+
+    labels = kosaraju(edges)
+    sizes = Counter(labels.values())
+    core_label = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    core = {v for v, l in labels.items() if l == core_label}
+    fwd, rev = defaultdict(set), defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            fwd[u].add(v)
+            rev[v].add(u)
+
+    def closure(seed, adj):
+        seen, stack = set(seed), list(seed)
+        while stack:
+            for n in adj[stack.pop()]:
+                if n not in seen:
+                    seen.add(n)
+                    stack.append(n)
+        return seen
+
+    out_set, in_set = closure(core, fwd), closure(core, rev)
+    return {
+        v: (
+            "core"
+            if v in core
+            else "in" if v in in_set else "out" if v in out_set else "other"
+        )
+        for v in labels
+    }
+
+
+def test_bowtie_hand_case(spark):
+    from ccl_spark.scc import bowtie
+
+    # core {2,3,4}; 0->1->2 is IN; 4->5->6 is OUT; 8<->9 separate SCC
+    # (other); 7 dangling off the IN path (other: tendril)
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 4), (4, 2),
+        (4, 5), (5, 6), (8, 9), (9, 8), (1, 7),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: r.region for r in bowtie(df).collect()}
+    assert got == bowtie_ref(edges)
+    assert got[2] == got[3] == got[4] == "core"
+    assert got[0] == got[1] == "in"
+    assert got[5] == got[6] == "out"
+    assert got[7] == got[8] == got[9] == "other"
+
+
+def test_bowtie_functional_and_random(spark):
+    from ccl_spark.scc import bowtie
+
+    for edges in (
+        [(c, (c * c + 1) % 37) for c in range(37) if c != (c * c + 1) % 37],
+        [((i * 7 + 3) % 23, (i * i * 5 + 6) % 23) for i in range(60)],
+    ):
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.vertex: r.region for r in bowtie(df).collect()}
+        assert got == bowtie_ref(edges)
