@@ -108,6 +108,36 @@ def roi_labels(spark: SparkSession, min_col: int = 2) -> DataFrame:
     return slice_labels(cells, 5, 6, latlon=True).select("row", "col", "label")
 
 
+# per-process memo of materialized fixture label tables: the gate runs
+# the golden family back-to-back in one session, and e.g. the
+# diagonals labels/ages queries are the SAME grid -> threshold -> CC
+# pipeline differing only in the replay — rebuilding it per query is
+# what pushed the gate past its time budget in round 4. Keyed by
+# session so a fresh SparkSession never sees a stale checkpoint.
+_LABELS_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _stack_labels(
+    spark: SparkSession,
+    memo_key: str,
+    stack_cells: list[list[tuple[int, int]]],
+    n_rows: int,
+    n_cols: int,
+    min_area: int | None = None,
+) -> DataFrame:
+    hit = _LABELS_MEMO.get(memo_key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    g = grid_df(spark, stack_cells, n_rows, n_cols)
+    cells = threshold_cells(g, 1.0, 2.0, n_rows, n_cols)
+    labels = slice_labels(cells, n_rows, n_cols, latlon=True)
+    if min_area is not None:
+        labels = dust_filter(labels, min_area)
+    labels = labels.localCheckpoint(eager=True)  # reused: collect + final join
+    _LABELS_MEMO[memo_key] = (spark, labels)
+    return labels
+
+
 def _stack_query(
     spark: SparkSession,
     stack_cells: list[list[tuple[int, int]]],
@@ -115,13 +145,16 @@ def _stack_query(
     n_cols: int,
     want_ages: bool = False,
     min_area: int | None = None,
+    memo_key: str | None = None,
 ) -> DataFrame:
-    g = grid_df(spark, stack_cells, n_rows, n_cols)
-    cells = threshold_cells(g, 1.0, 2.0, n_rows, n_cols)
-    labels = slice_labels(cells, n_rows, n_cols, latlon=True)
-    if min_area is not None:
-        labels = dust_filter(labels, min_area)
-    labels = labels.localCheckpoint(eager=True)  # reused: collect + final join
+    labels = _stack_labels(
+        spark,
+        memo_key or str((stack_cells, min_area)),
+        stack_cells,
+        n_rows,
+        n_cols,
+        min_area,
+    )
     mapping = _replay_mapping(spark, labels, want_ages=want_ages)
     out_col = "age" if want_ages else "label"
     return labels.join(mapping, ["slice_id", "label"]).selectExpr(
@@ -131,12 +164,12 @@ def _stack_query(
 
 def diagonals_labels(spark: SparkSession) -> DataFrame:
     """7-slice temporal-tracking fixture, replayed final labels."""
-    return _stack_query(spark, DIAGONAL_CELLS, 5, 6)
+    return _stack_query(spark, DIAGONAL_CELLS, 5, 6, memo_key="diagonals")
 
 
 def diagonals_ages(spark: SparkSession) -> DataFrame:
     """Same fixture, per-cell component ages (A3/G2)."""
-    return _stack_query(spark, DIAGONAL_CELLS, 5, 6, want_ages=True)
+    return _stack_query(spark, DIAGONAL_CELLS, 5, 6, want_ages=True, memo_key="diagonals")
 
 
 def dust_labels(spark: SparkSession) -> DataFrame:

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .superstep import SuperstepHarness
+from .superstep import SuperstepHarness, edge_signature, pin_input_signature
 
 
 def _prepare(edges: DataFrame, src: str, dst: str, colocate: bool = False):
@@ -144,6 +144,25 @@ def hits(
     it = 0
     if harness is not None:
         resumed = harness.latest()
+        # resuming a checkpoint against a different edge table would
+        # silently continue iterating the wrong graph (ADVICE r4) —
+        # pin the same order-free edge signature pagerank uses. Only
+        # the edge set is pinned: iters_per_check/colocate never change
+        # the iterate sequence, and tol only decides when to stop.
+        pin_input_signature(
+            harness,
+            resumed,
+            edge_signature(
+                edges.select(
+                    F.col(src).cast("long").alias("src"),
+                    F.col(dst).cast("long").alias("dst"),
+                ).distinct(),
+                "src",
+                "dst",
+            ),
+            "",
+            "hits",
+        )
         if resumed is not None:
             it = resumed[0]
             state = resumed[1].select("vertex", "hub", "authority")

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .superstep import SuperstepHarness
+from .superstep import SuperstepHarness, edge_signature, pin_input_signature
 
 
 def label_propagation(
@@ -66,6 +66,13 @@ def label_propagation(
     start = 0
     if harness is not None:
         resumed = harness.latest()
+        # same edge-signature pin as pagerank/hits resume (ADVICE r4):
+        # a mismatched edge table must raise, not silently continue.
+        # rounds_per_check never changes the synchronous label
+        # sequence, so only the edge set is pinned.
+        pin_input_signature(
+            harness, resumed, edge_signature(pairs, "u", "v"), "", "lpa"
+        )
         if resumed is not None:
             # synchronous rounds are deterministic, so resuming from
             # round t replays the identical label sequence a full run

@@ -43,6 +43,7 @@ def pagerank(
     colocate: bool = False,
     frontier: bool = False,
     frontier_theta: float = 0.1,
+    warm_start: DataFrame | None = None,
 ) -> DataFrame:
     """Return ``(vertex long, rank double)``; ranks sum to 1.
 
@@ -89,6 +90,22 @@ def pagerank(
     ~1/n-scale. Kept non-default as the shape for workloads where
     change IS localized (incremental rank maintenance on a slowly
     mutating graph).
+
+    ``warm_start`` (columns ``vertex, rank``) is INCREMENTAL RANK
+    MAINTENANCE (verdict r4 #6): initialize from previously-converged
+    ranks — typically of the graph before an edge batch was folded in
+    — renormalized to sum 1 over the new vertex set (new vertices
+    start at their teleport weight). Power iteration is a contraction
+    to the unique fixpoint from any simplex start, so the result
+    equals the from-scratch answer within the tolerance contract
+    (parity-tested to 1e-6); the win is iteration COUNT — the warm
+    iterate starts ~||delta|| from the fixpoint instead of ~1 away.
+    Compose with ``frontier=True`` for the localized-change case the
+    residual push was built for: the post-warm-start frontier is only
+    the region the edge batch perturbed. Requires ``tol > 0`` (a
+    fixed-iteration warm sequence has no oracle twin) and no harness
+    (fold-ins are few-iteration jobs; resume pinning would have to pin
+    the warm ranks themselves).
     """
     pairs = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -193,6 +210,31 @@ def pagerank(
             tele.alias("rank"),
         )
     )
+    if warm_start is not None:
+        if harness is not None:
+            raise ValueError(
+                "pagerank: warm_start does not support harness resume "
+                "(the pin would have to include the warm ranks themselves); "
+                "fold-ins are few-iteration jobs — run without a harness"
+            )
+        if tol <= 0:
+            raise ValueError(
+                "pagerank: warm_start requires tol > 0 (the warm iterate "
+                "sequence has no fixed-iteration oracle twin)"
+            )
+        ws = warm_start.select(
+            F.col("vertex").cast("long").alias("vertex"), F.col("rank").alias("_wr")
+        )
+        state = state.join(ws, "vertex", "left").select(
+            "vertex", "deg", "tele", F.coalesce("_wr", F.col("rank")).alias("rank")
+        )
+        # renormalize onto the new graph's simplex: dropped vertices'
+        # mass vanishes, new vertices enter at teleport weight — one
+        # one-time 1-row aggregate, then the plain contraction runs
+        tot = state.agg(F.sum("rank")).first()[0]
+        if not tot or tot <= 0:
+            raise ValueError("pagerank: warm_start ranks sum to zero")
+        state = state.withColumn("rank", F.col("rank") / F.lit(float(tot)))
     if resumed is not None:
         state = resumed[1]
         if "tele" not in state.columns:  # checkpoint from a pre-seeds run

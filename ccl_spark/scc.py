@@ -8,10 +8,13 @@ both public):
 
 1. TRIM: a vertex with no in-edges or no out-edges (within the
    remaining graph) cannot sit on a directed cycle, so it is a
-   singleton SCC; remove and repeat. This peels trees/paths in
-   O(depth) cheap rounds and is what keeps the phase count low on
-   web-shaped graphs (a pure path would otherwise cost one coloring
-   phase per vertex).
+   singleton SCC; remove and repeat. This peels trees/paths in cheap
+   rounds (one job each: the edge set is filtered to endpoints that
+   have BOTH an in- and an out-edge, so isolated vertices fall out as
+   "not an endpoint" with no per-vertex bookkeeping) and is what keeps
+   the phase count low on web-shaped graphs. Trim terminates
+   unconditionally: the edge count strictly decreases every round
+   until the fixpoint round breaks the loop.
 2. COLOR: propagate the minimum vertex id FORWARD to a fixpoint —
    color(v) = min id that can reach v. Each color class has one root
    r (color(r) == r).
@@ -20,21 +23,48 @@ both public):
    (classic FW∩BW argument restricted to the color class).
 4. Extract confirmed SCCs, remove their vertices, repeat from 1.
 
+COLOR and CONFIRM are monotone fixpoints (labels only decrease / the
+grown set only grows), so they are guaranteed to converge in at most
+|V| rounds; they run with an effectively unbounded round budget and
+RAISE if a generous backstop is ever exhausted (ADVICE r4: the old
+max_iter-bounded loops silently fell through with a partial coloring,
+mislabeling any SCC whose diameter exceeded the budget). ``max_iter``
+bounds the number of OUTER phases only; every phase extracts at least
+its color roots, so phases ≤ |V| and exhaustion raises.
+
+Extracted batches fold into ONE checkpointed accumulator per phase
+(not a per-trim-round plan union), so the final plan width is
+O(phases) regardless of trim depth — a 10k-vertex path peels in ~5k
+trim rounds but the label plan stays flat (ADVICE/verdict r4).
+
+With a ``SuperstepHarness`` the accumulated ``(vertex, component)``
+labels are persisted once per phase; a killed run resumes at the next
+phase by anti-joining the remaining graph from the input (the
+accumulator fully determines the remainder), guarded by the same
+order-free edge signature pin as pagerank/hits/lpa resume.
+
 Everything is DataFrame joins/aggregates with per-round
 localCheckpoint; labels are canonical minimum member ids, so output is
 deterministic at any parallelism and the driver gate checks it against
 a DuckDB transitive-closure oracle (mutual reachability).
 
-Scale shape: each trim round is two degree aggregates + anti-joins;
-each color/confirm round is one equi-join + one min-aggregate over the
-REMAINING edge set (which only shrinks). Rounds are O(diameter) like
-PageRank's iterations; phases are O(#SCC-diameter of the condensation)
-after trimming, small on web graphs whose mass sits in one giant SCC.
+Scale shape: each trim round is one degree-aggregate + two semi-joins
+materialized by a single count job; each color/confirm round is one
+equi-join + one min-aggregate over the REMAINING edge set (which only
+shrinks). Rounds are O(diameter) like PageRank's iterations; phases
+are O(#SCC-diameter of the condensation) after trimming, small on web
+graphs whose mass sits in one giant SCC.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from .superstep import SuperstepHarness, pin_input_signature
+
+# backstop for the monotone inner fixpoints — convergence is guaranteed
+# in <= |V| rounds, so hitting this means a logic bug, not a big graph
+_INNER_BACKSTOP = 1_000_000
 
 
 def _sig(df: DataFrame, *cols: str) -> tuple:
@@ -45,16 +75,48 @@ def _sig(df: DataFrame, *cols: str) -> tuple:
     return (row["n"], row["h"])
 
 
+def _trim_fixpoint(e: DataFrame, n_edges: int) -> tuple[DataFrame, int]:
+    """Filter ``e`` down to its directed (1,1)-core: the maximal
+    subgraph where every vertex keeps at least one in- AND one
+    out-edge. Everything peeled is acyclic fringe — singleton SCCs.
+    One count job per peel level; terminates unconditionally (the edge
+    count strictly decreases until the fixpoint round)."""
+    while True:
+        flat = e.select(
+            F.col("u").alias("x"), F.lit(1).alias("o"), F.lit(0).alias("i")
+        ).unionAll(e.select(F.col("v").alias("x"), F.lit(0).alias("o"), F.lit(1).alias("i")))
+        cyc = (
+            flat.groupBy("x")
+            .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+            .filter((F.col("o") == 1) & (F.col("i") == 1))
+            .select("x")
+        )
+        nxt = (
+            e.join(cyc.select(F.col("x").alias("u")), "u", "left_semi")
+            .join(cyc.select(F.col("x").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n2 = nxt.count()  # materializes the lazy checkpoint — one job/round
+        e = nxt
+        if n2 == n_edges:
+            return e, n2
+        n_edges = n2
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
+    harness: SuperstepHarness | None = None,
 ) -> DataFrame:
     """Return ``(vertex long, component long)`` where ``component`` is
     the minimum vertex id of the vertex's strongly connected component
-    (singletons label themselves)."""
-    e = (
+    (singletons label themselves). ``max_iter`` bounds outer phases
+    (each extracts >= 1 SCC); exhaustion raises. ``harness`` persists
+    the label accumulator once per phase and resumes a killed run
+    mid-algorithm (same contract as cc/pagerank/lpa/hits)."""
+    e0 = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
@@ -62,47 +124,67 @@ def strongly_connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    verts = (
+    verts0 = (
         edges.select(F.col(src).cast("long").alias("vertex"))
         .unionByName(edges.select(F.col(dst).cast("long").alias("vertex")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    done: list[DataFrame] = []  # (vertex, component) of extracted SCCs
-
-    for _phase in range(max_iter):
-        # ---- TRIM: peel acyclic fringe as singleton SCCs ----
-        while True:
-            srcs = e.select("u").distinct()
-            dsts = e.select("v").distinct()
-            cyclic = srcs.join(dsts, srcs.u == dsts.v).select(
-                F.col("u").alias("vertex")
-            )  # has BOTH an out-edge and an in-edge
-            trimmed = verts.join(cyclic, "vertex", "left_anti").localCheckpoint(
-                eager=True
-            )
-            n_trim = trimmed.count()
-            if n_trim == 0:
-                break
-            done.append(trimmed.select("vertex", F.col("vertex").alias("component")))
-            verts = verts.join(trimmed, "vertex", "left_anti").localCheckpoint(
+    done: DataFrame | None = None  # accumulated (vertex, component)
+    verts, e = verts0, e0
+    n_edges = e0.count()
+    phase0 = 0
+    if harness is not None:
+        resumed = harness.latest()
+        pin_input_signature(harness, resumed, _sig(e0, "u", "v"), "", "scc")
+        if resumed is not None:
+            phase0 = resumed[0]
+            done = resumed[1].select("vertex", "component").localCheckpoint(eager=True)
+            # the accumulator fully determines the remainder: extracted
+            # SCCs never share an edge with a future SCC, so anti-join
+            # recovers the exact remaining subproblem
+            verts = verts0.join(done.select("vertex"), "vertex", "left_anti").localCheckpoint(
                 eager=True
             )
             e = (
-                e.join(trimmed.select(F.col("vertex").alias("u")), "u", "left_anti")
-                .join(trimmed.select(F.col("vertex").alias("v")), "v", "left_anti")
-                .select("u", "v")
+                e0.join(verts.select(F.col("vertex").alias("u")), "u", "left_semi")
+                .join(verts.select(F.col("vertex").alias("v")), "v", "left_semi")
                 .localCheckpoint(eager=True)
             )
-        if verts.isEmpty():
+            n_edges = e.count()
+
+    converged = verts0.isEmpty() or (done is not None and verts.isEmpty())
+    for phase in range(phase0, max_iter if not converged else phase0):
+        t0 = harness.timer() if harness is not None else None
+        # ---- TRIM: peel the acyclic fringe as singleton SCCs ----
+        e, n_edges = _trim_fixpoint(e, n_edges)
+        if n_edges == 0:
+            # nothing cyclic remains: every remaining vertex is a singleton
+            batch = verts.select("vertex", F.col("vertex").alias("component"))
+            done = (
+                batch if done is None else done.unionByName(batch)
+            ).localCheckpoint(eager=True)
+            if harness is not None:
+                harness.record(superstep=phase, df=done, changed=0, delta=0.0, timer=t0)
+            converged = True
             break
+        survivors = (
+            e.select(F.col("u").alias("vertex"))
+            .unionByName(e.select(F.col("v").alias("vertex")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        trimmed = verts.join(survivors, "vertex", "left_anti").select(
+            "vertex", F.col("vertex").alias("component")
+        )
+        verts = survivors
 
         # ---- COLOR: forward min-id propagation to fixpoint ----
         color = verts.select("vertex", F.col("vertex").alias("c")).localCheckpoint(
             eager=True
         )
         sig = _sig(color, "vertex", "c")
-        for _ in range(max_iter):
+        for _ in range(_INNER_BACKSTOP):
             incoming = (
                 e.join(color.select(F.col("vertex").alias("u"), "c"), "u")
                 .groupBy(F.col("v").alias("vertex"))
@@ -118,6 +200,10 @@ def strongly_connected_components(
             if new_sig == sig:
                 break
             sig = new_sig
+        else:
+            raise RuntimeError(
+                f"scc: COLOR fixpoint not reached in {_INNER_BACKSTOP} rounds"
+            )
 
         # ---- CONFIRM: backward reachability to the root, same color ----
         ec = (
@@ -132,44 +218,54 @@ def strongly_connected_components(
         )  # the roots
         inset = inset.localCheckpoint(eager=True)
         n_in = inset.count()
-        for _ in range(max_iter):
+        for _ in range(_INNER_BACKSTOP):
             grown = (
                 ec.join(inset.select(F.col("vertex").alias("v")), "v", "left_semi")
                 .select(F.col("u").alias("vertex"))
                 .unionByName(inset)
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             n2 = grown.count()
             inset = grown
             if n2 == n_in:
                 break
             n_in = n2
+        else:
+            raise RuntimeError(
+                f"scc: CONFIRM fixpoint not reached in {_INNER_BACKSTOP} rounds"
+            )
 
         scc = color.join(inset, "vertex", "left_semi").select(
             "vertex", F.col("c").alias("component")
-        ).localCheckpoint(eager=True)
-        done.append(scc)
-        verts = verts.join(scc.select("vertex"), "vertex", "left_anti").localCheckpoint(
+        )
+        # fold this phase's extractions into ONE checkpointed
+        # accumulator — the plan width stays O(1) per phase no matter
+        # how deep the trim peel went
+        batch = trimmed.unionByName(scc)
+        done = (batch if done is None else done.unionByName(batch)).localCheckpoint(
+            eager=True
+        )
+        if harness is not None:
+            harness.record(superstep=phase, df=done, changed=-1, delta=0.0, timer=t0)
+        verts = verts.join(done.select("vertex"), "vertex", "left_anti").localCheckpoint(
             eager=True
         )
         if verts.isEmpty():
+            converged = True
             break
         e = (
-            e.join(scc.select(F.col("vertex").alias("u")), "u", "left_anti")
-            .join(scc.select(F.col("vertex").alias("v")), "v", "left_anti")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
+            e.join(verts.select(F.col("vertex").alias("u")), "u", "left_semi")
+            .join(verts.select(F.col("vertex").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
         )
-    else:
+        n_edges = e.count()
+    if not converged:
         raise RuntimeError(f"scc: not done in {max_iter} phases")
 
-    if not done:  # no edges at all
-        return verts.select("vertex", F.col("vertex").alias("component"))
-    out = done[0]
-    for d in done[1:]:
-        out = out.unionByName(d)
-    return out
+    if done is None:  # no vertices at all
+        return verts0.select("vertex", F.col("vertex").alias("component"))
+    return done
 
 
 def _closure(e: DataFrame, seed: DataFrame, direction: str, max_iter: int) -> DataFrame:

@@ -295,6 +295,11 @@ def pq_train(
                     continue
                 mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
                 dim = mat.shape[1]
+                if dim % n_sub:
+                    raise ValueError(
+                        f"pq_train: dim {dim} is not divisible by n_sub {n_sub} "
+                        "(trailing dimensions would be silently dropped)"
+                    )
                 sd = dim // n_sub
                 if c is None:
                     c = np.stack(
@@ -369,6 +374,11 @@ def pq_encode(
             if pdf.empty:
                 continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if mat.shape[1] != n_sub * sd:
+                raise ValueError(
+                    f"pq_encode: vector dim {mat.shape[1]} does not match the "
+                    f"codebooks' {n_sub} x {sd} layout"
+                )
             codes = np.empty((len(mat), n_sub), dtype=np.int32)
             for s in range(n_sub):
                 sub = mat[:, s * sd : (s + 1) * sd]
@@ -395,6 +405,11 @@ def pq_topk(
     No Python, no raw vectors touched; returns (id, score)."""
     n_sub, _, sd = codebooks.shape
     q = np.asarray(query, dtype=np.float64)
+    if len(q) != n_sub * sd:
+        raise ValueError(
+            f"pq_topk: query dim {len(q)} does not match the codebooks' "
+            f"{n_sub} x {sd} layout"
+        )
     score = None
     for s in range(n_sub):
         table = codebooks[s] @ q[s * sd : (s + 1) * sd]
@@ -407,6 +422,70 @@ def pq_topk(
         codes.select(F.col(id_col).cast("long").alias(id_col), score.alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    rerank: int = 100,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 32,
+    n_centroids: int = 16,
+    seed: int = 7,
+    pq_seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """Composed IVF-PQ index with exact re-ranking — the deployment
+    shape ANN actually ships at 100 TB (Jégou et al.'s IVFADC):
+
+    1. coarse probe: assign vectors to ``n_lists`` IVF lists, keep only
+       the ``n_probe`` lists nearest the query (ivf_assign — at scale
+       the list id is the partition key, so this is partition pruning);
+    2. ADC shortlist: score ONLY the probed lists' PQ codes with
+       JVM-literal lookup tables (pq_topk) and keep the top ``rerank``
+       candidates — the scan touches n_sub bytes per vector, never the
+       raw floats;
+    3. exact re-rank: fetch the ``rerank`` raw vectors (a k-sized
+       point lookup, the only place full vectors are read) and return
+       the exact-cosine top ``k``.
+
+    ``centroids``/``codebooks`` accept trained models (ivf_train /
+    pq_train); defaults train nothing and use seeded random centroids
+    for the coarse step only — pass both for the production shape. A
+    real deployment precomputes the assignment and code tables once;
+    recomputing them per query here keeps the function self-contained
+    at test scale while the PLAN (probe -> ADC -> rerank) is the same.
+
+    Output: ``(vec_id, cosine)`` — identical shape to ivf_topk, so
+    recall is directly comparable (pinned >= ivf_topk's by
+    tests/test_pipeline_ops.py::test_ivfpq_recall)."""
+    q = np.asarray(query, dtype=np.float64)
+    cents = (
+        centroids if centroids is not None else _seed_centroids(len(query), n_lists, seed)
+    )
+    if codebooks is None:
+        codebooks = pq_train(
+            emb, n_sub=n_sub, n_centroids=n_centroids, seed=pq_seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    probes = np.argsort(-(cents @ q))[:n_probe].tolist()
+    assign = ivf_assign(emb, n_lists, seed, id_col, vec_col, centroids=cents)
+    cand_ids = assign.filter(F.col("list_id").isin(*probes)).select(
+        F.col("id").alias(id_col)
+    )
+    cand = emb.join(cand_ids, id_col, "left_semi")
+    codes = pq_encode(cand, codebooks, id_col, vec_col)
+    shortlist = pq_topk(codes, query, codebooks, k=rerank, id_col="id").select(
+        F.col("id").alias(id_col)
+    )
+    return cosine_topk(
+        emb.join(shortlist, id_col, "left_semi"), query, k, id_col, vec_col
     )
 
 

@@ -158,10 +158,15 @@ def streaming_dedup(
     )
 
 
-def latest_cc_labels(spark, root: str):
+def latest_cc_labels(spark, root: str, before: int | None = None):
     """(version, labels DataFrame) of the newest COMPLETE snapshot under
     ``root`` written by streaming_cc, or None. Completeness is judged by
-    the parquet _SUCCESS marker (same contract as SuperstepHarness)."""
+    the parquet _SUCCESS marker (same contract as SuperstepHarness).
+    ``before`` restricts to versions strictly below it — the fold uses
+    ``before=batch_id`` so a REPLAYED microbatch (crash between the
+    parquet write and the stream-checkpoint commit) never reads the
+    snapshot it is about to overwrite (ADVICE r4: the overwrite would
+    otherwise consume its own input plan and fail or corrupt)."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
     conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
     rootp = jvm_path(root)
@@ -173,6 +178,8 @@ def latest_cc_labels(spark, root: str):
         name = status.getPath().getName()
         if name.startswith("labels_v"):
             v = int(name[len("labels_v"):])
+            if before is not None and v >= before:
+                continue
             if fs.exists(jvm_path(f"{root}/labels_v{v}/_SUCCESS")):
                 versions.append(v)
     if not versions:
@@ -202,16 +209,28 @@ def streaming_cc(
     Returns the DataStreamWriter — caller sets checkpointLocation /
     trigger and calls .start(). Use trigger(availableNow=True) to fold
     a backlog and stop."""
-    from .components import incremental_cc
-
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        latest = latest_cc_labels(spark, root)
-        prev = latest[1] if latest is not None else None
-        out = incremental_cc(prev, batch_df, src, dst)
-        out.write.mode("overwrite").parquet(f"{root}/labels_v{batch_id}")
+        cc_fold_batch(batch_df, batch_id, root, src, dst)
 
     return edge_stream.writeStream.foreachBatch(fold)
+
+
+def cc_fold_batch(
+    batch_df: DataFrame, batch_id: int, root: str, src: str = "src", dst: str = "dst"
+) -> None:
+    """One streaming_cc microbatch fold, REPLAY-IDEMPOTENT (ADVICE r4):
+    after a crash between the parquet write and the stream-checkpoint
+    commit, Spark replays the same batch_id — so the fold only ever
+    reads snapshot versions strictly below its own batch_id (never the
+    snapshot this very batch may have half-written), making the
+    replayed overwrite a clean recompute of the identical result."""
+    from .components import incremental_cc
+
+    spark = batch_df.sparkSession
+    latest = latest_cc_labels(spark, root, before=batch_id)
+    prev = latest[1] if latest is not None else None
+    out = incremental_cc(prev, batch_df, src, dst)
+    out.write.mode("overwrite").parquet(f"{root}/labels_v{batch_id}")
 
 
 def running_ages(events: DataFrame, key_col: str = "user_id") -> DataFrame:

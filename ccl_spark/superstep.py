@@ -36,6 +36,53 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+def edge_signature(df: DataFrame, *cols: str) -> tuple[int, int]:
+    """Order-free exact signature of a row set: (count, xor of row
+    hashes) — the cheap identity check pinned next to iterative-job
+    checkpoints (see pin_input_signature)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def pin_input_signature(
+    harness: "SuperstepHarness",
+    resumed: object,
+    sig: tuple[int, int],
+    params: str,
+    what: str,
+) -> None:
+    """Validate (on resume) or persist (on fresh run) an order-free
+    input signature (count + bit_xor(xxhash64)) plus a parameter string
+    next to the harness root, so resuming a checkpoint against a
+    different edge table — or a different recurrence — raises instead
+    of silently continuing the wrong computation (the failure mode
+    ADVICE r2 flagged for pagerank; this is the shared version for
+    hits/lpa/scc)."""
+    spath = f"{harness.root}/input_sig"
+    if resumed is not None and fs_exists(harness.spark, f"{spath}/_SUCCESS"):
+        s = harness.spark.read.parquet(spath).first()
+        if (s["n"], s["h"]) != (sig[0], sig[1]):
+            raise ValueError(
+                f"{what} resume: the edges argument does not match the edge "
+                f"table this checkpoint was built from ({harness.root}); "
+                "clear the harness root (or use a new one) to start fresh"
+            )
+        if s["params"] != params:
+            raise ValueError(
+                f"{what} resume: parameters do not match the run this "
+                f"checkpoint was built from ({harness.root}: "
+                f"stored={s['params']!r}, requested={params!r}); clear the "
+                "harness root (or use a new one) to start fresh"
+            )
+    if resumed is None or not fs_exists(harness.spark, f"{spath}/_SUCCESS"):
+        harness.spark.createDataFrame(
+            [(int(sig[0]), int(sig[1]), params)], "n long, h long, params string"
+        ).write.mode("overwrite").parquet(spath)
+
+
 class SuperstepHarness:
     def __init__(
         self,

@@ -283,6 +283,58 @@ def bpe_apply(
     )
 
 
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Corpus tokenization END-TO-END — the deliverable an LLM data
+    pipeline actually ships: ``(doc_id, pos, token_id, token)`` rows,
+    one per emitted token, ``pos`` the 0-based position within the
+    document's token stream.
+
+    Token ids are the distinct symbols of the learned segmentation in
+    lexicographic order (dense, 0-based) — deterministic and
+    engine-independent, so the DuckDB oracle re-derives the identical
+    id map (a production tokenizer would rank by frequency; the id
+    ASSIGNMENT rule is orthogonal to the pipeline shape).
+
+    Scale shape: the merge loop runs at VOCABULARY scale (bpe_apply —
+    O(|vocab| * n_merges), never O(corpus * n_merges)); documents then
+    join their words to the segmentation with the vocab-sized tables
+    BROADCAST, and the per-document position is a per-doc window over
+    (word position, symbol offset) — corpus rows are touched exactly
+    once, in one broadcast-join + explode pass."""
+    seg = bpe_apply(docs, merges, id_col, text_col, end_marker)
+    vocab = (
+        seg.select(F.explode("syms").alias("token"))
+        .distinct()
+        .withColumn(
+            "token_id",
+            (F.row_number().over(Window.orderBy("token")) - 1).cast("long"),
+        )
+    )  # vocab-bounded: the single-partition window is a few thousand rows
+    words = (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("wpos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    toks = words.join(F.broadcast(seg), "word").select(
+        id_col, "wpos", F.posexplode("syms").alias("spos", "token")
+    )
+    w = Window.partitionBy(id_col).orderBy("wpos", "spos")
+    return toks.join(F.broadcast(vocab), "token").select(
+        id_col,
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        "token_id",
+        "token",
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:

@@ -190,3 +190,45 @@ def test_hits_numpy_oracle(spark):
     assert got[0][0] == pytest.approx(got[1][0], abs=1e-9)
     assert got[2][1] == pytest.approx(got[3][1], abs=1e-9)
     assert got[0][0] > got[2][0] and got[2][1] > got[0][1]
+
+
+def test_pagerank_incremental_fold_in(spark):
+    """Incremental rank maintenance (verdict r4 #6): folding an edge
+    batch into previously-converged ranks via warm_start converges to
+    the SAME fixpoint as from-scratch (1e-6 parity), both in the plain
+    loop and composed with the residual-push frontier; guard rails
+    reject harness/tol=0 combinations."""
+    import pytest as _pytest
+
+    from ccl_spark.superstep import SuperstepHarness
+
+    base = [(i, (i * 7 + 3) % 40) for i in range(80)]
+    batch = [(2, 41), (41, 5), (7, 42)]  # new vertices + rewiring
+    e_old = df_edges(spark, base)
+    e_new = df_edges(spark, base + batch)
+
+    prev = pagerank(e_old, tol=1e-9).localCheckpoint(eager=True)
+    cold = {r.vertex: r.rank for r in pagerank(e_new, tol=1e-9).collect()}
+    warm = {
+        r.vertex: r.rank
+        for r in pagerank(e_new, tol=1e-9, warm_start=prev).collect()
+    }
+    assert warm.keys() == cold.keys()
+    for v in cold:
+        assert warm[v] == pytest.approx(cold[v], abs=1e-6)
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
+
+    warm_front = {
+        r.vertex: r.rank
+        for r in pagerank(e_new, tol=1e-9, warm_start=prev, frontier=True).collect()
+    }
+    for v in cold:
+        assert warm_front[v] == pytest.approx(cold[v], abs=1e-6)
+
+    with _pytest.raises(ValueError, match="warm_start"):
+        pagerank(e_new, tol=0.0, max_iter=5, warm_start=prev)
+    with _pytest.raises(ValueError, match="warm_start"):
+        pagerank(
+            e_new, tol=1e-9, warm_start=prev,
+            harness=SuperstepHarness(spark, "/tmp/never", algo="pr"),
+        )

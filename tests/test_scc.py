@@ -147,3 +147,30 @@ def test_bowtie_functional_and_random(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r.vertex: r.region for r in bowtie(df).collect()}
         assert got == bowtie_ref(edges)
+
+def test_scc_large_diameter_cycle_converges(spark):
+    """ADVICE r4 regression: a directed cycle whose diameter exceeds
+    the outer phase budget must still resolve to ONE component — the
+    COLOR/CONFIRM inner fixpoints run to convergence (with a raise
+    backstop), never silently extract a partial coloring."""
+    edges = [(i, (i + 1) % 12) for i in range(12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.vertex: r.component
+        for r in strongly_connected_components(df, max_iter=5).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_scc_deep_path_flat_plan(spark):
+    """Deep acyclic chain: trim peels ~n/2 levels, but the extracted
+    batches fold into one checkpointed accumulator, so the returned
+    plan stays O(1) wide regardless of trim depth (verdict r4 #8)."""
+    n = 150
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = strongly_connected_components(df)
+    got = {r.vertex: r.component for r in res.collect()}
+    assert got == {i: i for i in range(n)}  # all singletons
+    plan = res._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(plan.splitlines()) < 10  # flat: a checkpointed scan, not a union tower

@@ -168,3 +168,36 @@ def test_streaming_cc_parity(spark, tmp_path):
         ).collect()
     }
     assert got == exp
+
+
+def test_streaming_cc_replay_idempotent(spark, tmp_path):
+    """ADVICE r4: a replayed microbatch (crash between the snapshot
+    write and the stream-checkpoint commit) must fold from versions
+    strictly below its own batch_id — never from the snapshot it wrote
+    itself — so the replay recomputes the identical result instead of
+    reading its own output."""
+    from ccl_spark.cc import connected_components
+    from ccl_spark.streaming import cc_fold_batch, latest_cc_labels
+
+    root = str(tmp_path / "cc_replay")
+    b0 = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    b1 = spark.createDataFrame([(2, 3), (10, 11)], "src long, dst long")
+    cc_fold_batch(b0, 0, root)
+    cc_fold_batch(b1, 1, root)
+    before = {r.vertex: r.component for r in latest_cc_labels(spark, root)[1].collect()}
+
+    # simulate the crash-replay of batch 1: same batch_id, same data
+    cc_fold_batch(b1, 1, root)
+    version, labels = latest_cc_labels(spark, root)
+    assert version == 1
+    got = {r.vertex: r.component for r in labels.collect()}
+    assert got == before
+    exp = {
+        r.vertex: r.component
+        for r in connected_components(
+            spark.createDataFrame(
+                [(0, 1), (1, 2), (2, 3), (10, 11)], "src long, dst long"
+            )
+        ).collect()
+    }
+    assert got == exp

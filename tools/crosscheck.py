@@ -5,6 +5,7 @@ compare row count, column names, and order-insensitive values."""
 from __future__ import annotations
 
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -44,10 +45,12 @@ def main() -> int:
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
+        t0 = time.monotonic()
         sdf = fn(spark, SF_DIR).toPandas()
+        dt = time.monotonic() - t0
         sql = oracles.get(name)
         if sql is None:
-            print(f"{name:20s} rows-only: {len(sdf)} rows")
+            print(f"{name:20s} rows-only: {len(sdf)} rows [{dt:6.2f}s]")
             continue
         try:
             ddf = con.execute(sql).df()
@@ -69,7 +72,7 @@ def main() -> int:
             # long-vs-double divergence (e.g. DuckDB HUGEINT sums) must fail
             # here too, not be masked.
             pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=False, rtol=0, atol=1e-9)
-            print(f"{name:20s} OK ({len(a)} rows)")
+            print(f"{name:20s} OK ({len(a)} rows) [{dt:6.2f}s]")
         except AssertionError as exc:
             print(f"{name:20s} VALUE MISMATCH: {str(exc)[:300]}")
             failures += 1
