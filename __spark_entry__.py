@@ -1215,6 +1215,25 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", "width", "height")
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG decode end-to-end: synth emits valid baseline
+    JPEGs (pure-numpy DCT + Annex K Huffman encoder), the Arrow stage
+    Huffman-decodes + IDCTs them back to pixels, and width/height come
+    from the DECODED SOF headers while f0 pins the decoded-pixel
+    feature fold. Lossy entropy coding has no closed size formula, so
+    the oracle is pinned expected rows (tools/pin_oracles.py verifies
+    the dims against the independent id-formula arithmetic; the
+    round-trip pixel bound is pinned by
+    tests/test_pipeline_ops.py::test_jpeg_roundtrip)."""
+    from ccl_spark.multimodal import decode_features, synth_jpeg_media
+
+    feats = decode_features(synth_jpeg_media(spark, 120, seed=42), dim=8, real_decode=True)
+    return feats.select(
+        "media_id", "n_bytes", "width", "height",
+        F.round(F.element_at("feature", 1), 5).alias("f0"),
+    )
+
+
 def q_golden_voxel_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3D 26-connectivity CC (contrib/cc3d.ipynb cell 8): space-diagonal
     chains merge; components are canonical min voxel ids."""
@@ -1252,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_voxel_labels": q_golden_voxel_labels,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "golden_grid_labels": q_golden_grid_labels,
         "golden_roi_labels": q_golden_roi_labels,
         "golden_stack_labels": q_golden_stack_labels,
@@ -1699,6 +1719,7 @@ ORDER BY n_vertices DESC, component ASC LIMIT 5
         "ann_ivf_topk": f"SELECT * FROM '{_ORACLE_DIR}/pinned_ann_ivf_topk_sf001.parquet'",
         "ann_pq_topk": f"SELECT * FROM '{_ORACLE_DIR}/pinned_ann_pq_topk_sf001.parquet'",
         "ann_ivfpq_topk": f"SELECT * FROM '{_ORACLE_DIR}/pinned_ann_ivfpq_topk_sf001.parquet'",
+        "multimodal_jpeg": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_jpeg_sf001.parquet'",
         "golden_grid_labels": _values_sql(
             _grid_cells(GOLDEN_GRID_EXPECTED), ["row", "col", "label"]
         ),

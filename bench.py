@@ -116,6 +116,20 @@ def main() -> None:
         lambda: docs.select(F.size(F.split("text", " ")).alias("n")).agg(F.sum("n")).first(),
     )
 
+    # corpus tokenization throughput (the LLM-pipeline deliverable):
+    # merges are learned once (vocabulary-scale training, untimed —
+    # production reuses a trained tokenizer); the timed stage is the
+    # full corpus ENCODE (segment vocab, broadcast-join every word,
+    # explode to token-id rows)
+    from ccl_spark.textops import bpe_encode_docs, bpe_merges  # noqa: E402
+
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_merges(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    n_toks = timed("tokens_ids", lambda: bpe_encode_docs(docs, merges).count())
+    extras["tokens_per_sec_encode"] = round(n_toks / timings["tokens_ids"], 1)
+
     # webtext-pipeline operators (dedup / similarity) at the same sf
     from ccl_spark.dedup import near_duplicates, simhash  # noqa: E402
     from ccl_spark.similarity import cosine_topk  # noqa: E402

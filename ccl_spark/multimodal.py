@@ -12,12 +12,15 @@ pure-numpy parsers — no codec library needed:
 - WAV  (RIFF/WAVE, PCM 16-bit mono)
 - AVI  (RIFF/'AVI ', 'vids'/'DIB ' stream, raw bottom-up DIB frames
         in '00db' movi chunks)
+- JPEG (baseline sequential DCT, 4:4:4, pure-numpy Huffman + IDCT —
+        encode AND decode, ITU-T T.81 Annex K tables)
 
-so decode -> feature is an actual pixel/sample pipeline. Lossy codec
-formats (JPEG/MP4/Ogg/WebM — their libraries are not in this
-container) hit a documented NotImplementedError at the exact seam a
-codec would occupy; ``real_decode=False`` switches to a deterministic
-byte-fold stand-in for fully opaque payloads.
+so decode -> feature is an actual pixel/sample pipeline. The
+remaining codec formats (progressive/subsampled JPEG, MP4/Ogg/WebM —
+their libraries are not in this container) hit a documented
+NotImplementedError at the exact seam a codec would occupy;
+``real_decode=False`` switches to a deterministic byte-fold stand-in
+for fully opaque payloads.
 
 synth_media emits VALID containers of all three kinds, so the default
 end-to-end path (synth -> parse -> feature) exercises real decoding.
@@ -206,6 +209,431 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# baseline JPEG codec (pure numpy/python — ITU-T T.81, public spec)
+# --------------------------------------------------------------------------
+# Encoder + decoder for baseline sequential DCT JPEG, 4:4:4 (no chroma
+# subsampling), standard Annex K quantization + Huffman tables. This
+# closes the JPEG entry of the codec seam: web corpora's dominant image
+# format decodes with no external library. 4:2:0-subsampled or
+# progressive streams still refuse with a clear message (the remaining
+# honest seam), like the other unsupported-variant guards.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# Annex K Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huffman_codes(spec: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]]:
+    """HUFFVAL -> (code, length) per T.81 C.2 canonical code assignment."""
+    bits, vals = spec
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huffman_lookup(spec: tuple[list[int], list[int]]) -> dict[tuple[int, int], int]:
+    """(length, code) -> HUFFVAL, the decoder's view of the same table."""
+    return {(ln, code): v for v, (code, ln) in _huffman_codes(spec).items()}
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m[0] /= np.sqrt(2.0)
+    return m  # orthogonal: F = M f M^T, f = M^T F M
+
+
+_DCT_M = _dct_matrix()
+
+
+def _scaled_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of an Annex K table (public)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    return np.clip(np.floor((table * scale + 50) / 100), 1, 255)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, size-bit code) of a DC/AC value per T.81 F.1.2.1."""
+    size = int(abs(v)).bit_length()
+    code = v if v >= 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _encode_component(
+    writer: _BitWriter,
+    blocks: np.ndarray,
+    qtable: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    coef = np.einsum("ux,bxy,vy->buv", _DCT_M, blocks - 128.0, _DCT_M)
+    q = np.round(coef / qtable).astype(np.int64)
+    zz = q.reshape(len(q), 64)[:, _ZIGZAG]
+    for row in zz:
+        size, code = _magnitude(int(row[0]) - prev_dc)
+        prev_dc = int(row[0])
+        c, ln = dc_codes[size]
+        writer.put(c, ln)
+        if size:
+            writer.put(code, size)
+        run = 0
+        nz = np.nonzero(row[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(row[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                writer.put(c, ln)
+                run -= 16
+            size, code = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | size]
+            writer.put(c, ln)
+            writer.put(code, size)
+            run = 0
+        if last < 63:
+            c, ln = ac_codes[0x00]  # EOB
+            writer.put(c, ln)
+    return prev_dc
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) float plane -> (nb, 8, 8) blocks, edge-replicated padding."""
+    h, w = plane.shape
+    hp, wp = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(plane, ((0, hp - h), (0, wp - w)), mode="edge")
+    return (
+        padded.reshape(hp // 8, 8, wp // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 75) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JPEG bytes (JFIF, 4:4:4, Annex K
+    Huffman tables, quality-scaled Annex K quantization)."""
+    h, w = pixels.shape[:2]
+    rgb = pixels.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    ycc = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+    dc_l, ac_l = _huffman_codes(_DC_LUMA_SPEC), _huffman_codes(_AC_LUMA_SPEC)
+    dc_c, ac_c = _huffman_codes(_DC_CHROMA_SPEC), _huffman_codes(_AC_CHROMA_SPEC)
+
+    # interleaved 4:4:4 MCUs: one 8x8 block per component per MCU
+    writer = _BitWriter()
+    blocks = [_to_blocks(p) for p in ycc]
+    prev = [0, 0, 0]
+    tabs = [(ql, dc_l, ac_l), (qc, dc_c, ac_c), (qc, dc_c, ac_c)]
+    for b_idx in range(len(blocks[0])):
+        for comp in range(3):
+            qt, dcc, acc = tabs[comp]
+            prev[comp] = _encode_component(
+                writer, blocks[comp][b_idx : b_idx + 1], qt, dcc, acc, prev[comp]
+            )
+    scan = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(x) for x in table.reshape(64)[_ZIGZAG]))
+
+    def dht(tclass: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc)
+        + dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
+        + dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC)
+        + sof + sos + scan + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:  # a marker (EOI): scan ended — feed pad bits
+                    self.pos -= 1
+                    byte = 0xFF  # never consumed as data past here
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:
+            self.acc <<= n - self.nbits  # pad tail with 0s
+            self.nbits = n
+        out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+    def huff(self, lookup: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            v = lookup.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB. Sequential DCT,
+    3-component 4:4:4, arbitrary DQT/DHT tables in the stream; refuses
+    progressive / subsampled / arithmetic variants with a clear message
+    (the remaining honest codec seam)."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comps: list[tuple[int, int]] = []  # (component id, qtable id)
+    scan_tabs: list[tuple[int, int]] = []
+    restart = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tid = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables not supported")
+                zz = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.float64)
+                nat = np.empty(64)
+                nat[_ZIGZAG] = zz
+                qtables[tid] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                hufftabs[(tclass, tid)] = _huffman_lookup((bits, vals))
+                i += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            if nc != 3:
+                raise NotImplementedError(f"JPEG with {nc} components: only 3 (YCbCr)")
+            for c in range(nc):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (4:2:0/4:2:2) not supported — 4:4:4 only"
+                    )
+                comps.append((cid, qid))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("progressive/extended JPEG not supported — baseline only")
+        elif marker == 0xDD:
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                scan_tabs.append((body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF))
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if h is None or not scan_tabs:
+        raise ValueError("JPEG missing SOF/SOS")
+    if restart:
+        raise NotImplementedError("JPEG restart intervals not supported")
+
+    reader = _BitReader(payload[pos:])
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((nby * 8, nbx * 8)) for _ in comps]
+    prev_dc = [0] * len(comps)
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, (_, qid) in enumerate(comps):
+                dc_lut = hufftabs[(0, scan_tabs[ci][0])]
+                ac_lut = hufftabs[(1, scan_tabs[ci][1])]
+                zz = np.zeros(64, dtype=np.float64)
+                size = reader.huff(dc_lut)
+                prev_dc[ci] += _extend(reader.bits(size), size)
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.huff(ac_lut)
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    zz[k] = _extend(reader.bits(size), size)
+                    k += 1
+                nat = np.empty(64)
+                nat[_ZIGZAG] = zz
+                block = nat.reshape(8, 8) * qtables[qid]
+                pix = _DCT_M.T @ block @ _DCT_M + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    y = planes[0][:h, :w]
+    cb = planes[1][:h, :w] - 128.0
+    cr = planes[2][:h, :w] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
 # container parsers (pure numpy/struct — the real decode path)
 # --------------------------------------------------------------------------
 
@@ -282,7 +710,6 @@ def avi_decode(payload: bytes) -> tuple[int, int, int, list[np.ndarray]]:
 
 
 _CODEC_MAGICS = {
-    b"\xff\xd8\xff": "JPEG",
     b"OggS": "Ogg",
     b"\x1a\x45\xdf\xa3": "Matroska/WebM",
 }
@@ -347,6 +774,40 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_jpeg_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic image-only media table of VALID baseline JPEGs
+    (seeded gradient + low-frequency content, so the lossy round-trip
+    is tight). Same schema as synth_media, composable with
+    decode_features / resize_images — the gate's JPEG-decode query
+    reads this table."""
+
+    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for i in pdf["id"].tolist():
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                w, h = int(16 + (i % 64)), int(16 + (i % 48))
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = np.stack(
+                    [
+                        (yy * (2 + i % 5)) % 256,
+                        (xx * (3 + i % 7)) % 256,
+                        ((xx + yy) * (1 + i % 3)) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.float64)
+                noise = rng.integers(-8, 9, size=(h, w, 3))
+                pix = np.clip(base + noise, 0, 255).astype(np.uint8)
+                payload = jpeg_encode(pix, quality=75 + (i % 3) * 10)
+                rows.append((int(i), "image", payload, w, h, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _fold(arr: np.ndarray, dim: int) -> list[float]:
     """Fold a float array into a fixed-size feature by block means."""
     arr = arr.astype(np.float32).ravel()
@@ -362,23 +823,33 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
 
 
 def _image_decode(payload: bytes) -> np.ndarray:
-    """Dispatch BMP/PNG still-image payloads to their parser."""
+    """Dispatch BMP/PNG/JPEG still-image payloads to their parser."""
     if payload[:2] == b"BM":
         return bmp_decode(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return jpeg_decode(payload)
     raise ValueError(f"not a supported still-image container: {payload[:8]!r}")
 
 
 def _image_encode(pixels: np.ndarray, like: bytes) -> bytes:
     """Re-encode pixels in the same container family as ``like``."""
-    return png_encode(pixels) if like[:8] == b"\x89PNG\r\n\x1a\n" else bmp_encode(pixels)
+    if like[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_encode(pixels)
+    if like[:3] == b"\xff\xd8\xff":
+        return jpeg_encode(pixels)
+    return bmp_encode(pixels)
 
 
 def _real_decode_row(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
     """Parse the container, return (width, height, feature) from the
     DECODED pixels/samples — not from metadata columns."""
-    if payload[:2] == b"BM" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+    if (
+        payload[:2] == b"BM"
+        or payload[:8] == b"\x89PNG\r\n\x1a\n"
+        or payload[:3] == b"\xff\xd8\xff"
+    ):
         pix = _image_decode(payload)
         return pix.shape[1], pix.shape[0], _fold(pix / 255.0, dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

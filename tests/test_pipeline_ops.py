@@ -229,13 +229,19 @@ def test_multimodal_codec_roundtrip_and_seam(spark):
     assert (w, h, uspf) == (17, 9, 250_000)
     assert len(back_frames) == 3
     assert all(np.array_equal(a, b) for a, b in zip(back_frames, frames))
-    # the codec seam: compressed formats raise at the decode call site
-    jpeg_media = spark.createDataFrame(
-        [(0, "image", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32), 1, 1, 0)],
+    # the codec seam: still-compressed formats (JPEG now has a real
+    # decoder — see test_jpeg_roundtrip) raise at the decode call site
+    ogg_media = spark.createDataFrame(
+        [(0, "audio", bytearray(b"OggS" + b"\x00" * 32), 0, 0, 0)],
         "media_id long, kind string, payload binary, width int, height int, duration_ms int",
     )
-    with pytest.raises(Exception, match="JPEG.*codec"):
-        decode_features(jpeg_media, real_decode=True).collect()
+    with pytest.raises(Exception, match="Ogg.*codec"):
+        decode_features(ogg_media, real_decode=True).collect()
+    # a truncated/garbage JPEG stream fails the PARSER, not the seam
+    from ccl_spark.multimodal import jpeg_decode
+
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     # top-down BMP (negative biHeight) refuses instead of mirroring
     import struct
 
@@ -509,3 +515,52 @@ def test_ivfpq_recall(spark):
         true = float(rows[r.vec_id] @ qv / (np.linalg.norm(rows[r.vec_id]) * np.linalg.norm(qv)))
         assert abs(r.cosine - true) <= 1e-6
     base.unpersist()
+
+
+def test_jpeg_roundtrip(spark):
+    """Baseline JPEG codec (verdict r4 #9): encode -> decode recovers
+    the source pixels within a tight lossy bound on the synth content,
+    dims come from the decoded SOF header, the decode composes with
+    resize, and unsupported variants refuse at the narrowed seam."""
+    import numpy as np
+    import pytest
+
+    from ccl_spark.multimodal import (
+        decode_features,
+        jpeg_decode,
+        jpeg_encode,
+        resize_images,
+        synth_jpeg_media,
+    )
+
+    # direct round-trip vs independently-built source pixels
+    rng = np.random.default_rng(3)
+    h, w = 33, 41  # non-multiple-of-8 dims exercise edge padding
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([(yy * 3) % 256, (xx * 5) % 256, ((xx + yy) * 2) % 256], axis=-1)
+    pix = np.clip(base + rng.integers(-8, 9, size=(h, w, 3)), 0, 255).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(pix, quality=90))
+    assert out.shape == (h, w, 3)
+    assert float(np.mean(np.abs(out.astype(int) - pix.astype(int)))) < 4.0
+
+    # engine path: synth -> decode_features reads dims from SOF
+    media = synth_jpeg_media(spark, 24, seed=42)
+    feats = decode_features(media, dim=8, real_decode=True).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert r.width == 16 + r.media_id % 64
+        assert r.height == 16 + r.media_id % 48
+        assert all(0.0 <= f <= 1.0 for f in r.feature)
+
+    # resize keeps the JPEG container family and the new dims decode back
+    resized = resize_images(media, width=24, height=20).collect()
+    for r in resized:
+        assert r.payload[:3] == b"\xff\xd8\xff"
+        assert jpeg_decode(bytes(r.payload)).shape == (20, 24, 3)
+
+    # narrowed seam: subsampled SOF refuses with a clear message
+    payload = bytearray(jpeg_encode(pix))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 11] = 0x22  # claim 4:2:0 sampling for component 1
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        jpeg_decode(bytes(payload))
