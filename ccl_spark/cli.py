@@ -8,7 +8,9 @@ Package and run:
         --checkpoint s3://bucket/ckpt/run1 --resume
 
 Subcommands: cc | pagerank | lpa | triangles | extract | dedup |
-dedup-corpus (near-dup pairs -> transitive clusters -> deduped docs).
+dedup-corpus (near-dup pairs -> transitive clusters -> deduped docs) |
+tokenize (train BPE merges on the corpus, encode every document to
+its token-id stream).
 Every iterative job takes --checkpoint (superstep state + lineage) and
 --resume (continue the latest complete superstep at that root) — the
 north rule's mid-algorithm resumability.
@@ -36,7 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ccl_spark")
     p.add_argument(
         "algo",
-        choices=["cc", "pagerank", "lpa", "triangles", "extract", "dedup", "dedup-corpus"],
+        choices=[
+            "cc", "pagerank", "lpa", "triangles", "extract", "dedup",
+            "dedup-corpus", "tokenize",
+        ],
     )
     p.add_argument("--edges", help="parquet edge table (src, dst)")
     p.add_argument("--pages", help="parquet pages table (extract)")
@@ -47,6 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         help="extract: canonical_url both endpoints before hashing",
     )
     p.add_argument("--threshold", type=float, default=0.8, help="dedup jaccard cutoff")
+    p.add_argument("--merges", type=int, default=1000, help="tokenize: BPE merge rounds")
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint", help="checkpoint/lineage root")
     p.add_argument("--resume", action="store_true")
@@ -86,6 +92,17 @@ def main(argv: list[str] | None = None) -> int:
         from ccl_spark.dedup import dedup_corpus
 
         out = dedup_corpus(spark.read.parquet(args.docs), threshold=args.threshold)
+    elif args.algo == "tokenize":
+        # train a BPE tokenizer on the corpus, then encode every
+        # document to its token-id stream (the LLM-pipeline deliverable)
+        from ccl_spark.textops import bpe_encode_docs, bpe_merges
+
+        docs = spark.read.parquet(args.docs)
+        merges = [
+            (r.lhs, r.rhs)
+            for r in bpe_merges(docs, n_merges=args.merges).orderBy("merge_rank").collect()
+        ]
+        out = bpe_encode_docs(docs, merges)
     elif args.algo == "cc":
         out = connected_components(_edges(spark, args.edges), harness=harness)
     elif args.algo == "pagerank":

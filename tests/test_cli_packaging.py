@@ -114,3 +114,30 @@ def test_cli_dedup_corpus_end_to_end(spark, tmp_path):
     assert rc == 0
     kept = sorted(r.doc_id for r in spark.read.parquet(opath).collect())
     assert kept == [0, 2]  # doc 1 is the near-dup of 0; min id wins
+
+
+def test_cli_tokenize_end_to_end(spark, tmp_path):
+    """tokenize subcommand: train merges on the corpus, write every
+    document's token-id stream; ids are dense and positions contiguous."""
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low"), (1, "new newer low")],
+        "doc_id long, text string",
+    )
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    opath = str(tmp_path / "toks")
+
+    from ccl_spark.cli import main
+
+    rc = main(["tokenize", "--docs", dpath, "--out", opath, "--merges", "4",
+               "--master", "local[4]"])
+    assert rc == 0
+    rows = spark.read.parquet(opath).collect()
+    assert {r.doc_id for r in rows} == {0, 1}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.pos)
+    for poss in by_doc.values():
+        assert sorted(poss) == list(range(len(poss)))  # contiguous stream
+    ids = {r.token_id for r in rows}
+    assert ids == set(range(max(ids) + 1))  # dense lexicographic id map

@@ -36,17 +36,21 @@ def _settle():
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     time.sleep(1.0)
-res = {{}}
-for observe in (True, False):
-    ts = []
-    for _ in range(reps):
+# one untimed warm-up run, then variants INTERLEAVED per rep so
+# JIT/shuffle-file warm-up and machine phases cannot bias one side
+connected_components(edges, local_finish_threshold=0).select("component").distinct().count()
+_settle()
+res = {{"observe": {{"all": []}}, "agg": {{"all": []}}}}
+for _ in range(reps):
+    for observe in (True, False):
         t0 = time.monotonic()
         connected_components(
             edges, local_finish_threshold=0, observe_signature=observe
         ).select("component").distinct().count()
-        ts.append(time.monotonic() - t0)
+        res["observe" if observe else "agg"]["all"].append(time.monotonic() - t0)
         _settle()
-    res["observe" if observe else "agg"] = {{"min": min(ts), "all": ts}}
+for k in res:
+    res[k]["min"] = min(res[k]["all"])
 print(json.dumps({{"cpus": execs * 4, "edges": n_edges, **res}}))
 spark.stop()
 """

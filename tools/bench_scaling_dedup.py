@@ -34,8 +34,14 @@ pages = spark.read.parquet(pages_path)
 docs = extract_text(pages).select(
     F.xxhash64("url").alias("doc_id"), "text"
 )
+# NEAR duplicates, not exact copies: exact dups collapse in
+# near_duplicates' pre-collapse stage and never reach the pair/cluster
+# path — append a short suffix so Jaccard stays high but texts differ
 dups = docs.filter(F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(100)) == 0)
-dups = dups.select((F.col("doc_id") + F.lit(1)).alias("doc_id"), "text")
+dups = dups.select(
+    (F.col("doc_id") + F.lit(1)).alias("doc_id"),
+    F.concat(F.col("text"), F.lit(" trailing near dup marker")).alias("text"),
+)
 docs.unionByName(dups).write.mode("overwrite").parquet(out)
 print("GENERATED")
 spark.stop()
