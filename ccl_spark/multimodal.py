@@ -419,16 +419,21 @@ def _to_blocks(plane: np.ndarray) -> np.ndarray:
 
 
 def jpeg_encode(pixels: np.ndarray, quality: int = 75) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JPEG bytes (JFIF, 4:4:4, Annex K
-    Huffman tables, quality-scaled Annex K quantization)."""
+    """(h, w, 3) uint8 RGB — or (h, w) uint8 grayscale — -> baseline
+    JPEG bytes (JFIF, 4:4:4 / single-component, Annex K Huffman
+    tables, quality-scaled Annex K quantization)."""
+    gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
-    rgb = pixels.astype(np.float64)
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    ycc = [
-        0.299 * r + 0.587 * g + 0.114 * b,
-        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-    ]
+    if gray:
+        ycc = [pixels.astype(np.float64)]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        ycc = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
     ql = _scaled_quant(_QUANT_LUMA, quality)
     qc = _scaled_quant(_QUANT_CHROMA, quality)
     dc_l, ac_l = _huffman_codes(_DC_LUMA_SPEC), _huffman_codes(_AC_LUMA_SPEC)
@@ -440,7 +445,7 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 75) -> bytes:
     prev = [0, 0, 0]
     tabs = [(ql, dc_l, ac_l), (qc, dc_c, ac_c), (qc, dc_c, ac_c)]
     for b_idx in range(len(blocks[0])):
-        for comp in range(3):
+        for comp in range(len(ycc)):
             qt, dcc, acc = tabs[comp]
             prev[comp] = _encode_component(
                 writer, blocks[comp][b_idx : b_idx + 1], qt, dcc, acc, prev[comp]
@@ -457,19 +462,24 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 75) -> bytes:
         bits, vals = spec
         return seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
 
-    sof = seg(
-        0xC0,
-        bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
-    )
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    if gray:
+        sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        tables = dqt(0, ql) + dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
+    else:
+        sof = seg(
+            0xC0,
+            bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+            + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+        )
+        sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        tables = (
+            dqt(0, ql) + dqt(1, qc)
+            + dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
+            + dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC)
+        )
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
-    return (
-        b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc)
-        + dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
-        + dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC)
-        + sof + sos + scan + b"\xff\xd9"
-    )
+    return b"\xff\xd8" + app0 + tables + sof + sos + scan + b"\xff\xd9"
 
 
 class _BitReader:
@@ -567,8 +577,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         elif marker == 0xC0 or marker == 0xC1:
             h, w = struct.unpack_from(">HH", body, 1)
             nc = body[5]
-            if nc != 3:
-                raise NotImplementedError(f"JPEG with {nc} components: only 3 (YCbCr)")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {nc} components: only 1 (gray) or 3 (YCbCr)"
+                )
             for c in range(nc):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
                 if samp != 0x11:
@@ -625,11 +637,15 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 pix = _DCT_M.T @ block @ _DCT_M + 128.0
                 planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
     y = planes[0][:h, :w]
-    cb = planes[1][:h, :w] - 128.0
-    cr = planes[2][:h, :w] - 128.0
-    rgb = np.stack(
-        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
-    )
+    if len(comps) == 1:  # grayscale: replicate to the uniform RGB shape
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        cb = planes[1][:h, :w] - 128.0
+        cr = planes[2][:h, :w] - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=-1,
+        )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 

@@ -299,14 +299,19 @@ def bowtie(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Bow-tie decomposition of a directed graph (Broder et al.):
     ``(vertex, region)`` with region in {'core', 'in', 'out', 'other'}
     — core = the LARGEST strongly connected component (ties broken by
     smallest label), 'in' = can reach the core, 'out' = reachable from
     the core, 'other' = tendrils + disconnected mass. Composes
-    strongly_connected_components with two reachability closures."""
-    labels = strongly_connected_components(edges, src, dst, max_iter=max_iter)
+    strongly_connected_components with two reachability closures;
+    pass precomputed ``labels`` (``vertex, component`` for the SAME
+    edge table) to skip the SCC phase — the shape a pipeline that
+    already materialized SCC labels uses."""
+    if labels is None:
+        labels = strongly_connected_components(edges, src, dst, max_iter=max_iter)
     labels = labels.localCheckpoint(eager=True)
     core_row = (
         labels.groupBy("component")

@@ -564,3 +564,19 @@ def test_jpeg_roundtrip(spark):
     payload[sof + 11] = 0x22  # claim 4:2:0 sampling for component 1
     with pytest.raises(NotImplementedError, match="subsampled"):
         jpeg_decode(bytes(payload))
+
+
+def test_jpeg_grayscale_roundtrip():
+    """1-component (grayscale) baseline JPEG: encode from a (h, w)
+    plane, decode to replicated-channel RGB within a tight bound."""
+    import numpy as np
+
+    from ccl_spark.multimodal import jpeg_decode, jpeg_encode
+
+    yy, xx = np.mgrid[0:30, 0:44]
+    gray = ((yy * 5 + xx * 2) % 256).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(gray, quality=90))
+    assert out.shape == (30, 44, 3)
+    assert np.array_equal(out[..., 0], out[..., 1])
+    assert np.array_equal(out[..., 0], out[..., 2])
+    assert float(np.mean(np.abs(out[..., 0].astype(int) - gray.astype(int)))) < 2.0
