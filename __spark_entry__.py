@@ -1299,6 +1299,46 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (native session_window; the oracle is
+    an independent lag/cumulative-break derivation in DuckDB)."""
+    from ccl_spark.streaming import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"), "ts"
+    )
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-bigram fraction +
+    duplicated-trigram fraction per document)."""
+    from ccl_spark.textops import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram marking (decontamination /
+    corpus n-gram dedup) at n=4 — discriminative on the synthetic
+    corpus (~75% of docs share at least one 4-gram at sf0.001)."""
+    from ccl_spark.dedup import duplicated_ngrams
+
+    return duplicated_ngrams(_t(spark, sf_dir, "documents"), n=4)
+
+
+# DuckDB-side word-n-gram list over string_split(text, ' '), 1-based.
+def _grams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"l[CAST(i AS INT) + {j}]" for j in range(n))
+    return f"list_transform(range(1, len(l) - {n - 2}), i -> {parts})"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -1364,6 +1404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "corpus_cc_sizes": q_corpus_cc_sizes,
         "corpus_lpa": q_corpus_lpa,
+        "sessions": q_sessions,
+        "repetition": q_repetition,
+        "ngram_dedup": q_ngram_dedup,
     }
 
 
@@ -1833,5 +1876,53 @@ SELECT i AS media_id,
        CAST(CASE WHEN k = 1 THEN 0 ELSE w END AS INTEGER) AS width,
        CAST(CASE WHEN k = 1 THEN 0 ELSE h END AS INTEGER) AS height
 FROM m
+""",
+        # sessionization: independent lag/cumulative-break derivation
+        # (the engine uses native session_window); inclusive boundary —
+        # an event at exactly prev + gap still merges (Spark merges
+        # sessions whose [start, last+gap] ranges touch), and
+        # session_end = last event + gap.
+        "sessions": """
+WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, ts FROM events),
+m AS (SELECT user_id, ts,
+      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e),
+s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+       ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+        "repetition": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),
+bic AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM bi GROUP BY doc_id, gram),
+bia AS (SELECT doc_id, SUM(cnt) AS total, MAX(cnt) AS top FROM bic GROUP BY doc_id),
+tri AS (SELECT doc_id, UNNEST({_grams_sql(3)}) AS gram FROM toks),
+tric AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM tri GROUP BY doc_id, gram),
+tria AS (SELECT doc_id, SUM(cnt) AS total,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup FROM tric GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       ROUND(COALESCE(b.top, 0) / GREATEST(COALESCE(b.total, 0), 1), 6) AS top_ngram_frac,
+       ROUND(COALESCE(t.dup, 0) / GREATEST(COALESCE(t.total, 0), 1), 6) AS dup_ngram_frac
+FROM documents d LEFT JOIN bia b ON b.doc_id = d.doc_id
+LEFT JOIN tria t ON t.doc_id = d.doc_id
+""",
+        # the oracle groups by the raw gram string (the engine shuffles
+        # the 128-bit md5 instead — same counts unless md5 collides)
+        "ngram_dedup": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g AS (SELECT DISTINCT doc_id, gram FROM
+      (SELECT doc_id, UNNEST({_grams_sql(4)}) AS gram FROM toks)),
+bg AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram),
+pd AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+       SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_shared
+       FROM g JOIN bg USING (gram) GROUP BY g.doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       ROUND(COALESCE(n_shared, 0) / GREATEST(COALESCE(n_grams, 0), 1), 6) AS shared_frac
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 """,
     }

@@ -335,6 +335,59 @@ def containment_pairs(
     )
 
 
+def duplicated_ngrams(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated word-n-gram marking — the train-set
+    decontamination / corpus-level n-gram dedup shape (GPT-3 appendix C
+    overlap check; MassiveText 13-gram dedup): an n-gram is *shared*
+    when it occurs in more than one document, and each document reports
+    how much of it is covered by shared n-grams.
+
+    Distinct (doc, gram) pairs shuffle on the 128-bit md5 of the gram,
+    so shuffle bytes are bounded by the hash width, never the gram
+    text; the per-gram document count is a partial-aggregating groupBy
+    (hot boilerplate grams combine map-side). Nothing here is
+    quadratic — cost is linear in total gram occurrences. Returns
+    ``(doc_id, n_grams, n_shared, shared_frac)`` for every document
+    (zero-gram docs report 0)."""
+    from .textops import _word_ngrams
+
+    base = docs.select(F.col(id_col).cast("long").alias(id_col))
+    grams = (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.explode(_word_ngrams(text_col, n)).alias("gram"),
+        )
+        .select(id_col, F.md5(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    by_gram = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        grams.join(by_gram, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        F.round(
+            F.coalesce("n_shared", F.lit(0)).cast("double")
+            / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+            6,
+        ).alias("shared_frac"),
+    )
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -62,6 +62,40 @@ def windowed_activity(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via native session windows: events of
+    one key closer than ``gap`` merge into one session; a session spans
+    [first event, last event + gap). Works on batch frames as-is and on
+    streams when ``watermark`` is set (state for a session closes once
+    the watermark passes its end — the standard unbounded-stream
+    sessionization shape).
+
+    Returns ``(key, session_start, session_end, n_events)`` where
+    ``session_end`` is the window end (last event + gap). One shuffle
+    on the key; sessions of different keys never interact, so the
+    operator scales with the per-key event density, not the corpus."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # Distinct active days are kept exactly, as a sorted int32 epoch-day
 # array in binary state, capped at MAX_STATE_DAYS entries (256 KiB —
 # ~180 years of daily activity; beyond the cap the count saturates,

@@ -79,6 +79,76 @@ def quality_features(
     )
 
 
+def _word_ngrams(text_col: str, n: int) -> F.Column:
+    """Word n-grams of a whitespace-split text as an array column,
+    built JVM-side: transform over a 1..len-n+1 index sequence joining
+    n consecutive tokens with single spaces. Empty array when the doc
+    has fewer than n tokens."""
+    t = f"split({text_col}, ' ')"
+    parts = ", ' ', ".join(f"{t}[i - 1 + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({t}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({t}) - {n} + 1), "
+        f"i -> concat({parts})) END"
+    )
+
+
+def ngram_repetition(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document word-n-gram repetition stats: total n-gram
+    occurrences, the count of the most frequent n-gram, and how many
+    occurrences belong to n-grams that appear more than once in the
+    document. One explode + one groupBy on (doc, gram) — the shuffle
+    key is document-local, so partial aggregation absorbs it and no
+    key ever outgrows its own document."""
+    grams = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode_outer(_word_ngrams(text_col, n)).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("gram").alias("cnt"))
+    return per_gram.groupBy(id_col).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total"),
+        F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("top_cnt"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dup_cnt"),
+    )
+
+
+def repetition_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals (Rae et al.
+    2021 §A.1.1, adapted to word n-grams since the synthetic corpus has
+    no line structure): ``top_ngram_frac`` = fraction of n-gram
+    occurrences taken by the single most frequent ``top_n``-gram
+    (boilerplate/listing detector), ``dup_ngram_frac`` = fraction of
+    ``dup_n``-gram occurrences that are repeats within the document
+    (internal-duplication detector). Docs scoring high on either are
+    the ones repetition filters drop before LLM training."""
+    top = ngram_repetition(docs, top_n, id_col, text_col).select(
+        id_col,
+        F.round(
+            F.col("top_cnt").cast("double") / F.greatest(F.col("total"), F.lit(1)), 6
+        ).alias("top_ngram_frac"),
+    )
+    dup = ngram_repetition(docs, dup_n, id_col, text_col).select(
+        id_col,
+        F.round(
+            F.col("dup_cnt").cast("double") / F.greatest(F.col("total"), F.lit(1)), 6
+        ).alias("dup_ngram_frac"),
+    )
+    return top.join(dup, id_col)
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic: per-language stopword hit counts,
     argmax with deterministic tie-break (en > de > fr > und)."""

@@ -580,3 +580,37 @@ def test_jpeg_grayscale_roundtrip():
     assert np.array_equal(out[..., 0], out[..., 1])
     assert np.array_equal(out[..., 0], out[..., 2])
     assert float(np.mean(np.abs(out[..., 0].astype(int) - gray.astype(int)))) < 2.0
+
+
+def test_repetition_features(spark):
+    from ccl_spark.textops import repetition_features
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),  # 8 distinct bigrams
+        (1, "spam spam spam spam"),  # fully repetitive
+        (2, "hi there"),  # one bigram, no trigram
+        (3, "solo"),  # no grams at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert len(got) == 4
+    assert got[0]["top_ngram_frac"] == 0.125 and got[0]["dup_ngram_frac"] == 0.0
+    assert got[1]["top_ngram_frac"] == 1.0 and got[1]["dup_ngram_frac"] == 1.0
+    assert got[2]["top_ngram_frac"] == 1.0 and got[2]["dup_ngram_frac"] == 0.0
+    assert got[3]["top_ngram_frac"] == 0.0 and got[3]["dup_ngram_frac"] == 0.0
+
+
+def test_duplicated_ngrams(spark, docs):
+    from ccl_spark.dedup import duplicated_ngrams
+
+    got = {r["doc_id"]: r for r in duplicated_ngrams(docs, n=3).collect()}
+    assert len(got) == 5  # every doc present
+    # docs 0 and 3 are exact duplicates: all 7 trigrams shared
+    for d in (0, 3):
+        assert got[d]["n_grams"] == 7 and got[d]["n_shared"] == 7
+        assert got[d]["shared_frac"] == 1.0
+    # doc 1 differs only in the last word: 6 of 7 trigrams shared
+    assert got[1]["n_grams"] == 7 and got[1]["n_shared"] == 6
+    assert got[1]["shared_frac"] == 0.857143
+    # docs 2 and 4 share nothing
+    assert got[2]["n_shared"] == 0 and got[4]["n_shared"] == 0

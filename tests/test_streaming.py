@@ -201,3 +201,35 @@ def test_streaming_cc_replay_idempotent(spark, tmp_path):
         ).collect()
     }
     assert got == exp
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    """Inclusive session boundary: an event exactly `gap` after the
+    previous one still MERGES (Spark merges touching ranges); an event
+    `gap`+1s later starts a new session; session_end = last + gap."""
+    import pyspark.sql.functions as F
+
+    from ccl_spark.streaming import sessionize
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 10:40:00"),  # exactly 30min after 10:10 -> merges
+        (1, "2024-01-01 11:10:01"),  # 30min 1s after 10:40 -> new session
+        (2, "2024-01-01 09:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    out = sessionize(ev, gap="30 minutes").select(
+        "user_id",
+        F.date_format("session_start", "HH:mm").alias("s"),
+        F.date_format("session_end", "HH:mm").alias("e"),
+        "n_events",
+    )
+    got = {(r["user_id"], r["s"]): (r["e"], r["n_events"]) for r in out.collect()}
+    assert got == {
+        (1, "10:00"): ("11:10", 3),
+        (1, "11:10"): ("11:40", 1),
+        (2, "09:00"): ("09:30", 1),
+    }
