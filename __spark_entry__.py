@@ -1333,6 +1333,107 @@ def q_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_ngrams(_t(spark, sf_dir, "documents"), n=4)
 
 
+def _host_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy page-level URL pairs synthesized from customer arithmetic:
+    8 hosts, mangled case + ports on the source side; the dst host
+    mixes in c_custkey div 16 so every host has several out-neighbors
+    with UNEQUAL link counts (exercises the weighted rank split), and
+    occasional self-links are dropped by host_graph."""
+    cust = _t(spark, sf_dir, "customer")
+    i = F.col("c_custkey")
+    return cust.select(
+        F.concat(
+            F.lit("https://Host"), (i % 8).cast("string"),
+            F.lit(".Example.COM/p/"), i.cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://host"),
+            ((i * 3 + F.expr("c_custkey div 16") + 2) % 8).cast("string"),
+            F.lit(".example.com:8080/q/"), (i % 13).cast("string"),
+        ).alias("dst_url"),
+    )
+
+
+HOST_PR_ITERS = 15
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-URL edge list contracted to the weighted host graph; the
+    oracle constructs hosts directly from the same arithmetic (no
+    shared regexes)."""
+    from ccl_spark.edges import host_graph
+
+    return host_graph(_host_url_pairs(spark, sf_dir))
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the contracted host graph (rank splits
+    over out-links proportionally to link multiplicity); fixed 15
+    iterations so the chained-CTE oracle replays the identical
+    sequence."""
+    from ccl_spark.edges import host_graph
+
+    hg = host_graph(_host_url_pairs(spark, sf_dir))
+    he = hg.select(
+        F.regexp_extract("src_host", r"host(\d+)", 1).cast("long").alias("src"),
+        F.regexp_extract("dst_host", r"host(\d+)", 1).cast("long").alias("dst"),
+        "weight",
+    )
+    pr = pagerank(he, tol=0.0, max_iter=HOST_PR_ITERS, weight="weight")
+    return pr.select(
+        F.concat(
+            F.lit("host"), F.col("vertex").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
+_HOST_EDGES_SQL = """
+SELECT CAST(c_custkey % 8 AS BIGINT) AS src,
+       CAST((c_custkey * 3 + c_custkey // 16 + 2) % 8 AS BIGINT) AS dst,
+       CAST(COUNT(*) AS DOUBLE) AS w
+FROM customer
+WHERE c_custkey % 8 <> (c_custkey * 3 + c_custkey // 16 + 2) % 8
+GROUP BY 1, 2
+"""
+
+
+def _host_pagerank_sql(iters: int) -> str:
+    """Weighted fixed-iteration PageRank over the host graph as
+    chained CTEs (mirrors the engine's weighted update: contrib =
+    r * w / sum-of-out-weights; dangling/n in the update)."""
+    pre = f"""
+WITH
+e AS MATERIALIZED ({_HOST_EDGES_SQL}),
+verts AS MATERIALIZED (SELECT DISTINCT v AS vertex FROM
+          (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+outdeg AS MATERIALIZED (SELECT src AS vertex, SUM(w) AS deg FROM e GROUP BY src),
+pr0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) AS r FROM verts)
+"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        steps.append(
+            f""",
+dang{k} AS (SELECT COALESCE(SUM(r), 0) AS d FROM {p}
+            LEFT JOIN outdeg USING (vertex) WHERE deg IS NULL),
+contrib{k} AS (SELECT e.dst AS vertex, SUM(p.r * e.w / o.deg) AS c
+               FROM {p} p JOIN outdeg o USING (vertex)
+               JOIN e ON e.src = p.vertex GROUP BY e.dst),
+pr{k} AS MATERIALIZED (SELECT v.vertex,
+          (1 - {DAMPING}) / (SELECT n FROM nn)
+          + {DAMPING} * (COALESCE(c.c, 0) + (SELECT d FROM dang{k}) / (SELECT n FROM nn)) AS r
+          FROM verts v LEFT JOIN contrib{k} c USING (vertex))"""
+        )
+    return (
+        pre
+        + "".join(steps)
+        + f"\nSELECT 'host' || CAST(vertex AS VARCHAR) || '.example.com' AS host,"
+        f" ROUND(r, 6) AS rank FROM pr{iters}"
+    )
+
+
 # DuckDB-side word-n-gram list over string_split(text, ' '), 1-based.
 def _grams_sql(n: int) -> str:
     parts = " || ' ' || ".join(f"l[CAST(i AS INT) + {j}]" for j in range(n))
@@ -1407,6 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "repetition": q_repetition,
         "ngram_dedup": q_ngram_dedup,
+        "host_graph": q_host_graph,
+        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -1925,4 +2028,14 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        ROUND(COALESCE(n_shared, 0) / GREATEST(COALESCE(n_grams, 0), 1), 6) AS shared_frac
 FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 """,
+        # host built directly from the customer arithmetic — an
+        # independent derivation from the engine's regexp extraction
+        "host_graph": """
+WITH p AS (SELECT 'host' || CAST(c_custkey % 8 AS VARCHAR) || '.example.com' AS s,
+                  'host' || CAST((c_custkey * 3 + c_custkey // 16 + 2) % 8 AS VARCHAR) || '.example.com' AS d
+           FROM customer)
+SELECT s AS src_host, d AS dst_host, CAST(COUNT(*) AS BIGINT) AS weight
+FROM p WHERE s <> d GROUP BY s, d
+""",
+        "host_pagerank": _host_pagerank_sql(HOST_PR_ITERS),
     }

@@ -59,6 +59,43 @@ def canonical_url(col: str | F.Column) -> F.Column:
     return F.regexp_replace(u, r"^(https?://[^/?#]*)/$", "$1")
 
 
+def host_of(col: str | F.Column) -> F.Column:
+    """Lowercased host (authority minus port/userinfo) of a URL, all
+    JVM regexp. Empty string when the value has no ``scheme://host``
+    prefix."""
+    u = F.col(col) if isinstance(col, str) else col
+    host = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1)
+    return F.lower(host)
+
+
+def host_graph(
+    pairs: DataFrame,
+    src_url: str = "src_url",
+    dst_url: str = "dst_url",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Contract a page-level URL edge list to the weighted host graph:
+    ``(src_host, dst_host, weight)`` where weight counts the page-level
+    links between the two hosts. ``drop_self`` removes intra-host
+    links (the convention of published host-level web graphs — they
+    are navigation, not endorsement, and they dominate raw counts).
+
+    This is the standard first reduction of a crawl graph: 10^12 page
+    edges contract to ~10^8 host rows, small enough for exact
+    centrality runs. One partial-aggregating groupBy — the hot
+    (big-host, big-host) keys combine map-side, so hub hosts never
+    funnel raw page rows to one reducer. Rows with an unparseable
+    src or dst URL (no host) are dropped."""
+    out = pairs.select(
+        host_of(src_url).alias("src_host"), host_of(dst_url).alias("dst_host")
+    ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if drop_self:
+        out = out.filter(F.col("src_host") != F.col("dst_host"))
+    return out.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+
+
 def page_edges(
     pages: DataFrame, n_salts: int = 64, canonicalize: bool = False
 ) -> DataFrame:

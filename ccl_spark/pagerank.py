@@ -44,6 +44,7 @@ def pagerank(
     frontier: bool = False,
     frontier_theta: float = 0.1,
     warm_start: DataFrame | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Return ``(vertex long, rank double)``; ranks sum to 1.
 
@@ -106,10 +107,35 @@ def pagerank(
     fixed-iteration warm sequence has no oracle twin) and no harness
     (fold-ins are few-iteration jobs; resume pinning would have to pin
     the warm ranks themselves).
+    ``weight`` names a positive edge-weight column and switches to
+    WEIGHTED PageRank: a vertex's rank splits over its out-edges
+    proportionally to weight (contrib = rank * w / sum-of-out-weights)
+    instead of uniformly. This is the host-graph shape — a contracted
+    web graph carries link multiplicities, and treating a 10 000-link
+    neighbor the same as a 1-link neighbor discards exactly the signal
+    the contraction kept. Parallel (src, dst) rows are pre-summed, so
+    an uncontracted multigraph works too. Weights must be positive;
+    a vertex whose out-weights sum to 0 is treated as dangling.
     """
-    pairs = edges.select(
-        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).distinct()
+    if weight is None:
+        pairs = edges.select(
+            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        ).distinct()
+    else:
+        if frontier:
+            raise ValueError(
+                "pagerank: frontier mode does not support weighted edges "
+                "(the residual push maintains unweighted contribution sums)"
+            )
+        pairs = (
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
     verts = pairs.select(F.col("src").alias("vertex")).unionByName(
         pairs.select(F.col("dst").alias("vertex"))
     )
@@ -120,7 +146,10 @@ def pagerank(
     if n == 0:
         return verts.select("vertex", F.lit(0.0).alias("rank"))
 
-    out_deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if weight is None:
+        out_deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    else:
+        out_deg = pairs.groupBy("src").agg(F.sum("w").alias("deg"))
     start = 0
     resumed = harness.latest() if harness is not None else None
     if resumed is not None:
@@ -149,9 +178,10 @@ def pagerank(
         # ``tol`` is deliberately NOT pinned: it only decides when to
         # stop, so resuming to a tighter tolerance is a legitimate
         # continuation of the same recurrence.
+        sig_cols = ["src", "dst"] if weight is None else ["src", "dst", "w"]
         r = pairs.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+            F.coalesce(F.bit_xor(F.xxhash64(*sig_cols)), F.lit(0)).alias("h"),
         ).first()
         in_sig = (r["n"], r["h"])
         seeds_str = "" if seeds is None else ",".join(str(int(s)) for s in seeds)
@@ -278,9 +308,14 @@ def pagerank(
                 new_rank = F.lit(1.0 - damping) * F.col("tele") + F.lit(damping) * (
                     F.coalesce("contrib", F.lit(0.0)) + F.col("dn") * F.col("tele")
                 )
+            per_edge = (
+                (F.col("rank") / F.col("deg"))
+                if weight is None
+                else (F.col("rank") * F.col("w") / F.col("deg"))
+            )
             contribs = (
                 edges_w.join(s.select("vertex", "rank"), edges_w.src == F.col("vertex"))
-                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .select("dst", per_edge.alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
             )

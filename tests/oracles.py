@@ -47,3 +47,30 @@ def numpy_pagerank(edges, vertices=(), damping=0.85, tol=1e-12, max_iter=5000):
             break
         r = new
     return {v: float(r[idx[v]]) for v in verts}
+
+
+def numpy_pagerank_weighted(edges, damping=0.85, tol=1e-12, max_iter=5000):
+    """Dense weighted PageRank: contrib = r * w / sum-of-out-weights.
+    ``edges`` is a list of (u, v, w) with positive w."""
+    verts = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out_w = np.zeros(n)
+    for u, _, w in edges:
+        out_w[idx[u]] += w
+    r = np.full(n, 1.0 / n)
+    targets = {}
+    for u, v, w in edges:
+        targets.setdefault(idx[u], []).append((idx[v], w))
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        for u, vws in targets.items():
+            for v, w in vws:
+                contrib[v] += r[u] * w / out_w[u]
+        dangling = r[out_w == 0].sum()
+        new = (1 - damping) / n + damping * (contrib + dangling / n)
+        if np.max(np.abs(new - r)) < tol:
+            r = new
+            break
+        r = new
+    return {v: float(r[idx[v]]) for v in verts}

@@ -232,3 +232,69 @@ def test_pagerank_incremental_fold_in(spark):
             e_new, tol=1e-9, warm_start=prev,
             harness=SuperstepHarness(spark, "/tmp/never", algo="pr"),
         )
+
+
+WEIGHTED = [
+    (0, 1, 10.0),
+    (0, 2, 1.0),  # 0 splits 10:1 between 1 and 2
+    (1, 2, 5.0),
+    (2, 0, 2.0),
+    (2, 3, 2.0),  # 3 is dangling
+]
+
+
+def test_pagerank_weight_one_matches_unweighted(spark):
+    pairs = [(u, v) for u, v, _ in WEIGHTED]
+    e = df_edges(spark, pairs)
+    ew = spark.createDataFrame(WEIGHTED, "src long, dst long, w double").withColumn(
+        "w", F.lit(1.0)
+    )
+    plain = {r.vertex: r.rank for r in pagerank(e, tol=1e-10).collect()}
+    wtd = {r.vertex: r.rank for r in pagerank(ew, tol=1e-10, weight="w").collect()}
+    assert set(plain) == set(wtd)
+    for v in plain:
+        assert abs(plain[v] - wtd[v]) < 1e-12
+
+
+def test_pagerank_weighted_vs_numpy(spark):
+    from tests.oracles import numpy_pagerank_weighted
+
+    ew = spark.createDataFrame(WEIGHTED, "src long, dst long, w double")
+    got = {r.vertex: r.rank for r in pagerank(ew, tol=1e-10, weight="w").collect()}
+    exp = numpy_pagerank_weighted(WEIGHTED)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-6
+
+
+def test_pagerank_weighted_multigraph_presums(spark):
+    """Parallel (src, dst) rows pre-sum into one weight."""
+    from tests.oracles import numpy_pagerank_weighted
+
+    dup = WEIGHTED + [(0, 1, 4.0)]  # 0->1 now 14.0 total
+    merged = [(0, 1, 14.0)] + [t for t in WEIGHTED if t[:2] != (0, 1)]
+    ew = spark.createDataFrame(dup, "src long, dst long, w double")
+    got = {r.vertex: r.rank for r in pagerank(ew, tol=1e-10, weight="w").collect()}
+    exp = numpy_pagerank_weighted(merged)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-6
+
+
+def test_host_graph_contraction(spark):
+    from ccl_spark.edges import host_graph
+
+    rows = [
+        ("https://A.Example.com/x", "http://b.example.com/y"),
+        ("https://a.example.com:443/z", "http://B.EXAMPLE.COM/w"),  # same host pair
+        ("https://a.example.com/1", "https://a.example.com/2"),  # self: dropped
+        ("https://user@c.example.com/p", "https://a.example.com/"),  # userinfo
+        ("not a url", "https://a.example.com/"),  # unparseable: dropped
+    ]
+    df = spark.createDataFrame(rows, "src_url string, dst_url string")
+    got = {
+        (r.src_host, r.dst_host): r.weight for r in host_graph(df).collect()
+    }
+    assert got == {
+        ("a.example.com", "b.example.com"): 2,
+        ("c.example.com", "a.example.com"): 1,
+    }
