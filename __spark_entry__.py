@@ -1434,6 +1434,41 @@ pr{k} AS MATERIALIZED (SELECT v.vertex,
     )
 
 
+def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function N(t) of the symmetrized small graph
+    (ordered pairs within distance t, all vertices as sources) — the
+    ANF/HyperANF statistic; the oracle is an independent recursive-CTE
+    BFS with min-distance aggregation."""
+    from ccl_spark.neighborhood import neighborhood_function
+
+    nf = neighborhood_function(_edges_small(spark, sf_dir), undirected=True)
+    return spark.createDataFrame(
+        [(int(t), int(n)) for t, n in nf], "t int, n_pairs long"
+    )
+
+
+def q_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated 90%-effective diameter from the exact neighborhood
+    function (the HyperANF convention)."""
+    from ccl_spark.neighborhood import effective_diameter, neighborhood_function
+
+    nf = neighborhood_function(_edges_small(spark, sf_dir), undirected=True)
+    return spark.createDataFrame(
+        [(round(effective_diameter(nf, q=0.9), 6),)], "eff_diameter double"
+    )
+
+
+_BFS_SQL = f"""
+{_UND_SQL},
+bfs(s, v, d) AS (
+    SELECT vertex, vertex, 0 FROM verts
+    UNION
+    SELECT b.s, und.v, b.d + 1 FROM bfs b JOIN und ON und.u = b.v WHERE b.d < 40
+),
+md AS (SELECT s, v, MIN(d) AS d FROM bfs GROUP BY s, v)
+"""
+
+
 # DuckDB-side word-n-gram list over string_split(text, ' '), 1-based.
 def _grams_sql(n: int) -> str:
     parts = " || ' ' || ".join(f"l[CAST(i AS INT) + {j}]" for j in range(n))
@@ -1510,6 +1545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dedup": q_ngram_dedup,
         "host_graph": q_host_graph,
         "host_pagerank": q_host_pagerank,
+        "neighborhood": q_neighborhood,
+        "eff_diameter": q_eff_diameter,
     }
 
 
@@ -2038,4 +2075,31 @@ SELECT s AS src_host, d AS dst_host, CAST(COUNT(*) AS BIGINT) AS weight
 FROM p WHERE s <> d GROUP BY s, d
 """,
         "host_pagerank": _host_pagerank_sql(HOST_PR_ITERS),
+        # exact BFS by recursive CTE; distances are contiguous 0..max
+        # (any shortest path realizes every intermediate distance), so
+        # DISTINCT d enumerates exactly the t values the engine emits
+        "neighborhood": f"""
+WITH RECURSIVE
+{_BFS_SQL},
+ts AS (SELECT DISTINCT d AS t FROM md)
+SELECT CAST(ts.t AS INTEGER) AS t,
+       CAST((SELECT COUNT(*) FROM md WHERE md.d <= ts.t) AS BIGINT) AS n_pairs
+FROM ts
+""",
+        "eff_diameter": f"""
+WITH RECURSIVE
+{_BFS_SQL},
+nf AS (SELECT d AS t, (SELECT COUNT(*) FROM md m2 WHERE m2.d <= md.d) AS n
+       FROM (SELECT DISTINCT d FROM md) md ORDER BY t),
+tot AS (SELECT 0.9 * MAX(n) AS target FROM nf),
+below AS (SELECT MAX(t) AS t0 FROM nf, tot WHERE n < target),
+pts AS (SELECT
+    (SELECT n FROM nf, below WHERE t = t0) AS n0,
+    (SELECT n FROM nf, below WHERE t = t0 + 1) AS n1,
+    (SELECT t0 FROM below) AS t0,
+    (SELECT target FROM tot) AS target)
+SELECT CASE WHEN t0 IS NULL THEN 0.0
+       ELSE ROUND(t0 + (target - n0) / (n1 - n0), 6) END AS eff_diameter
+FROM pts
+""",
     }

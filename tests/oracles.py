@@ -74,3 +74,35 @@ def numpy_pagerank_weighted(edges, damping=0.85, tol=1e-12, max_iter=5000):
             break
         r = new
     return {v: float(r[idx[v]]) for v in verts}
+
+
+def bfs_neighborhood(edges, sources=None, undirected=False):
+    """Exact neighborhood function [(t, n_pairs)] by per-source BFS."""
+    from collections import deque
+
+    adj = {}
+    es = list(edges)
+    if undirected:
+        es = es + [(v, u) for u, v in es]
+    verts = sorted({u for u, _ in es} | {v for _, v in es})
+    for u, v in es:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+    srcs = verts if sources is None else sorted(sources)
+    counts = {}
+    for s in srcs:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for d in dist.values():
+            counts[d] = counts.get(d, 0) + 1
+    out, cum = [], 0
+    for t in range(max(counts) + 1):
+        cum += counts.get(t, 0)
+        out.append((t, cum))
+    return out
