@@ -1354,7 +1354,7 @@ def _host_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HOST_PR_ITERS = 15
+HOST_PR_ITERS = 8
 
 
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1368,9 +1368,10 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the contracted host graph (rank splits
-    over out-links proportionally to link multiplicity); fixed 15
+    over out-links proportionally to link multiplicity); fixed 8
     iterations so the chained-CTE oracle replays the identical
-    sequence."""
+    sequence (8 keeps the gate entry cheap; the weighted arithmetic is
+    identical at any count)."""
     from ccl_spark.edges import host_graph
 
     hg = host_graph(_host_url_pairs(spark, sf_dir))
@@ -1434,14 +1435,25 @@ pr{k} AS MATERIALIZED (SELECT v.vertex,
     )
 
 
+_NF_MEMO: dict[str, list[tuple[int, int]]] = {}
+
+
+def _nf_small(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
+    if sf_dir not in _NF_MEMO:
+        from ccl_spark.neighborhood import neighborhood_function
+
+        _NF_MEMO[sf_dir] = neighborhood_function(
+            _edges_small(spark, sf_dir), undirected=True
+        )
+    return _NF_MEMO[sf_dir]
+
+
 def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact neighborhood function N(t) of the symmetrized small graph
     (ordered pairs within distance t, all vertices as sources) — the
     ANF/HyperANF statistic; the oracle is an independent recursive-CTE
     BFS with min-distance aggregation."""
-    from ccl_spark.neighborhood import neighborhood_function
-
-    nf = neighborhood_function(_edges_small(spark, sf_dir), undirected=True)
+    nf = _nf_small(spark, sf_dir)
     return spark.createDataFrame(
         [(int(t), int(n)) for t, n in nf], "t int, n_pairs long"
     )
@@ -1450,9 +1462,9 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated 90%-effective diameter from the exact neighborhood
     function (the HyperANF convention)."""
-    from ccl_spark.neighborhood import effective_diameter, neighborhood_function
+    from ccl_spark.neighborhood import effective_diameter
 
-    nf = neighborhood_function(_edges_small(spark, sf_dir), undirected=True)
+    nf = _nf_small(spark, sf_dir)
     return spark.createDataFrame(
         [(round(effective_diameter(nf, q=0.9), 6),)], "eff_diameter double"
     )
@@ -1494,6 +1506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_stack_ages": q_golden_stack_ages,
         "golden_dust_labels": q_golden_dust_labels,
         "tokens_ids": q_tokens_ids,
+        "host_pagerank": q_host_pagerank,
+        "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
         "cc_sizes_topk": q_cc_sizes_topk,
         "cc_min_size": q_cc_min_size,
@@ -1544,8 +1558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "ngram_dedup": q_ngram_dedup,
         "host_graph": q_host_graph,
-        "host_pagerank": q_host_pagerank,
-        "neighborhood": q_neighborhood,
         "eff_diameter": q_eff_diameter,
     }
 
