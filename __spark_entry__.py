@@ -1470,6 +1470,47 @@ def q_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed graph with genuine reciprocal pairs (the modular-affine
+    map x -> 7x+3 mod 40 has 2-cycles), for directedness statistics."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        (F.col("c_custkey") % 40).cast("long").alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 40).cast("long").alias("dst"),
+    ).distinct()
+
+
+_DIR_EDGES_SQL = (
+    "SELECT DISTINCT CAST(c_custkey % 40 AS BIGINT) AS src, "
+    "CAST((c_custkey * 7 + 3) % 40 AS BIGINT) AS dst FROM customer"
+)
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed modular graph — fraction of
+    distinct directed edges whose reverse exists (one join + one agg)."""
+    from ccl_spark.graphstats import reciprocity
+
+    return reciprocity(_edges_directed(spark, sf_dir))
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Pearson correlation of endpoint degrees
+    over the symmetrized edge list) of the small graph."""
+    from ccl_spark.graphstats import assortativity
+
+    return assortativity(_edges_small(spark, sf_dir))
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 non-adjacent pairs by Adamic-Adar common-neighbor score
+    on the symmetrized small graph; deterministic
+    (score DESC, u, v) tie-break in both engines."""
+    from ccl_spark.graphstats import adamic_adar
+
+    return adamic_adar(_edges_small(spark, sf_dir), k=20)
+
+
 _BFS_SQL = f"""
 {_UND_SQL},
 bfs(s, v, d) AS (
@@ -1559,6 +1600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dedup": q_ngram_dedup,
         "host_graph": q_host_graph,
         "eff_diameter": q_eff_diameter,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "adamic_adar": q_adamic_adar,
     }
 
 
@@ -2113,5 +2157,33 @@ pts AS (SELECT
 SELECT CASE WHEN t0 IS NULL THEN 0.0
        ELSE ROUND(t0 + (target - n0) / (n1 - n0), 6) END AS eff_diameter
 FROM pts
+""",
+        "reciprocity": f"""
+WITH e AS ({_DIR_EDGES_SQL}),
+ee AS (SELECT * FROM e WHERE src <> dst)
+SELECT ROUND(SUM(CASE WHEN r.src IS NOT NULL THEN 1.0 ELSE 0.0 END)
+             / COUNT(*), 6) AS reciprocity
+FROM ee LEFT JOIN ee r ON ee.src = r.dst AND ee.dst = r.src
+""",
+        "assortativity": f"""
+WITH {_UND_SQL},
+deg AS (SELECT u AS vv, COUNT(*) AS d FROM und GROUP BY u)
+SELECT ROUND(CORR(da.d, db.d), 6) AS assortativity
+FROM und JOIN deg da ON und.u = da.vv JOIN deg db ON und.v = db.vv
+""",
+        "adamic_adar": f"""
+WITH {_UND_SQL},
+deg AS (SELECT u AS w, COUNT(*) AS d FROM und GROUP BY u),
+nb AS (SELECT und.u AS w, und.v AS n, 1.0 / LN(deg.d) AS wgt
+       FROM und JOIN deg ON und.u = deg.w
+       WHERE deg.d >= 2 AND deg.d <= 10000),
+pr AS (SELECT a.n AS u, b.n AS v, SUM(a.wgt) AS score
+       FROM nb a JOIN nb b ON a.w = b.w AND a.n < b.n GROUP BY 1, 2),
+ex AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM und)
+SELECT pr.u, pr.v, ROUND(pr.score, 6) AS score
+FROM pr LEFT JOIN ex ON pr.u = ex.u AND pr.v = ex.v
+WHERE ex.u IS NULL
+ORDER BY ROUND(pr.score, 6) DESC, pr.u, pr.v
+LIMIT 20
 """,
     }

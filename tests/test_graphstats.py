@@ -1,0 +1,99 @@
+"""graphstats vs independent pure-Python oracles on crafted graphs."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import pytest
+
+from ccl_spark.graphstats import adamic_adar, assortativity, reciprocity
+
+# Directed: 1->2, 2->1 (reciprocal pair), 1->3, 3->4, 4->3 (reciprocal),
+# 2->3, plus a self-loop (dropped) and a duplicate edge (deduped).
+DIRECTED = [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (2, 3), (5, 5), (1, 3)]
+
+# Undirected star-plus-path: 0 is a hub over 1..4; 5-6-7 a path.
+UNDIRECTED = [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6), (6, 7), (1, 2)]
+
+
+def _py_undirected(pairs):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def test_reciprocity(spark):
+    df = spark.createDataFrame(DIRECTED, "src long, dst long")
+    got = reciprocity(df).first()["reciprocity"]
+    edges = {(s, d) for s, d in DIRECTED if s != d}
+    expect = sum((d, s) in edges for s, d in edges) / len(edges)
+    assert got == pytest.approx(expect, abs=1e-6)
+    assert got == pytest.approx(4 / 6, abs=1e-6)
+
+
+def test_assortativity(spark):
+    df = spark.createDataFrame(UNDIRECTED, "src long, dst long")
+    got = assortativity(df).first()["assortativity"]
+    adj = _py_undirected(UNDIRECTED)
+    xs, ys = [], []
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            xs.append(len(adj[u]))
+            ys.append(len(adj[v]))
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sx = math.sqrt(sum((x - mx) ** 2 for x in xs))
+    sy = math.sqrt(sum((y - my) ** 2 for y in ys))
+    assert got == pytest.approx(cov / (sx * sy), abs=1e-6)
+
+
+def _py_adamic_adar(pairs, max_degree=10_000):
+    adj = _py_undirected(pairs)
+    scores: dict[tuple[int, int], float] = {}
+    for w, nbrs in adj.items():
+        if not (2 <= len(nbrs) <= max_degree):
+            continue
+        for u, v in combinations(sorted(nbrs), 2):
+            scores[(u, v)] = scores.get((u, v), 0.0) + 1.0 / math.log(len(nbrs))
+    return {
+        (u, v): s for (u, v), s in scores.items() if v not in adj[u]
+    }
+
+
+def test_adamic_adar(spark):
+    df = spark.createDataFrame(UNDIRECTED, "src long, dst long")
+    got = {(r["u"], r["v"]): r["score"] for r in adamic_adar(df, k=50).collect()}
+    expect = _py_adamic_adar(UNDIRECTED)
+    assert set(got) == set(expect)
+    for pair, s in expect.items():
+        assert got[pair] == pytest.approx(s, abs=1e-6)
+    # hub witness 0 (deg 4) contributes 1/ln(4) to each of its 6 pairs
+    assert (3, 4) in got and got[(3, 4)] == pytest.approx(1 / math.log(4), abs=1e-6)
+
+
+def test_adamic_adar_max_degree_cap(spark):
+    df = spark.createDataFrame(UNDIRECTED, "src long, dst long")
+    got = {
+        (r["u"], r["v"]): r["score"]
+        for r in adamic_adar(df, k=50, max_degree=2).collect()
+    }
+    expect = _py_adamic_adar(UNDIRECTED, max_degree=2)
+    assert set(got) == set(expect)
+    # hub 0 (deg 4) excluded as witness: (3, 4) no longer scored
+    assert (3, 4) not in got and (5, 7) in got
+
+
+def test_adamic_adar_topk_determinism(spark):
+    df = spark.createDataFrame(UNDIRECTED, "src long, dst long")
+    top2 = [(r["u"], r["v"]) for r in adamic_adar(df, k=2).collect()]
+    expect = sorted(
+        _py_adamic_adar(UNDIRECTED).items(),
+        key=lambda kv: (-round(kv[1], 6), kv[0]),
+    )[:2]
+    assert top2 == [p for p, _ in expect]
