@@ -1059,6 +1059,61 @@ def q_corpus_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dump_anchors(n_pages: int) -> None:
+    """Materialize the generator's ground-truth anchor triples where the
+    DuckDB oracle can scan them — a driver-side pure-Python replay,
+    fully independent of the Spark extraction path."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccl_spark.datagen import ground_truth_anchors
+
+    path = f"{_ORACLE_DIR}/corpus_anchors_{n_pages}.parquet"
+    try:
+        rows = sorted(
+            (s, d, a) for s, d, a in ground_truth_anchors(n_pages, seed=42) if s != d
+        )
+        os.makedirs(_ORACLE_DIR, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": [r[0] for r in rows],
+                    "dst_url": [r[1] for r in rows],
+                    "anchor": [r[2] for r in rows],
+                }
+            ),
+            path,
+        )
+    except OSError:
+        # read-only checkout: the committed copy keeps the oracle valid
+        if not os.path.exists(path):
+            raise
+
+
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-engine-style anchor-text index (Brin & Page 1998 §2.2):
+    for the 20 most-linked targets, the in-link count plus the top-3
+    incoming anchor terms, deterministic tie-breaks throughout. Oracle
+    = the same aggregation in DuckDB over the generator's ground-truth
+    anchor triples (independent of the Spark regexp extraction, which
+    is itself parity-tested in tests/test_anchors.py)."""
+    from ccl_spark.anchors import top_anchored_targets
+    from ccl_spark.extract import extract_anchor_pairs
+
+    pages = generate_pages(spark, 2000, seed=42)
+    _dump_anchors(2000)
+    out = top_anchored_targets(extract_anchor_pairs(pages), n_targets=20, k_terms=3)
+    return out.select(
+        "dst_url",
+        F.col("n_inlinks").cast("long").alias("n_inlinks"),
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_corpus_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 synchronous LPA rounds, oracle-checked against the same rounds
     as chained CTEs in DuckDB (deterministic mode/min tie-break)."""
@@ -1595,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "corpus_cc_sizes": q_corpus_cc_sizes,
         "corpus_lpa": q_corpus_lpa,
+        "anchor_terms": q_anchor_terms,
         "sessions": q_sessions,
         "repetition": q_repetition,
         "ngram_dedup": q_ngram_dedup,
@@ -1987,6 +2043,17 @@ SELECT component, COUNT(*) AS n_vertices FROM comp GROUP BY component
 ORDER BY n_vertices DESC, component ASC LIMIT 5
 """,
         "corpus_lpa": _corpus_lpa_sql(5),
+        "anchor_terms": f"""
+WITH a AS (SELECT * FROM '{_ORACLE_DIR}/corpus_anchors_2000.parquet'),
+inl AS (SELECT dst_url, COUNT(*) AS n_inlinks FROM a GROUP BY dst_url),
+top AS (SELECT dst_url, n_inlinks FROM inl ORDER BY n_inlinks DESC, dst_url LIMIT 20),
+t AS (SELECT dst_url, unnest(string_split(anchor, ' ')) AS term FROM a),
+c AS (SELECT dst_url, term, COUNT(*) AS n FROM t WHERE term <> '' GROUP BY dst_url, term),
+r AS (SELECT dst_url, term, n,
+      ROW_NUMBER() OVER (PARTITION BY dst_url ORDER BY n DESC, term) AS rank FROM c)
+SELECT top.dst_url, top.n_inlinks, r.rank, r.term, r.n
+FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
+""",
         # pinned expected rows for the hash-specific / approximate
         # queries (seeded-deterministic at the driver's sf0.01 compare
         # scale; generated by tools/pin_oracles.py, drift caught by

@@ -66,10 +66,8 @@ def url_of(i: int, n_hosts: int) -> str:
     return f"https://h{i % n_hosts}.example.com/p/{i}"
 
 
-def out_links(
-    i: int, v: int, seed: int, n_hosts: int, max_out: int = 40
-) -> list[str]:
-    """Deterministic out-link urls of page i (shared with tests/oracles)."""
+def _link_targets(i: int, v: int, seed: int, max_out: int = 40) -> list[int]:
+    """Deterministic out-link target ids of page i (dedup'd, in slot order)."""
     ids = np.array([i], dtype=np.uint64)
     if _unit(_hash(seed, ids, 1))[0] < 0.06:
         return []  # dangling page
@@ -79,7 +77,42 @@ def out_links(
     h = _hash(seed, ids[0] + (slots << np.uint64(20)) + np.uint64(7), 3)
     tgt = (v * _unit(h) ** 2.2).astype(np.int64)  # skew toward low ids (hubs)
     tgt = tgt[tgt != i]
-    return [url_of(int(t), n_hosts) for t in dict.fromkeys(tgt.tolist())]
+    return list(dict.fromkeys(tgt.tolist()))
+
+
+def out_links(
+    i: int, v: int, seed: int, n_hosts: int, max_out: int = 40
+) -> list[str]:
+    """Deterministic out-link urls of page i (shared with tests/oracles)."""
+    return [url_of(int(t), n_hosts) for t in _link_targets(i, v, seed, max_out)]
+
+
+def link_anchor(i: int, t: int, seed: int) -> str:
+    """Deterministic anchor text of the link i -> t: the target's topic
+    word (a function of t alone, so incoming anchors of a page share a
+    dominant term, as real anchor text does) plus 1-2 hash-picked filler
+    words from the (seed, i, t) stream."""
+    h = int(
+        _hash(
+            seed,
+            np.array([np.uint64(i) ^ (np.uint64(t) << np.uint64(21))], dtype=np.uint64),
+            8,
+        )[0]
+    )
+    words = [_WORDS[t % len(_WORDS)], _WORDS[h % len(_WORDS)]]
+    if (h >> 24) % 3:
+        words.append(_WORDS[(h >> 44) % len(_WORDS)])
+    return " ".join(words)
+
+
+def out_links_anchored(
+    i: int, v: int, seed: int, n_hosts: int, max_out: int = 40
+) -> list[tuple[str, str]]:
+    """(url, anchor-text) pairs of page i's out-links."""
+    return [
+        (url_of(int(t), n_hosts), link_anchor(i, int(t), seed))
+        for t in _link_targets(i, v, seed, max_out)
+    ]
 
 
 def _gen_batch(
@@ -102,8 +135,8 @@ def _gen_batch(
                 )
             ]
             text = " ".join(words)
-            links = out_links(i, v, seed, n_hosts)
-            anchors = "".join(f'<a href="{u}">link</a>' for u in links)
+            links = out_links_anchored(i, v, seed, n_hosts)
+            anchors = "".join(f'<a href="{u}">{a}</a>' for u, a in links)
             html = (
                 f"<html><head><title>page {i}</title></head>"
                 f"<body><p>{text}</p>{anchors}</body></html>"
@@ -143,4 +176,17 @@ def ground_truth_edges(n_pages: int, seed: int = 42, n_hosts: int | None = None)
     for i in range(n_pages):
         for u in out_links(i, n_pages, seed, n_hosts):
             out.append((url_of(i, n_hosts), u))
+    return out
+
+
+def ground_truth_anchors(n_pages: int, seed: int = 42, n_hosts: int | None = None):
+    """Driver-side oracle: the exact (src_url, dst_url, anchor) triples
+    the generator embedded — verifies anchor extraction end-to-end and
+    feeds the DuckDB anchor-aggregation oracle independently of the
+    Spark extraction path."""
+    n_hosts = n_hosts or max(1, n_pages // 50)
+    out = []
+    for i in range(n_pages):
+        for u, a in out_links_anchored(i, n_pages, seed, n_hosts):
+            out.append((url_of(i, n_hosts), u, a))
     return out

@@ -25,10 +25,12 @@ from pyspark.sql import DataFrame, functions as F
 
 _P_RE = re.compile(r"<p>(.*?)</p>", re.S)
 _HREF_RE = re.compile(r'href="([^"]+)"')
+_A_RE = re.compile(r'<a href="([^"]+)">([^<]*)</a>')
 
-# Spark and Python regex syntax agree for these two patterns.
+# Spark and Python regex syntax agree for these patterns.
 _P_SQL = "<p>(.*?)</p>"
 _HREF_SQL = 'href="([^"]+)"'
+_A_SQL = '<a href="([^"]+)">([^<]*)</a>'
 
 
 def extract_text_py(html: bytes) -> str:
@@ -56,6 +58,30 @@ def extract_link_pairs(pages: DataFrame) -> DataFrame:
     links = F.regexp_extract_all(s, F.lit(_HREF_SQL), F.lit(1))
     return (
         pages.select(F.col("url").alias("src_url"), F.explode(links).alias("dst_url"))
+        .filter(F.col("dst_url") != F.col("src_url"))
+        .distinct()
+    )
+
+
+def extract_anchors_py(html: bytes) -> list[tuple[str, str]]:
+    """Reference extractor: (href, anchor-text) pairs of the <a> tags."""
+    return _A_RE.findall(html.decode("utf-8"))
+
+
+def extract_anchor_pairs(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor) exploded from the <a> tags — JVM-side.
+
+    Two aligned ``regexp_extract_all`` passes (capture group 1 = href,
+    group 2 = anchor body) zipped positionally; stays in whole-stage
+    codegen, no Python."""
+    s = F.col("html").cast("string")
+    z = F.arrays_zip(
+        F.regexp_extract_all(s, F.lit(_A_SQL), F.lit(1)).alias("dst_url"),
+        F.regexp_extract_all(s, F.lit(_A_SQL), F.lit(2)).alias("anchor"),
+    )
+    return (
+        pages.select(F.col("url").alias("src_url"), F.explode(z).alias("a"))
+        .select("src_url", F.col("a.dst_url").alias("dst_url"), F.col("a.anchor").alias("anchor"))
         .filter(F.col("dst_url") != F.col("src_url"))
         .distinct()
     )

@@ -154,3 +154,18 @@ def test_asof_join_single_shuffle_no_python(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_adamic_adar_no_pair_explosion_join(spark):
+    """adamic_adar's wedge generation must stay an equi-join on the
+    shared-witness key — never a cartesian / nested-loop pair join —
+    and the whole plan stays JVM-side."""
+    from ccl_spark.graphstats import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 60) for i in range(200)], "src long, dst long"
+    )
+    plan = _executed(adamic_adar(edges, k=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
