@@ -1020,6 +1020,22 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+_CORPUS_EDGES_MEMO: dict[int, DataFrame] = {}
+
+
+def _corpus_edges(spark: SparkSession, n_pages: int) -> DataFrame:
+    """The deterministic corpus edge table (datagen -> extraction),
+    materialized once per gate process — corpus_cc_sizes / corpus_lpa /
+    betweenness / the oracle dump all share it."""
+    if n_pages not in _CORPUS_EDGES_MEMO:
+        e = page_edges(generate_pages(spark, n_pages, seed=42))
+        _CORPUS_EDGES_MEMO[n_pages] = e.localCheckpoint(eager=True)
+    return _CORPUS_EDGES_MEMO[n_pages]
+
+
+_DUMPED_EDGES: set[int] = set()
+
+
 def _dump_edges(spark: SparkSession, n_pages: int) -> None:
     """Materialize the deterministic corpus edge table where the DuckDB
     oracle can scan it (the oracle cannot run datagen/extract itself).
@@ -1030,9 +1046,11 @@ def _dump_edges(spark: SparkSession, n_pages: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if n_pages in _DUMPED_EDGES:
+        return
     path = f"{_ORACLE_DIR}/corpus_edges_{n_pages}.parquet"
     try:
-        e = page_edges(generate_pages(spark, n_pages, seed=42)).select("src", "dst")
+        e = _corpus_edges(spark, n_pages).select("src", "dst")
         pdf = e.toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
         os.makedirs(_ORACLE_DIR, exist_ok=True)
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
@@ -1041,14 +1059,14 @@ def _dump_edges(spark: SparkSession, n_pages: int) -> None:
         # keeps the oracle valid
         if not os.path.exists(path):
             raise
+    _DUMPED_EDGES.add(n_pages)
 
 
 def q_corpus_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic-corpus path (datagen -> extract -> edges -> CC),
     oracle-checked against a DuckDB recursive min-reach CTE over the
     dumped edge table."""
-    pages = generate_pages(spark, 2000, seed=42)
-    e = page_edges(pages)
+    e = _corpus_edges(spark, 2000)
     _dump_edges(spark, 2000)
     comp = connected_components(e)
     return (
@@ -1056,6 +1074,71 @@ def q_corpus_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vertices"))
         .orderBy(F.desc("n_vertices"), F.asc("component"))
         .limit(5)
+    )
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled depth-bounded Brandes betweenness on the corpus
+    graph (4 hub pivots, 5 BFS levels — both sides use the identical
+    pivot rule and depth bound, so the comparison is exact up to 6dp
+    rounding). Oracle = the same two Brandes phases as chained CTEs in
+    DuckDB over the dumped deterministic edge table."""
+    from ccl_spark.betweenness import betweenness_approx
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return betweenness_approx(
+        e.select("src", "dst"), n_pivots=4, max_depth=5, k=20, early_stop=False
+    )
+
+
+def _betweenness_sql(n_pivots: int, max_depth: int, k: int) -> str:
+    """Brandes forward (BFS + path counts) and backward (dependency)
+    phases unrolled as chained CTEs — the _pagerank_sql/_corpus_lpa_sql
+    pattern."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+und AS (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM {src} WHERE src <> dst
+    UNION SELECT dst, src FROM {src} WHERE src <> dst)),
+deg AS (SELECT s, COUNT(*) AS dg FROM und GROUP BY s),
+piv AS (SELECT s AS p FROM deg ORDER BY dg DESC, s LIMIT {n_pivots}),
+f0 AS (SELECT p, p AS v, CAST(1.0 AS DOUBLE) AS sigma FROM piv),
+d0 AS (SELECT p, v FROM f0)"""
+    ]
+    for r in range(1, max_depth + 1):
+        parts.append(
+            f"""
+f{r} AS (SELECT f.p, u.d AS v, SUM(f.sigma) AS sigma
+    FROM f{r - 1} f JOIN und u ON u.s = f.v
+    WHERE NOT EXISTS (SELECT 1 FROM d{r - 1} x WHERE x.p = f.p AND x.v = u.d)
+    GROUP BY f.p, u.d),
+d{r} AS (SELECT * FROM d{r - 1} UNION ALL SELECT p, v FROM f{r})"""
+        )
+    R = max_depth
+    parts.append(
+        f"\nb{R} AS (SELECT p, v, sigma, CAST(0.0 AS DOUBLE) AS delta FROM f{R})"
+    )
+    for lv in range(R - 1, 0, -1):
+        parts.append(
+            f"""
+b{lv} AS (SELECT f.p, f.v, f.sigma, COALESCE(c.cd, 0.0) AS delta
+    FROM f{lv} f LEFT JOIN (
+        SELECT f2.p, f2.v, SUM(f2.sigma / n.sigma * (1 + n.delta)) AS cd
+        FROM f{lv} f2 JOIN und u ON u.s = f2.v
+        JOIN b{lv + 1} n ON n.p = f2.p AND n.v = u.d
+        GROUP BY f2.p, f2.v) c ON c.p = f.p AND c.v = f.v)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT v, delta FROM b{lv}" for lv in range(1, R + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT v AS vertex, ROUND(SUM(delta), 6) AS bc FROM ({union}) t GROUP BY v
+ORDER BY ROUND(SUM(delta), 6) DESC, v LIMIT {k}"""
     )
 
 
@@ -1117,8 +1200,7 @@ def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 synchronous LPA rounds, oracle-checked against the same rounds
     as chained CTEs in DuckDB (deterministic mode/min tie-break)."""
-    pages = generate_pages(spark, 1000, seed=42)
-    e = page_edges(pages)
+    e = _corpus_edges(spark, 1000)
     _dump_edges(spark, 1000)
     lab = label_propagation(e, max_iter=5)
     return (
@@ -1651,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cc_sizes": q_corpus_cc_sizes,
         "corpus_lpa": q_corpus_lpa,
         "anchor_terms": q_anchor_terms,
+        "betweenness": q_betweenness,
         "sessions": q_sessions,
         "repetition": q_repetition,
         "ngram_dedup": q_ngram_dedup,
@@ -2054,6 +2137,7 @@ r AS (SELECT dst_url, term, n,
 SELECT top.dst_url, top.n_inlinks, r.rank, r.term, r.n
 FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
 """,
+        "betweenness": _betweenness_sql(4, 5, 20),
         # pinned expected rows for the hash-specific / approximate
         # queries (seeded-deterministic at the driver's sf0.01 compare
         # scale; generated by tools/pin_oracles.py, drift caught by

@@ -1,0 +1,139 @@
+"""Approximate betweenness centrality: pivot-sampled, depth-bounded
+Brandes (Brandes 2001; pivot sampling per Brandes & Pich 2007).
+
+Exact betweenness is O(|V|·|E|) — infeasible at web scale. The
+standard approximation runs Brandes' two-phase algorithm from a small
+deterministic pivot set (here: the ``n_pivots`` highest-degree
+vertices, ties on vertex id — hubs cover the most shortest paths) and
+bounds the BFS at ``max_depth`` levels (web graphs have tiny
+effective diameter, so a small bound captures almost all dependency
+mass; both the engine and the oracle use the same bound, so results
+are exactly comparable).
+
+Execution shape (100-TB story):
+- state is one (pivot, vertex, dist, sigma) table — O(n_pivots·|V|)
+  rows, never O(|V|²);
+- each forward round is frontier ⋈ edges (keyed on the vertex id)
+  then a (pivot, vertex) groupBy for path counts, with a left-anti
+  join against the visited set — all hash-partitioned equi-joins;
+- the backward (dependency) sweep walks levels deepest-first; each
+  level is one keyed join to the next level's state. 2·max_depth
+  rounds total, every round's result ``localCheckpoint``-ed so plan
+  depth stays O(1) per round;
+- no collect on the hot path: the only driver-side values are the
+  per-round frontier counts (one scalar each, also the empty-frontier
+  stop signal).
+
+All tie-breaks are deterministic: pivot selection (degree DESC, id
+ASC) and the final ranking (round(bc, 6) DESC, vertex ASC), so Spark
+and the DuckDB chained-CTE oracle select identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ccl_spark.graphstats import _symmetrized
+
+
+def betweenness_approx(
+    edges: DataFrame,
+    n_pivots: int = 8,
+    max_depth: int = 8,
+    k: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    early_stop: bool = True,
+) -> DataFrame:
+    """Top-k vertices by pivot-sampled depth-bounded betweenness.
+
+    Returns ``(vertex, bc)`` with bc rounded to 6dp, ordered by
+    (bc DESC, vertex ASC), pivot endpoints excluded per Brandes.
+
+    ``early_stop=False`` skips the per-round empty-frontier probe (one
+    scalar job per level): correct either way — an emptied frontier
+    just flows empty frames through the remaining rounds — so callers
+    that know the graph spans the depth bound (web graphs at depth ≤
+    8) save max_depth scheduler round-trips.
+    """
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    pivots = (
+        deg.orderBy(F.desc("dg"), F.asc("s"))
+        .limit(n_pivots)
+        .select(F.col("s").alias("p"))
+    )
+
+    # ---- forward phase: level-synchronous BFS with path counting ----
+    level0 = pivots.select(
+        "p", F.col("p").alias("v"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [level0]
+    visited = level0.select("p", "v")
+    frontier = level0
+    for r in range(1, max_depth + 1):
+        cand = frontier.join(und, frontier["v"] == und["s"]).select(
+            "p", F.col("d").alias("v"), "sigma"
+        )
+        newf = (
+            cand.join(visited, ["p", "v"], "left_anti")
+            .groupBy("p", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("dist", F.lit(r))
+            .select("p", "v", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if early_stop and newf.limit(1).count() == 0:
+            break
+        levels.append(newf)
+        visited = visited.unionByName(newf.select("p", "v"))
+        frontier = newf
+
+    # ---- backward phase: dependency accumulation, deepest level first ----
+    # delta(v) = sum over BFS-DAG successors w (at dist+1):
+    #            sigma(v)/sigma(w) * (1 + delta(w))
+    deepest = len(levels) - 1
+    delta_states: list[DataFrame] = [None] * (deepest + 1)
+    delta_states[deepest] = levels[deepest].select(
+        "p", "v", "sigma", F.lit(0.0).alias("delta")
+    )
+    for lv in range(deepest - 1, 0, -1):
+        cur = levels[lv]
+        nxt = delta_states[lv + 1].select(
+            "p",
+            F.col("v").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            cur.join(und, cur["v"] == und["s"])
+            .select("p", "v", "sigma", F.col("d").alias("w"))
+            .join(nxt, ["p", "w"])
+            .groupBy("p", "v")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("cd")
+            )
+        )
+        delta_states[lv] = (
+            cur.select("p", "v", "sigma")
+            .join(contrib, ["p", "v"], "left")
+            .select("p", "v", "sigma", F.coalesce("cd", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+
+    inner = [d for d in delta_states[1:] if d is not None]
+    if not inner:
+        return pivots.select(
+            F.col("p").alias("vertex"), F.lit(0.0).alias("bc")
+        ).limit(0)
+    all_delta = inner[0]
+    for d in inner[1:]:
+        all_delta = all_delta.unionByName(d)
+    return (
+        all_delta.groupBy(F.col("v").alias("vertex"))
+        .agg(F.round(F.sum("delta"), 6).alias("bc"))
+        .orderBy(F.desc("bc"), F.asc("vertex"))
+        .limit(k)
+    )

@@ -1,0 +1,89 @@
+"""Pivot-sampled depth-bounded betweenness vs a pure-Python Brandes
+replay (and an exact hand check on a path graph)."""
+
+from __future__ import annotations
+
+from ccl_spark.betweenness import betweenness_approx
+
+
+def _py_betweenness(edges, n_pivots, max_depth):
+    """Independent replay: Brandes' two phases, same pivot rule and
+    depth bound as the engine."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    adj: dict[int, list[int]] = {}
+    for s, d in sorted(und):
+        adj.setdefault(s, []).append(d)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    pivots = sorted(deg, key=lambda v: (-deg[v], v))[:n_pivots]
+    bc: dict[int, float] = {}
+    for p in pivots:
+        dist = {p: 0}
+        sigma = {p: 1.0}
+        levels = [[p]]
+        for r in range(1, max_depth + 1):
+            nf: dict[int, float] = {}
+            for v in levels[-1]:
+                for w in adj.get(v, []):
+                    if w not in dist:
+                        nf[w] = nf.get(w, 0.0) + sigma[v]
+            if not nf:
+                break
+            for w, s_ in nf.items():
+                dist[w] = r
+                sigma[w] = s_
+            levels.append(sorted(nf))
+        delta = {v: 0.0 for v in dist}
+        for lv in range(len(levels) - 2, 0, -1):
+            for v in levels[lv]:
+                acc = 0.0
+                for w in adj.get(v, []):
+                    if dist.get(w) == lv + 1:
+                        acc += sigma[v] / sigma[w] * (1 + delta[w])
+                delta[v] = acc
+        for v, dv in dist.items():
+            if dv >= 1:
+                bc[v] = bc.get(v, 0.0) + delta[v]
+    return bc
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r["vertex"], r["bc"]) for r in betweenness_approx(df, **kw).collect()
+    }
+
+
+def test_path_graph_exact(spark):
+    # path 0-1-2-3-4, all vertices as pivots, full depth: exact Brandes.
+    # delta from endpoint 0: delta(1)=3, delta(2)=2, delta(3)=1; symmetric
+    # from 4; from middle sources smaller — hand-checkable totals.
+    edges = [(i, i + 1) for i in range(4)]
+    got = _run(spark, edges, n_pivots=5, max_depth=8, k=10)
+    expect = _py_betweenness(edges, 5, 8)
+    assert got == {(v, round(b, 6)) for v, b in expect.items()}
+    # the middle vertex carries the most shortest paths
+    top = max(got, key=lambda t: t[1])
+    assert top[0] == 2
+
+
+def test_matches_python_replay_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(200)]
+    got = _run(spark, edges, n_pivots=6, max_depth=4, k=1000)
+    expect = _py_betweenness(edges, 6, 4)
+    assert got == {(v, round(b, 6)) for v, b in expect.items()}
+
+
+def test_depth_bound_respected(spark):
+    # long path, shallow bound: vertices beyond the bound from every
+    # pivot receive no dependency and the replay agrees exactly
+    edges = [(i, i + 1) for i in range(30)]
+    got = _run(spark, edges, n_pivots=3, max_depth=3, k=1000)
+    expect = _py_betweenness(edges, 3, 3)
+    assert got == {(v, round(b, 6)) for v, b in expect.items()}
