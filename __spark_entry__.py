@@ -1142,6 +1142,55 @@ ORDER BY ROUND(SUM(delta), 6) DESC, v LIMIT {k}"""
     )
 
 
+def _dump_texts(n_pages: int) -> None:
+    """Materialize the generator's ground-truth (url, host, text)
+    table for the DuckDB boilerplate oracle — a driver-side pure-Python
+    replay, independent of the Spark extraction path."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccl_spark.datagen import ground_truth_texts
+
+    path = f"{_ORACLE_DIR}/corpus_texts_{n_pages}.parquet"
+    try:
+        rows = ground_truth_texts(n_pages, seed=42)
+        os.makedirs(_ORACLE_DIR, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [r[0] for r in rows],
+                    "host": [r[1] for r in rows],
+                    "text": [r[2] for r in rows],
+                }
+            ),
+            path,
+        )
+    except OSError:
+        if not os.path.exists(path):
+            raise
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-host line dedup over the synthetic crawl: every
+    host's shared footer line is detected by document frequency
+    (df/n_docs > 0.5) and stripped; unique body lines survive in
+    order. Spark keys the joins on xxhash64(line) (8-byte shuffle
+    keys); the oracle re-derives the same result from raw lines in
+    DuckDB over the generator's ground-truth text table."""
+    from ccl_spark.boilerplate import remove_boilerplate
+    from ccl_spark.extract import extract_text
+
+    _dump_texts(1000)
+    docs = extract_text(generate_pages(spark, 1000, seed=42)).select(
+        "url",
+        F.regexp_extract("url", r"https://(h\d+)\.", 1).alias("host"),
+        "text",
+    )
+    return remove_boilerplate(docs)
+
+
 def _dump_anchors(n_pages: int) -> None:
     """Materialize the generator's ground-truth anchor triples where the
     DuckDB oracle can scan them — a driver-side pure-Python replay,
@@ -1734,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lpa": q_corpus_lpa,
         "anchor_terms": q_anchor_terms,
         "betweenness": q_betweenness,
+        "boilerplate": q_boilerplate,
         "sessions": q_sessions,
         "repetition": q_repetition,
         "ngram_dedup": q_ngram_dedup,
@@ -2138,6 +2188,21 @@ SELECT top.dst_url, top.n_inlinks, r.rank, r.term, r.n
 FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
 """,
         "betweenness": _betweenness_sql(4, 5, 20),
+        "boilerplate": f"""
+WITH a AS (SELECT * FROM '{_ORACLE_DIR}/corpus_texts_1000.parquet'),
+nd AS (SELECT host, COUNT(*) AS n_docs FROM a GROUP BY host),
+l AS (SELECT url, host, generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+             unnest(string_split(text, chr(10))) AS line FROM a),
+dfc AS (SELECT host, line, COUNT(DISTINCT url) AS df FROM l GROUP BY host, line),
+boiler AS (SELECT dfc.host, dfc.line FROM dfc JOIN nd ON nd.host = dfc.host
+           WHERE df >= 2 AND df > n_docs * 0.5),
+kept AS (SELECT l.* FROM l LEFT JOIN boiler b ON b.host = l.host AND b.line = l.line
+         WHERE b.line IS NULL),
+reb AS (SELECT url, host, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM kept GROUP BY url, host)
+SELECT a.url, a.host, COALESCE(reb.text, '') AS text
+FROM a LEFT JOIN reb ON reb.url = a.url AND reb.host = a.host
+""",
         # pinned expected rows for the hash-specific / approximate
         # queries (seeded-deterministic at the driver's sf0.01 compare
         # scale; generated by tools/pin_oracles.py, drift caught by

@@ -115,6 +115,40 @@ def out_links_anchored(
     ]
 
 
+def page_main_text(i: int, seed: int) -> str:
+    """Deterministic body text of page i (driver-replayable)."""
+    ids = np.array([i], dtype=np.uint64)
+    n = 20 + int(_hash(seed, ids, 5)[0] % np.uint64(40))
+    ws = _hash(seed, ids, 6)[0]
+    return " ".join(
+        _WORDS[int(w % len(_WORDS))]
+        for w in _splitmix64(ws + np.arange(n, dtype=np.uint64))
+    )
+
+
+def host_footer(host: int, seed: int) -> str:
+    """Deterministic boilerplate footer shared by EVERY page of a host
+    (every 4th host has none) — the repeated-line mass a CCNet-style
+    line-dedup pass must detect and strip."""
+    if host % 4 == 0:
+        return ""
+    h = _hash(seed, np.array([host], dtype=np.uint64), 9)[0]
+    n = 6 + int(h % np.uint64(5))
+    return " ".join(
+        _WORDS[int(w % len(_WORDS))]
+        for w in _splitmix64(h + np.arange(n, dtype=np.uint64))
+    )
+
+
+def page_text(i: int, seed: int, n_hosts: int) -> str:
+    """Full page text: main body plus the host footer as a second line
+    (matches the html's two <p> blocks, so the extract_text invariant
+    holds byte-identically)."""
+    main = page_main_text(i, seed)
+    foot = host_footer(i % n_hosts, seed)
+    return f"{main}\n{foot}" if foot else main
+
+
 def _gen_batch(
     pdf_iter: Iterator[pd.DataFrame], v: int, seed: int, n_hosts: int
 ) -> Iterator[pd.DataFrame]:
@@ -124,22 +158,17 @@ def _gen_batch(
         langs = [
             _LANGS[int(h % len(_LANGS))] for h in _hash(seed, ids, 4)
         ]
-        n_words = 20 + (_hash(seed, ids, 5) % np.uint64(40)).astype(np.int64)
-        word_seed = _hash(seed, ids, 6)
         rows = []
         for j, i in enumerate(ids.tolist()):
-            words = [
-                _WORDS[int(w % len(_WORDS))]
-                for w in _splitmix64(
-                    word_seed[j] + np.arange(int(n_words[j]), dtype=np.uint64)
-                )
-            ]
-            text = " ".join(words)
+            main = page_main_text(i, seed)
+            foot = host_footer(i % n_hosts, seed)
+            text = f"{main}\n{foot}" if foot else main
             links = out_links_anchored(i, v, seed, n_hosts)
             anchors = "".join(f'<a href="{u}">{a}</a>' for u, a in links)
+            foot_p = f"<p>{foot}</p>" if foot else ""
             html = (
                 f"<html><head><title>page {i}</title></head>"
-                f"<body><p>{text}</p>{anchors}</body></html>"
+                f"<body><p>{main}</p>{foot_p}{anchors}</body></html>"
             )
             rows.append(
                 (
@@ -177,6 +206,17 @@ def ground_truth_edges(n_pages: int, seed: int = 42, n_hosts: int | None = None)
         for u in out_links(i, n_pages, seed, n_hosts):
             out.append((url_of(i, n_hosts), u))
     return out
+
+
+def ground_truth_texts(n_pages: int, seed: int = 42, n_hosts: int | None = None):
+    """Driver-side oracle: (url, host, text) triples exactly as
+    generated — feeds the DuckDB boilerplate-removal oracle
+    independently of the Spark extraction path."""
+    n_hosts = n_hosts or max(1, n_pages // 50)
+    return [
+        (url_of(i, n_hosts), f"h{i % n_hosts}", page_text(i, seed, n_hosts))
+        for i in range(n_pages)
+    ]
 
 
 def ground_truth_anchors(n_pages: int, seed: int = 42, n_hosts: int | None = None):
