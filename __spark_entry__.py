@@ -1092,10 +1092,23 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _betweenness_sql(n_pivots: int, max_depth: int, k: int) -> str:
-    """Brandes forward (BFS + path counts) and backward (dependency)
-    phases unrolled as chained CTEs — the _pagerank_sql/_corpus_lpa_sql
-    pattern."""
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled depth-bounded harmonic centrality (Boldi & Vigna
+    2014) — the forward half of the Brandes machinery; same pivot rule
+    and depth bound on both sides."""
+    from ccl_spark.betweenness import harmonic_centrality
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return harmonic_centrality(
+        e.select("src", "dst"), n_pivots=4, max_depth=5, k=20, early_stop=False
+    )
+
+
+def _pivot_bfs_sql_parts(n_pivots: int, max_depth: int) -> list[str]:
+    """Shared forward-BFS CTEs (pivot selection + level-synchronous
+    frontier expansion with path counting) for the betweenness and
+    harmonic oracles."""
     src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
     parts = [
         f"""
@@ -1116,6 +1129,31 @@ f{r} AS (SELECT f.p, u.d AS v, SUM(f.sigma) AS sigma
     GROUP BY f.p, u.d),
 d{r} AS (SELECT * FROM d{r - 1} UNION ALL SELECT p, v FROM f{r})"""
         )
+    return parts
+
+
+def _harmonic_sql(n_pivots: int, max_depth: int, k: int) -> str:
+    """Harmonic centrality from the forward BFS alone: level r's
+    frontier IS the set first reached at distance r."""
+    parts = _pivot_bfs_sql_parts(n_pivots, max_depth)
+    union = " UNION ALL ".join(
+        f"SELECT v, CAST({r} AS DOUBLE) AS dist FROM f{r}"
+        for r in range(1, max_depth + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT v AS vertex, ROUND(SUM(1.0 / dist), 6) AS hc FROM ({union}) t GROUP BY v
+ORDER BY ROUND(SUM(1.0 / dist), 6) DESC, v LIMIT {k}"""
+    )
+
+
+def _betweenness_sql(n_pivots: int, max_depth: int, k: int) -> str:
+    """Brandes forward (BFS + path counts) and backward (dependency)
+    phases unrolled as chained CTEs — the _pagerank_sql/_corpus_lpa_sql
+    pattern."""
+    parts = _pivot_bfs_sql_parts(n_pivots, max_depth)
     R = max_depth
     parts.append(
         f"\nb{R} AS (SELECT p, v, sigma, CAST(0.0 AS DOUBLE) AS delta FROM f{R})"
@@ -1783,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lpa": q_corpus_lpa,
         "anchor_terms": q_anchor_terms,
         "betweenness": q_betweenness,
+        "harmonic": q_harmonic,
         "boilerplate": q_boilerplate,
         "sessions": q_sessions,
         "repetition": q_repetition,
@@ -2188,6 +2227,7 @@ SELECT top.dst_url, top.n_inlinks, r.rank, r.term, r.n
 FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
 """,
         "betweenness": _betweenness_sql(4, 5, 20),
+        "harmonic": _harmonic_sql(4, 5, 20),
         "boilerplate": f"""
 WITH a AS (SELECT * FROM '{_ORACLE_DIR}/corpus_texts_1000.parquet'),
 nd AS (SELECT host, COUNT(*) AS n_docs FROM a GROUP BY host),

@@ -130,6 +130,35 @@ def main() -> None:
     n_toks = timed("tokens_ids", lambda: bpe_encode_docs(docs, merges).count())
     extras["tokens_per_sec_encode"] = round(n_toks / timings["tokens_ids"], 1)
 
+    # per-host line-level boilerplate removal over the full page corpus
+    # (input text pre-materialized untimed, so the row measures the
+    # dedup/reassembly operator itself)
+    from ccl_spark.boilerplate import remove_boilerplate  # noqa: E402
+    from ccl_spark.extract import extract_text  # noqa: E402
+
+    page_docs = (
+        extract_text(pages)
+        .select(
+            "url",
+            F.regexp_extract("url", r"https://(h\d+)\.", 1).alias("host"),
+            "text",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_clean = timed("boilerplate", lambda: remove_boilerplate(page_docs).count())
+    extras["docs_per_sec_boilerplate"] = round(n_clean / timings["boilerplate"], 1)
+    page_docs.unpersist()
+
+    # pivot-sampled depth-bounded betweenness on the extracted graph
+    from ccl_spark.betweenness import betweenness_approx  # noqa: E402
+
+    timed(
+        "betweenness",
+        lambda: betweenness_approx(
+            edges, n_pivots=4, max_depth=4, k=20, early_stop=False
+        ).count(),
+    )
+
     # webtext-pipeline operators (dedup / similarity) at the same sf
     from ccl_spark.dedup import near_duplicates, simhash  # noqa: E402
     from ccl_spark.similarity import cosine_topk  # noqa: E402

@@ -36,35 +36,19 @@ from pyspark.sql import DataFrame, functions as F
 from ccl_spark.graphstats import _symmetrized
 
 
-def betweenness_approx(
-    edges: DataFrame,
-    n_pivots: int = 8,
-    max_depth: int = 8,
-    k: int = 20,
-    src: str = "src",
-    dst: str = "dst",
-    early_stop: bool = True,
-) -> DataFrame:
-    """Top-k vertices by pivot-sampled depth-bounded betweenness.
-
-    Returns ``(vertex, bc)`` with bc rounded to 6dp, ordered by
-    (bc DESC, vertex ASC), pivot endpoints excluded per Brandes.
-
-    ``early_stop=False`` skips the per-round empty-frontier probe (one
-    scalar job per level): correct either way — an emptied frontier
-    just flows empty frames through the remaining rounds — so callers
-    that know the graph spans the depth bound (web graphs at depth ≤
-    8) save max_depth scheduler round-trips.
-    """
-    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+def _pivot_bfs(
+    und: DataFrame, n_pivots: int, max_depth: int, early_stop: bool
+) -> list[DataFrame]:
+    """Level-synchronous BFS with shortest-path counting from the
+    n_pivots highest-degree vertices of the symmetrized edge table
+    ``und(s, d)``. Returns one (p, v, dist, sigma) frame per level
+    (level 0 = the pivots themselves), each localCheckpoint-ed."""
     deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
     pivots = (
         deg.orderBy(F.desc("dg"), F.asc("s"))
         .limit(n_pivots)
         .select(F.col("s").alias("p"))
     )
-
-    # ---- forward phase: level-synchronous BFS with path counting ----
     level0 = pivots.select(
         "p", F.col("p").alias("v"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
     ).localCheckpoint(eager=True)
@@ -88,6 +72,61 @@ def betweenness_approx(
         levels.append(newf)
         visited = visited.unionByName(newf.select("p", "v"))
         frontier = newf
+    return levels
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    n_pivots: int = 8,
+    max_depth: int = 8,
+    k: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    early_stop: bool = True,
+) -> DataFrame:
+    """Top-k vertices by pivot-sampled depth-bounded harmonic
+    centrality H(v) = Σ_{pivot p ≠ v} 1/d(p, v) (Boldi & Vigna 2014
+    "Axioms for centrality" — the closeness variant that handles
+    disconnected graphs). Same pivot rule, BFS and determinism as
+    :func:`betweenness_approx`; the forward phase alone suffices, so
+    the cost is half a betweenness run."""
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    levels = _pivot_bfs(und, n_pivots, max_depth, early_stop)
+    if len(levels) < 2:  # no edges at all
+        return und.sparkSession.createDataFrame([], "vertex long, hc double")
+    reached = levels[1]
+    for lv in levels[2:]:
+        reached = reached.unionByName(lv)
+    return (
+        reached.groupBy(F.col("v").alias("vertex"))
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("hc"))
+        .orderBy(F.desc("hc"), F.asc("vertex"))
+        .limit(k)
+    )
+
+
+def betweenness_approx(
+    edges: DataFrame,
+    n_pivots: int = 8,
+    max_depth: int = 8,
+    k: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    early_stop: bool = True,
+) -> DataFrame:
+    """Top-k vertices by pivot-sampled depth-bounded betweenness.
+
+    Returns ``(vertex, bc)`` with bc rounded to 6dp, ordered by
+    (bc DESC, vertex ASC), pivot endpoints excluded per Brandes.
+
+    ``early_stop=False`` skips the per-round empty-frontier probe (one
+    scalar job per level): correct either way — an emptied frontier
+    just flows empty frames through the remaining rounds — so callers
+    that know the graph spans the depth bound (web graphs at depth ≤
+    8) save max_depth scheduler round-trips.
+    """
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    levels = _pivot_bfs(und, n_pivots, max_depth, early_stop)
 
     # ---- backward phase: dependency accumulation, deepest level first ----
     # delta(v) = sum over BFS-DAG successors w (at dist+1):

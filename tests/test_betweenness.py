@@ -87,3 +87,61 @@ def test_depth_bound_respected(spark):
     got = _run(spark, edges, n_pivots=3, max_depth=3, k=1000)
     expect = _py_betweenness(edges, 3, 3)
     assert got == {(v, round(b, 6)) for v, b in expect.items()}
+
+
+def _py_harmonic(edges, n_pivots, max_depth):
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    adj: dict[int, list[int]] = {}
+    for s, d in sorted(und):
+        adj.setdefault(s, []).append(d)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    pivots = sorted(deg, key=lambda v: (-deg[v], v))[:n_pivots]
+    hc: dict[int, float] = {}
+    for p in pivots:
+        dist = {p: 0}
+        frontier = [p]
+        for r in range(1, max_depth + 1):
+            nxt = []
+            for v in frontier:
+                for w in adj.get(v, []):
+                    if w not in dist:
+                        dist[w] = r
+                        nxt.append(w)
+            if not nxt:
+                break
+            frontier = nxt
+        for v, dv in dist.items():
+            if dv >= 1:
+                hc[v] = hc.get(v, 0.0) + 1.0 / dv
+    return hc
+
+
+def test_harmonic_matches_python_replay(spark):
+    import random
+
+    from ccl_spark.betweenness import harmonic_centrality
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(160)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["vertex"], r["hc"])
+        for r in harmonic_centrality(df, n_pivots=5, max_depth=4, k=1000).collect()
+    }
+    expect = _py_harmonic(edges, 5, 4)
+    assert got == {(v, round(h, 6)) for v, h in expect.items()}
+
+
+def test_harmonic_star_center(spark):
+    from ccl_spark.betweenness import harmonic_centrality
+
+    # star: center 0; from pivot 0 every leaf is at distance 1; from a
+    # leaf pivot the center is at 1 and other leaves at 2
+    edges = [(0, i) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = harmonic_centrality(df, n_pivots=3, max_depth=4, k=1).collect()
+    assert rows[0]["vertex"] == 0
