@@ -1105,6 +1105,19 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled depth-bounded closeness C(v) = r(v)/Σd(p,v) — the
+    disconnection-safe generalization; reuses the same forward BFS (and
+    oracle CTEs) as harmonic."""
+    from ccl_spark.betweenness import closeness_centrality
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return closeness_centrality(
+        e.select("src", "dst"), n_pivots=4, max_depth=5, k=20, early_stop=False
+    )
+
+
 def _pivot_bfs_sql_parts(n_pivots: int, max_depth: int) -> list[str]:
     """Shared forward-BFS CTEs (pivot selection + level-synchronous
     frontier expansion with path counting) for the betweenness and
@@ -1177,6 +1190,24 @@ b{lv} AS (SELECT f.p, f.v, f.sigma, COALESCE(c.cd, 0.0) AS delta
         + f"""
 SELECT v AS vertex, ROUND(SUM(delta), 6) AS bc FROM ({union}) t GROUP BY v
 ORDER BY ROUND(SUM(delta), 6) DESC, v LIMIT {k}"""
+    )
+
+
+def _closeness_sql(n_pivots: int, max_depth: int, k: int) -> str:
+    """Closeness from the same forward BFS: level r's frontier IS the
+    set first reached at distance r, so r(v) = COUNT and Σd = SUM."""
+    parts = _pivot_bfs_sql_parts(n_pivots, max_depth)
+    union = " UNION ALL ".join(
+        f"SELECT v, CAST({r} AS DOUBLE) AS dist FROM f{r}"
+        for r in range(1, max_depth + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT v AS vertex, ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 6) AS closeness
+FROM ({union}) t GROUP BY v
+ORDER BY ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 6) DESC, v LIMIT {k}"""
     )
 
 
@@ -1735,6 +1766,22 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(_edges_small(spark, sf_dir), k=20)
 
 
+def q_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 non-adjacent pairs by resource-allocation index (1/deg
+    witness discount) — same wedge plan as Adamic-Adar."""
+    from ccl_spark.graphstats import resource_allocation
+
+    return resource_allocation(_edges_small(spark, sf_dir), k=20)
+
+
+def q_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 non-adjacent pairs by neighborhood Jaccard (capped wedge
+    numerator, full-degree union denominator)."""
+    from ccl_spark.graphstats import jaccard_links
+
+    return jaccard_links(_edges_small(spark, sf_dir), k=20)
+
+
 _BFS_SQL = f"""
 {_UND_SQL},
 bfs(s, v, d) AS (
@@ -1743,6 +1790,22 @@ bfs(s, v, d) AS (
     SELECT b.s, und.v, b.d + 1 FROM bfs b JOIN und ON und.u = b.v WHERE b.d < 40
 ),
 md AS (SELECT s, v, MIN(d) AS d FROM bfs GROUP BY s, v)
+"""
+
+
+def _wedge_sql(wgt: str) -> str:
+    """Shared link-prediction wedge CTEs: capped witnesses, per-pair
+    witness-weight sums, existing-edge set (adamic_adar /
+    resource_alloc / jaccard_links oracles)."""
+    return f"""
+WITH {_UND_SQL},
+deg AS (SELECT u AS w, COUNT(*) AS d FROM und GROUP BY u),
+nb AS (SELECT und.u AS w, und.v AS n, {wgt} AS wgt
+       FROM und JOIN deg ON und.u = deg.w
+       WHERE deg.d >= 2 AND deg.d <= 10000),
+pr AS (SELECT a.n AS u, b.n AS v, SUM(a.wgt) AS score
+       FROM nb a JOIN nb b ON a.w = b.w AND a.n < b.n GROUP BY 1, 2),
+ex AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM und)
 """
 
 
@@ -1831,6 +1894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "adamic_adar": q_adamic_adar,
+        "resource_alloc": q_resource_alloc,
+        "jaccard_links": q_jaccard_links,
+        "closeness": q_closeness,
     }
 
 
@@ -2427,19 +2493,31 @@ deg AS (SELECT u AS vv, COUNT(*) AS d FROM und GROUP BY u)
 SELECT ROUND(CORR(da.d, db.d), 6) AS assortativity
 FROM und JOIN deg da ON und.u = da.vv JOIN deg db ON und.v = db.vv
 """,
-        "adamic_adar": f"""
-WITH {_UND_SQL},
-deg AS (SELECT u AS w, COUNT(*) AS d FROM und GROUP BY u),
-nb AS (SELECT und.u AS w, und.v AS n, 1.0 / LN(deg.d) AS wgt
-       FROM und JOIN deg ON und.u = deg.w
-       WHERE deg.d >= 2 AND deg.d <= 10000),
-pr AS (SELECT a.n AS u, b.n AS v, SUM(a.wgt) AS score
-       FROM nb a JOIN nb b ON a.w = b.w AND a.n < b.n GROUP BY 1, 2),
-ex AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM und)
+        "adamic_adar": _wedge_sql("1.0 / LN(deg.d)")
+        + """
 SELECT pr.u, pr.v, ROUND(pr.score, 6) AS score
 FROM pr LEFT JOIN ex ON pr.u = ex.u AND pr.v = ex.v
 WHERE ex.u IS NULL
 ORDER BY ROUND(pr.score, 6) DESC, pr.u, pr.v
 LIMIT 20
 """,
+        "resource_alloc": _wedge_sql("1.0 / deg.d")
+        + """
+SELECT pr.u, pr.v, ROUND(pr.score, 6) AS score
+FROM pr LEFT JOIN ex ON pr.u = ex.u AND pr.v = ex.v
+WHERE ex.u IS NULL
+ORDER BY ROUND(pr.score, 6) DESC, pr.u, pr.v
+LIMIT 20
+""",
+        "jaccard_links": _wedge_sql("1.0")
+        + """,
+js AS (SELECT pr.u, pr.v, pr.score / (da.d + db.d - pr.score) AS score
+       FROM pr JOIN deg da ON pr.u = da.w JOIN deg db ON pr.v = db.w)
+SELECT js.u, js.v, ROUND(js.score, 6) AS score
+FROM js LEFT JOIN ex ON js.u = ex.u AND js.v = ex.v
+WHERE ex.u IS NULL
+ORDER BY ROUND(js.score, 6) DESC, js.u, js.v
+LIMIT 20
+""",
+        "closeness": _closeness_sql(4, 5, 20),
     }

@@ -105,6 +105,42 @@ def harmonic_centrality(
     )
 
 
+def closeness_centrality(
+    edges: DataFrame,
+    n_pivots: int = 8,
+    max_depth: int = 8,
+    k: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    early_stop: bool = True,
+) -> DataFrame:
+    """Top-k vertices by pivot-sampled depth-bounded closeness
+    C(v) = r(v) / Σ_{reaching pivots p} d(p, v), where r(v) is the
+    number of pivots that reach v — the disconnection-safe
+    generalization (Lin/Boldi-Vigna family: score 0-extends to
+    vertices no pivot reaches, and a vertex reached by more pivots is
+    not penalized for the extra distance terms). Shares the forward
+    BFS with :func:`harmonic_centrality`; same determinism contract
+    (round 6dp, (score DESC, vertex ASC) tie-break)."""
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    levels = _pivot_bfs(und, n_pivots, max_depth, early_stop)
+    if len(levels) < 2:  # no edges at all
+        return und.sparkSession.createDataFrame([], "vertex long, closeness double")
+    reached = levels[1]
+    for lv in levels[2:]:
+        reached = reached.unionByName(lv)
+    return (
+        reached.groupBy(F.col("v").alias("vertex"))
+        .agg(
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum(F.col("dist")), 6
+            ).alias("closeness")
+        )
+        .orderBy(F.desc("closeness"), F.asc("vertex"))
+        .limit(k)
+    )
+
+
 def betweenness_approx(
     edges: DataFrame,
     n_pivots: int = 8,
@@ -163,10 +199,8 @@ def betweenness_approx(
         )
 
     inner = [d for d in delta_states[1:] if d is not None]
-    if not inner:
-        return pivots.select(
-            F.col("p").alias("vertex"), F.lit(0.0).alias("bc")
-        ).limit(0)
+    if not inner:  # no edges at all
+        return und.sparkSession.createDataFrame([], "vertex long, bc double")
     all_delta = inner[0]
     for d in inner[1:]:
         all_delta = all_delta.unionByName(d)

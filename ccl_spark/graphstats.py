@@ -13,7 +13,8 @@ grids); here they are expressed as single declarative Spark plans:
 - ``assortativity``: degree table joined back to the symmetrized edge
   list, then ``corr`` — two hash joins on the vertex key, all
   JVM-side, and correlation is computed map-side-partial by Catalyst.
-- ``adamic_adar``: wedge generation through the shared-neighbor key
+- ``adamic_adar`` / ``resource_allocation`` / ``jaccard_links``: wedge
+  generation through the shared-neighbor key
   with an explicit ``max_degree`` cap.  Uncapped, a degree-d hub
   emits d^2 candidate pairs, which is quadratic on power-law graphs;
   capping drops only near-zero-weight evidence (a hub contributes
@@ -84,6 +85,40 @@ def assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
     )
 
 
+def _wedge_scores(und: DataFrame, wgt: F.Column, max_degree: int) -> DataFrame:
+    """Per-pair sums of a witness weight over shared neighbors:
+    wedges through each witness w (degree-capped, see module doc),
+    one equi-join on the witness key, one (u, v) aggregate."""
+    deg = und.groupBy(F.col("s").alias("w")).agg(F.count(F.lit(1)).alias("deg"))
+    nb = (
+        und.select(F.col("s").alias("w"), F.col("d").alias("n"))
+        .join(deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_degree)), "w")
+        .withColumn("wgt", wgt)
+    )
+    a = nb.select("w", F.col("n").alias("u"), "wgt")
+    b = nb.select("w", F.col("n").alias("v"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("wgt").alias("score"))
+    )
+
+
+def _top_nonadjacent(scores: DataFrame, und: DataFrame, k: int) -> DataFrame:
+    """Drop already-linked pairs (left-anti equi-join) and take the
+    deterministic (round(score,6) DESC, u, v) top-k."""
+    existing = und.select(
+        F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v")
+    ).distinct()
+    return (
+        scores.join(existing, ["u", "v"], "left_anti")
+        .orderBy(F.round("score", 6).desc(), "u", "v")
+        .limit(k)
+        .select("u", "v", F.round("score", 6).alias("score"))
+    )
+
+
 def adamic_adar(
     edges: DataFrame,
     k: int = 20,
@@ -102,26 +137,54 @@ def adamic_adar(
     ``(score DESC, u, v)`` tie-break.
     """
     und = _symmetrized(edges, src, dst)
-    deg = und.groupBy(F.col("s").alias("w")).agg(F.count(F.lit(1)).alias("deg"))
-    nb = (
-        und.select(F.col("s").alias("w"), F.col("d").alias("n"))
-        .join(deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_degree)), "w")
-        .withColumn("wgt", F.lit(1.0) / F.log(F.col("deg").cast("double")))
+    scores = _wedge_scores(
+        und, F.lit(1.0) / F.log(F.col("deg").cast("double")), max_degree
     )
-    a = nb.select("w", F.col("n").alias("u"), "wgt")
-    b = nb.select("w", F.col("n").alias("v"))
+    return _top_nonadjacent(scores, und, k)
+
+
+def resource_allocation(
+    edges: DataFrame,
+    k: int = 20,
+    max_degree: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Top-k non-adjacent pairs by resource-allocation index
+    ``sum_{w in N(u) & N(v)} 1 / deg(w)`` (Zhou, Lü & Zhang 2009) —
+    Adamic-Adar's harder hub discount; same wedge plan and cap."""
+    und = _symmetrized(edges, src, dst)
+    scores = _wedge_scores(und, F.lit(1.0) / F.col("deg").cast("double"), max_degree)
+    return _top_nonadjacent(scores, und, k)
+
+
+def jaccard_links(
+    edges: DataFrame,
+    k: int = 20,
+    max_degree: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Top-k non-adjacent pairs by neighborhood Jaccard
+    ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|``.  The intersection count comes
+    from the same capped wedge join (hubs above ``max_degree`` drop
+    out of the numerator only — a conservative lower bound, identical
+    on both engines); the union size is ``deg(u)+deg(v)-common`` from
+    the full degree table."""
+    und = _symmetrized(edges, src, dst)
+    common = _wedge_scores(und, F.lit(1.0), max_degree).withColumnRenamed(
+        "score", "common"
+    )
+    deg = und.groupBy(F.col("s").alias("v0")).agg(F.count(F.lit(1)).alias("deg"))
     scores = (
-        a.join(b, "w")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.sum("wgt").alias("score"))
+        common.join(deg.select(F.col("v0").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("v0").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            (
+                F.col("common") / (F.col("du") + F.col("dv") - F.col("common"))
+            ).alias("score"),
+        )
     )
-    existing = und.select(
-        F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v")
-    ).distinct()
-    return (
-        scores.join(existing, ["u", "v"], "left_anti")
-        .orderBy(F.round("score", 6).desc(), "u", "v")
-        .limit(k)
-        .select("u", "v", F.round("score", 6).alias("score"))
-    )
+    return _top_nonadjacent(scores, und, k)

@@ -145,3 +145,74 @@ def test_harmonic_star_center(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     rows = harmonic_centrality(df, n_pivots=3, max_depth=4, k=1).collect()
     assert rows[0]["vertex"] == 0
+
+
+def _py_closeness(edges, n_pivots, max_depth):
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    adj: dict[int, list[int]] = {}
+    for s, d in sorted(und):
+        adj.setdefault(s, []).append(d)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    pivots = sorted(deg, key=lambda v: (-deg[v], v))[:n_pivots]
+    cnt: dict[int, int] = {}
+    tot: dict[int, int] = {}
+    for p in pivots:
+        dist = {p: 0}
+        frontier = [p]
+        for r in range(1, max_depth + 1):
+            nxt = []
+            for v in frontier:
+                for w in adj.get(v, []):
+                    if w not in dist:
+                        dist[w] = r
+                        nxt.append(w)
+            if not nxt:
+                break
+            frontier = nxt
+        for v, dv in dist.items():
+            if dv >= 1:
+                cnt[v] = cnt.get(v, 0) + 1
+                tot[v] = tot.get(v, 0) + dv
+    return {v: cnt[v] / tot[v] for v in cnt}
+
+
+def test_closeness_matches_python_replay(spark):
+    import random
+
+    from ccl_spark.betweenness import closeness_centrality
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(160)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["vertex"], r["closeness"])
+        for r in closeness_centrality(df, n_pivots=5, max_depth=4, k=1000).collect()
+    }
+    expect = _py_closeness(edges, 5, 4)
+    assert got == {(v, round(c, 6)) for v, c in expect.items()}
+
+
+def test_closeness_star_center(spark):
+    from ccl_spark.betweenness import closeness_centrality
+
+    # star center: distance 1 to every pivot that reaches it
+    edges = [(0, i) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = closeness_centrality(df, n_pivots=3, max_depth=4, k=1).collect()
+    assert rows[0]["vertex"] == 0 and rows[0]["closeness"] == 1.0
+
+
+def test_edgeless_graph_empty_results(spark):
+    from ccl_spark.betweenness import closeness_centrality, harmonic_centrality
+
+    # only self-loops -> symmetrized table is empty; every centrality
+    # returns an empty, correctly-typed frame (regression: the old
+    # betweenness empty-branch referenced an out-of-scope name)
+    df = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    assert betweenness_approx(df, n_pivots=3, max_depth=3).count() == 0
+    assert harmonic_centrality(df, n_pivots=3, max_depth=3).count() == 0
+    assert closeness_centrality(df, n_pivots=3, max_depth=3).count() == 0

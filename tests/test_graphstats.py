@@ -97,3 +97,70 @@ def test_adamic_adar_topk_determinism(spark):
         key=lambda kv: (-round(kv[1], 6), kv[0]),
     )[:2]
     assert top2 == [p for p, _ in expect]
+
+
+def _py_wedge_scores(pairs, wgt, max_degree=10_000):
+    """Per-pair witness-weight sums + common-neighbor counts."""
+    adj = _py_undirected(pairs)
+    scores: dict[tuple[int, int], float] = {}
+    for w, nbrs in adj.items():
+        if not (2 <= len(nbrs) <= max_degree):
+            continue
+        for u, v in combinations(sorted(nbrs), 2):
+            scores[(u, v)] = scores.get((u, v), 0.0) + wgt(len(nbrs))
+    return {(u, v): s for (u, v), s in scores.items() if v not in adj[u]}
+
+
+def test_resource_allocation(spark):
+    from ccl_spark.graphstats import resource_allocation
+
+    df = spark.createDataFrame(UNDIRECTED, "src long, dst long")
+    got = {
+        (r["u"], r["v"]): r["score"]
+        for r in resource_allocation(df, k=50).collect()
+    }
+    expect = _py_wedge_scores(UNDIRECTED, lambda d: 1.0 / d)
+    assert set(got) == set(expect)
+    for pair, s in expect.items():
+        assert got[pair] == pytest.approx(s, abs=1e-6)
+    # hub witness 0 (deg 4) contributes 1/4 per pair (vs 1/ln4 for AA)
+    assert got[(3, 4)] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_jaccard_links(spark):
+    from ccl_spark.graphstats import jaccard_links
+
+    df = spark.createDataFrame(UNDIRECTED, "src long, dst long")
+    got = {
+        (r["u"], r["v"]): r["score"] for r in jaccard_links(df, k=50).collect()
+    }
+    adj = _py_undirected(UNDIRECTED)
+    common = _py_wedge_scores(UNDIRECTED, lambda d: 1.0)
+    expect = {
+        (u, v): c / (len(adj[u]) + len(adj[v]) - c)
+        for (u, v), c in common.items()
+    }
+    assert set(got) == set(expect)
+    for pair, s in expect.items():
+        assert got[pair] == pytest.approx(s, abs=1e-6)
+    # 3 and 4: N={0} each, union={0}+{0}-> J = 1/(1+1-1) = 1
+    assert got[(3, 4)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_jaccard_cap_is_numerator_only(spark):
+    from ccl_spark.graphstats import jaccard_links
+
+    df = spark.createDataFrame(UNDIRECTED, "src long, dst long")
+    got = {
+        (r["u"], r["v"]): r["score"]
+        for r in jaccard_links(df, k=50, max_degree=2).collect()
+    }
+    adj = _py_undirected(UNDIRECTED)
+    common = _py_wedge_scores(UNDIRECTED, lambda d: 1.0, max_degree=2)
+    expect = {
+        (u, v): c / (len(adj[u]) + len(adj[v]) - c)
+        for (u, v), c in common.items()
+    }
+    assert set(got) == set(expect)
+    # hub 0 capped out as witness: (3, 4) unscored, path pair survives
+    assert (3, 4) not in got and (5, 7) in got
