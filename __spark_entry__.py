@@ -732,6 +732,14 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction) —
+    broadcast corpus size, per-document window top-k."""
+    from ccl_spark.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k_terms=3)
+
+
 def q_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccl_spark.textops import token_count_bpe
 
@@ -1861,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens": q_tokens,
         "tokens_bpe": q_tokens_bpe,
         "vocab": q_vocab,
+        "tfidf": q_tfidf,
         "incremental_cc": q_incremental_cc,
         "quality": q_quality,
         "dedup_exact": q_dedup_exact,
@@ -2128,6 +2137,23 @@ FROM (
 )
 WHERE token <> ''
 GROUP BY token HAVING COUNT(*) >= 3
+""",
+        "tfidf": """
+WITH tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+sc AS (SELECT doc_id, tf.term,
+              ROUND(tf * LN(CAST(n AS DOUBLE) / df), 6) AS score
+       FROM tf JOIN dfreq ON tf.term = dfreq.term, nd),
+rk AS (SELECT doc_id, term, score,
+              ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+       FROM sc)
+SELECT doc_id, term, score FROM rk WHERE rn <= 3
 """,
         "tokens_bpe": r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -197,6 +197,48 @@ def vocabulary(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k_terms: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k_terms`` terms per document by TF-IDF with
+    ``idf = ln(N / df)`` (raw term count × inverse document
+    frequency — the classic keyword-extraction scoring).
+
+    Shape at scale: one explode + (doc, term) count (map-side partial
+    absorbs stopword skew exactly as in :func:`vocabulary`), a
+    term-keyed df aggregate joined back, the corpus size N brought in
+    as a broadcast one-row frame (no collect), and a per-document
+    window for the top-k — the window key is ``doc_id``, so no
+    partition ever exceeds one document's vocabulary.  Deterministic
+    tie-break (round(score, 6) DESC, term ASC)."""
+    exploded = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(_tokens(text_col)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_terms)
+        .select(id_col, "term", "score")
+    )
+
+
 def bpe_merges(
     docs: DataFrame,
     n_merges: int = 8,

@@ -614,3 +614,45 @@ def test_duplicated_ngrams(spark, docs):
     assert got[1]["shared_frac"] == 0.857143
     # docs 2 and 4 share nothing
     assert got[2]["n_shared"] == 0 and got[4]["n_shared"] == 0
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from ccl_spark.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry date"),
+            (3, "apple apple apple egg"),
+            (4, "date egg fig fig"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): r["score"]
+        for r in tfidf_top_terms(docs, k_terms=2).collect()
+    }
+    # independent replay
+    texts = {1: "apple banana apple cherry", 2: "banana cherry cherry date",
+             3: "apple apple apple egg", 4: "date egg fig fig"}
+    tf = {d: {} for d in texts}
+    for d, t in texts.items():
+        for w in t.split(" "):
+            tf[d][w] = tf[d].get(w, 0) + 1
+    df = {}
+    for d in tf:
+        for w in tf[d]:
+            df[w] = df.get(w, 0) + 1
+    expect = {}
+    for d in tf:
+        scored = sorted(
+            ((round(c * math.log(4 / df[w]), 6), w) for w, c in tf[d].items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:2]
+        for s, w in scored:
+            expect[(d, w)] = s
+    assert got == expect
+    # fig appears only in doc 4, twice: 2 * ln(4)
+    assert got[(4, "fig")] == round(2 * math.log(4), 6)
