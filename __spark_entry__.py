@@ -1201,6 +1201,53 @@ ORDER BY ROUND(SUM(delta), 6) DESC, v LIMIT {k}"""
     )
 
 
+def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style deterministic random-walk corpus (2 walks × 4
+    steps from every vertex). The md5-based per-step draw is computed
+    identically by Spark and DuckDB, so the oracle replays the walks
+    exactly — no pinning needed."""
+    from ccl_spark.walks import random_walks
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return random_walks(e.select("src", "dst"), walk_len=4, n_walks=2, seed=7)
+
+
+def _walks_sql(walk_len: int, n_walks: int, seed: int) -> str:
+    """The walk recurrence unrolled as chained CTEs: each step joins
+    the ranked adjacency on (current vertex, md5-draw mod degree)."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+und AS (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM {src} WHERE src <> dst
+    UNION SELECT dst, src FROM {src} WHERE src <> dst)),
+adj AS (SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s ORDER BY d) - 1 AS r
+        FROM und),
+deg AS (SELECT s, COUNT(*) AS dg FROM und GROUP BY s),
+w0 AS (SELECT s AS v0, UNNEST(range(0, {n_walks})) AS rep, s AS cur,
+              CAST(s AS VARCHAR) AS walk FROM deg)"""
+    ]
+    for t in range(walk_len):
+        draw = (
+            f"(('0x' || substring(md5(CAST(w.v0 AS VARCHAR) || ',' || "
+            f"CAST(w.rep AS VARCHAR) || ',{t},{seed}'), 1, 15))::BIGINT "
+            f"% deg.dg)"
+        )
+        parts.append(
+            f"""
+w{t + 1} AS (SELECT w.v0, w.rep, a.d AS cur,
+              walk || ' ' || CAST(a.d AS VARCHAR) AS walk
+       FROM w{t} w JOIN deg ON deg.s = w.cur
+       JOIN adj a ON a.s = w.cur AND a.r = {draw})"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT v0 AS start, rep, walk FROM w{walk_len}"
+    )
+
+
 def _closeness_sql(n_pivots: int, max_depth: int, k: int) -> str:
     """Closeness from the same forward BFS: level r's frontier IS the
     set first reached at distance r, so r(v) = COUNT and Σd = SUM."""
@@ -1906,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_alloc": q_resource_alloc,
         "jaccard_links": q_jaccard_links,
         "closeness": q_closeness,
+        "walks": q_walks,
     }
 
 
@@ -2546,4 +2594,5 @@ ORDER BY ROUND(js.score, 6) DESC, js.u, js.v
 LIMIT 20
 """,
         "closeness": _closeness_sql(4, 5, 20),
+        "walks": _walks_sql(4, 2, 7),
     }
