@@ -1213,6 +1213,43 @@ def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(e.select("src", "dst"), walk_len=4, n_walks=2, seed=7)
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the corpus graph (every surviving edge in ≥ 2
+    triangles within the subgraph) — iterative support peel run to
+    fixpoint; the oracle unrolls the same peel as chained CTEs with
+    headroom rounds (the peel is idempotent once converged)."""
+    from ccl_spark.triangles import ktruss
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return ktruss(e.select("src", "dst"), k=4)
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """The support peel unrolled: triangle enumeration over canonical
+    a<b edges (x<y<z once each), per-edge support, survivor filter."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM {src} WHERE src <> dst)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+t{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e{r} e1 JOIN e{r} e2 ON e2.a = e1.a AND e1.b < e2.b
+        JOIN e{r} e3 ON e3.a = e1.b AND e3.b = e2.b),
+s{r} AS (SELECT a, b, COUNT(*) AS sup FROM (
+            SELECT x AS a, y AS b FROM t{r}
+            UNION ALL SELECT x, z FROM t{r}
+            UNION ALL SELECT y, z FROM t{r}) u GROUP BY a, b),
+e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e
+        JOIN s{r} s ON s.a = e.a AND s.b = e.b WHERE s.sup >= {k - 2})"""
+        )
+    return "WITH " + ",".join(parts) + f"\nSELECT a, b FROM e{rounds}"
+
+
 def _walks_sql(walk_len: int, n_walks: int, seed: int) -> str:
     """The walk recurrence unrolled as chained CTEs: each step joins
     the ranked adjacency on (current vertex, md5-draw mod degree)."""
@@ -1954,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_links": q_jaccard_links,
         "closeness": q_closeness,
         "walks": q_walks,
+        "ktruss": q_ktruss,
     }
 
 
@@ -2595,4 +2633,5 @@ LIMIT 20
 """,
         "closeness": _closeness_sql(4, 5, 20),
         "walks": _walks_sql(4, 2, 7),
+        "ktruss": _ktruss_sql(4, 6),
     }

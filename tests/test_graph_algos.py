@@ -298,3 +298,71 @@ def test_host_graph_contraction(spark):
         ("a.example.com", "b.example.com"): 2,
         ("c.example.com", "a.example.com"): 1,
     }
+
+
+def _py_ktruss(edges, k):
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        adj: dict[int, set[int]] = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            e: len(adj[e[0]] & adj[e[1]]) for e in es
+        }
+        keep = {e for e in es if sup[e] >= k - 2}
+        if keep == es:
+            return es
+        es = keep
+
+
+def test_ktruss_two_triangles_and_tail(spark):
+    from ccl_spark.triangles import ktruss
+
+    # two triangles sharing edge (1,2), plus a pendant path 4-5-6
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (4, 5), (5, 6), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"]) for r in ktruss(df, k=3).collect()}
+    assert got == _py_ktruss(edges, 3)
+    assert got == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}
+    # k=4: every edge needs 2 triangles; only the shared edge has 2,
+    # but its triangles die with their other edges -> empty fixpoint
+    assert ktruss(df, k=4).count() == 0
+
+
+def test_ktruss_k4_clique(spark):
+    from itertools import combinations
+
+    from ccl_spark.triangles import ktruss
+
+    # K5 survives k=4 (each edge in 3 triangles) plus a dangling wedge
+    edges = list(combinations(range(5), 2)) + [(5, 6), (6, 7), (5, 7), (0, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"]) for r in ktruss(df, k=4).collect()}
+    assert got == _py_ktruss(edges, 4)
+    assert got == set(combinations(range(5), 2))
+    # the hanging triangle survives k=3 along with everything else
+    got3 = {(r["a"], r["b"]) for r in ktruss(df, k=3).collect()}
+    assert got3 == _py_ktruss(edges, 3)
+    assert {(5, 6), (6, 7), (5, 7)} <= got3 and (0, 5) not in got3
+
+
+def test_ktruss_matches_python_peel_random(spark):
+    import random
+
+    from ccl_spark.triangles import ktruss
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (3, 4):
+        got = {(r["a"], r["b"]) for r in ktruss(df, k=k).collect()}
+        assert got == _py_ktruss(edges, k)
+
+
+def test_ktruss_rejects_small_k(spark):
+    from ccl_spark.triangles import ktruss
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        ktruss(df, k=2)
