@@ -349,7 +349,7 @@ FROM toks t JOIN vocab v ON v.token = t.token
     )
 
 
-def _corpus_lpa_sql(iters: int) -> str:
+def _corpus_lpa_chain(iters: int) -> str:
     """Synchronous LPA as chained CTEs over the dumped corpus edges —
     the same deterministic semantics as ccl_spark.lpa (mode of neighbor
     labels, ties broken by smallest label, all vertices update each
@@ -388,12 +388,36 @@ l{k} AS MATERIALIZED (
     FROM verts v LEFT JOIN best{k} b ON b.vertex = v.vertex
 )"""
         )
+    return pre + "".join(steps)
+
+
+def _corpus_lpa_sql(iters: int) -> str:
     return (
-        pre
-        + "".join(steps)
+        _corpus_lpa_chain(iters)
         + f"""
 SELECT lab AS label, COUNT(*) AS n_vertices FROM l{iters}
 GROUP BY lab ORDER BY n_vertices DESC, label ASC LIMIT 5
+"""
+    )
+
+
+def _modularity_sql(iters: int) -> str:
+    """Newman modularity of the LPA partition, appended to the same
+    label-propagation CTE chain the corpus_lpa oracle replays."""
+    return (
+        _corpus_lpa_chain(iters)
+        + f""",
+lab AS (SELECT vertex, lab AS c FROM l{iters}),
+je AS (SELECT ls.c AS cs, ld.c AS cd
+       FROM und JOIN lab ls ON und.u = ls.vertex
+       JOIN lab ld ON und.v = ld.vertex),
+per AS (SELECT cs, COUNT(*) AS d_c,
+               SUM(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS in2
+        FROM je GROUP BY cs),
+tot AS (SELECT SUM(d_c) AS e2 FROM per)
+SELECT ROUND(SUM(in2 * 1.0 / e2 - (d_c * 1.0 / e2) * (d_c * 1.0 / e2)), 6)
+       AS modularity
+FROM per, tot
 """
     )
 
@@ -1083,6 +1107,18 @@ def q_corpus_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_vertices"), F.asc("component"))
         .limit(5)
     )
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 5-round LPA partition of the corpus
+    graph — the oracle appends the Q formula to the identical LPA
+    replay chain."""
+    from ccl_spark.graphstats import modularity
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    lab = label_propagation(e, max_iter=5)
+    return modularity(e, lab)
 
 
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1992,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": q_closeness,
         "walks": q_walks,
         "ktruss": q_ktruss,
+        "modularity": q_modularity,
     }
 
 
@@ -2634,4 +2671,5 @@ LIMIT 20
         "closeness": _closeness_sql(4, 5, 20),
         "walks": _walks_sql(4, 2, 7),
         "ktruss": _ktruss_sql(4, 6),
+        "modularity": _modularity_sql(5),
     }

@@ -85,6 +85,50 @@ def assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
     )
 
 
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "vertex",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q = Σ_c (m_c/m − (d_c/2m)²) of a vertex
+    partition (e.g. LPA communities) over the symmetrized simple graph.
+
+    One plan: both-orientation edges joined to the label table on each
+    endpoint (two hash joins keyed on the vertex), one per-community
+    aggregate (degree mass + intra-community rows, map-side partial),
+    and the total edge mass brought in as a broadcast one-row frame —
+    no collect, no per-vertex state.  Returns one row
+    ``(modularity: double)`` rounded to 6dp.
+    """
+    und = _symmetrized(edges, src, dst)
+    lab = labels.select(
+        F.col(vertex_col).cast("long").alias("v"), F.col(label_col).alias("c")
+    )
+    je = und.join(lab.select(F.col("v").alias("s"), F.col("c").alias("cs")), "s").join(
+        lab.select(F.col("v").alias("d"), F.col("c").alias("cd")), "d"
+    )
+    per = je.groupBy("cs").agg(
+        F.count(F.lit(1)).alias("d_c"),
+        F.sum(F.when(F.col("cs") == F.col("cd"), 1).otherwise(0)).alias("in2"),
+    )
+    tot = per.agg(F.sum("d_c").alias("e2"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("in2") / F.col("e2")
+                    - (F.col("d_c") / F.col("e2")) * (F.col("d_c") / F.col("e2"))
+                ),
+                6,
+            ).alias("modularity")
+        )
+    )
+
+
 def _wedge_scores(und: DataFrame, wgt: F.Column, max_degree: int) -> DataFrame:
     """Per-pair sums of a witness weight over shared neighbors:
     wedges through each witness w (degree-capped, see module doc),

@@ -164,3 +164,43 @@ def test_jaccard_cap_is_numerator_only(spark):
     assert set(got) == set(expect)
     # hub 0 capped out as witness: (3, 4) unscored, path pair survives
     assert (3, 4) not in got and (5, 7) in got
+
+
+def test_modularity_two_cliques(spark):
+    from ccl_spark.graphstats import modularity
+
+    # two triangles joined by one bridge edge; partition = the cliques
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    labels = [(v, 0) for v in (0, 1, 2)] + [(v, 1) for v in (3, 4, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lab = spark.createDataFrame(labels, "vertex long, label long")
+    got = modularity(e, lab).first()["modularity"]
+    # m=7, intra edges 3+3, degree mass 7+7 (2m=14)
+    expect = (3 / 7 - (7 / 14) ** 2) + (3 / 7 - (7 / 14) ** 2)
+    assert got == pytest.approx(expect, abs=1e-6)
+    # the all-in-one partition has modularity 0 by definition
+    one = spark.createDataFrame([(v, 9) for v in range(6)], "vertex long, label long")
+    assert modularity(e, one).first()["modularity"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_modularity_matches_python_random(spark):
+    import random
+
+    from ccl_spark.graphstats import modularity
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(90)]
+    labels = [(v, v % 4) for v in range(30)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lab = spark.createDataFrame(labels, "vertex long, label long")
+    got = modularity(e, lab).first()["modularity"]
+    adj = _py_undirected(edges)
+    und = {(u, v) for u in adj for v in adj[u]}
+    e2 = len(und)
+    comm = {c: [0, 0] for c in range(4)}  # [d_c, in2]
+    for u, v in und:
+        comm[u % 4][0] += 1
+        if u % 4 == v % 4:
+            comm[u % 4][1] += 1
+    expect = sum(in2 / e2 - (dc / e2) ** 2 for dc, in2 in comm.values())
+    assert got == pytest.approx(expect, abs=1e-6)
