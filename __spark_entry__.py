@@ -1109,6 +1109,25 @@ def q_corpus_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized degree histogram of the corpus graph."""
+    from ccl_spark.graphstats import degree_distribution
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return degree_distribution(e)
+
+
+def q_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill MLE of the degree power-law exponent (CSN 2009) with the
+    discrete 1/2 offset, tail d >= 3."""
+    from ccl_spark.graphstats import powerlaw_alpha
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return powerlaw_alpha(e, d_min=3)
+
+
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the 5-round LPA partition of the corpus
     graph — the oracle appends the Q formula to the identical LPA
@@ -2029,6 +2048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks": q_walks,
         "ktruss": q_ktruss,
         "modularity": q_modularity,
+        "degree_dist": q_degree_dist,
+        "powerlaw": q_powerlaw,
     }
 
 
@@ -2672,4 +2693,24 @@ LIMIT 20
         "walks": _walks_sql(4, 2, 7),
         "ktruss": _ktruss_sql(4, 6),
         "modularity": _modularity_sql(5),
+        "degree_dist": f"""
+WITH und AS (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'
+    WHERE src <> dst
+    UNION SELECT dst, src FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'
+    WHERE src <> dst)),
+deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s)
+SELECT deg, COUNT(*) AS n_vertices FROM deg GROUP BY deg
+""",
+        "powerlaw": f"""
+WITH und AS (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'
+    WHERE src <> dst
+    UNION SELECT dst, src FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'
+    WHERE src <> dst)),
+deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s)
+SELECT ROUND(1.0 + COUNT(*) / SUM(LN(deg / 2.5)), 6) AS alpha,
+       COUNT(*) AS n_tail
+FROM deg WHERE deg >= 3
+""",
     }

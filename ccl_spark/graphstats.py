@@ -85,6 +85,38 @@ def assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
     )
 
 
+def degree_distribution(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """``(deg, n_vertices)`` histogram of the symmetrized graph —
+    two map-side-partial aggregates."""
+    und = _symmetrized(edges, src, dst)
+    deg = und.groupBy(F.col("s").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def powerlaw_alpha(
+    edges: DataFrame, d_min: int = 2, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Hill maximum-likelihood estimate of the degree power-law
+    exponent, ``alpha = 1 + n / Σ ln(d / (d_min − 1/2))`` over vertices
+    with degree ≥ d_min (Clauset, Shalizi & Newman 2009, eq. 3.7 with
+    the discrete 1/2 offset) — the one-number summary of a web graph's
+    hub structure.  Single aggregate over the degree table."""
+    und = _symmetrized(edges, src, dst)
+    deg = und.groupBy(F.col("s").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    tail = deg.filter(F.col("deg") >= d_min)
+    return tail.agg(
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("deg").cast("double") / (d_min - 0.5))),
+            6,
+        ).alias("alpha"),
+        F.count(F.lit(1)).alias("n_tail"),
+    )
+
+
 def modularity(
     edges: DataFrame,
     labels: DataFrame,

@@ -204,3 +204,20 @@ def test_modularity_matches_python_random(spark):
             comm[u % 4][1] += 1
     expect = sum(in2 / e2 - (dc / e2) ** 2 for dc, in2 in comm.values())
     assert got == pytest.approx(expect, abs=1e-6)
+
+
+def test_degree_distribution_and_powerlaw(spark):
+    from ccl_spark.graphstats import degree_distribution, powerlaw_alpha
+
+    df = spark.createDataFrame(UNDIRECTED, "src long, dst long")
+    adj = _py_undirected(UNDIRECTED)
+    hist = {}
+    for v in adj:
+        hist[len(adj[v])] = hist.get(len(adj[v]), 0) + 1
+    got = {r["deg"]: r["n_vertices"] for r in degree_distribution(df).collect()}
+    assert got == hist
+    row = powerlaw_alpha(df, d_min=2).first()
+    tail = [len(adj[v]) for v in adj if len(adj[v]) >= 2]
+    expect = 1.0 + len(tail) / sum(math.log(d / 1.5) for d in tail)
+    assert row["alpha"] == pytest.approx(expect, abs=1e-6)
+    assert row["n_tail"] == len(tail)
