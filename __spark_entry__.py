@@ -1268,6 +1268,83 @@ def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(e.select("src", "dst"), walk_len=4, n_walks=2, seed=7)
 
 
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec biased walks (p=2, q=1/2 — exact binary weights, so
+    the weighted-draw cumulative sums are bit-identical across
+    engines and the oracle replays every step exactly)."""
+    from ccl_spark.walks import node2vec_walks
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return node2vec_walks(
+        e.select("src", "dst"), walk_len=3, n_walks=1, p=2.0, q=0.5, seed=11
+    )
+
+
+def _node2vec_sql(walk_len: int, n_walks: int, p: float, q: float, seed: int) -> str:
+    """The biased-walk recurrence unrolled: per step, adjacency
+    expansion + (prev, cand) membership left-join + candidate-order
+    cumulative weights, then the interval containing r = U·W."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+
+    def udraw(t: int) -> str:
+        return (
+            f"(CAST(('0x' || substring(md5(CAST(v0 AS VARCHAR) || ',' || "
+            f"CAST(rep AS VARCHAR) || ',{t},{seed}'), 1, 13))::BIGINT AS DOUBLE)"
+            f" / {float(1 << 52)!r})"
+        )
+
+    draw0 = (
+        f"(('0x' || substring(md5(CAST(st.v0 AS VARCHAR) || ',' || "
+        f"CAST(st.rep AS VARCHAR) || ',0,{seed}'), 1, 15))::BIGINT % deg.dg)"
+    )
+    parts = [
+        f"""
+und AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM {src} WHERE src <> dst
+    UNION SELECT dst, src FROM {src} WHERE src <> dst)),
+adj AS MATERIALIZED (SELECT s, d,
+        ROW_NUMBER() OVER (PARTITION BY s ORDER BY d) - 1 AS r FROM und),
+deg AS MATERIALIZED (SELECT s, COUNT(*) AS dg FROM und GROUP BY s),
+w0 AS MATERIALIZED (
+    SELECT st.v0, st.rep, st.v0 AS prev, a.d AS cur,
+           CAST(st.v0 AS VARCHAR) || ' ' || CAST(a.d AS VARCHAR) AS walk
+    FROM (SELECT s AS v0, UNNEST(range(0, {n_walks})) AS rep FROM deg) st
+    JOIN deg ON deg.s = st.v0
+    JOIN adj a ON a.s = st.v0 AND a.r = {draw0})"""
+    ]
+    for t in range(1, walk_len):
+        parts.append(
+            f"""
+c{t} AS MATERIALIZED (
+    SELECT w.v0, w.rep, w.prev, w.cur, w.walk, u.d AS cand,
+           CASE WHEN u.d = w.prev THEN {1.0 / p!r}
+                WHEN m.s IS NOT NULL THEN 1.0
+                ELSE {1.0 / q!r} END AS wt
+    FROM w{t - 1} w JOIN und u ON u.s = w.cur
+    LEFT JOIN und m ON m.s = w.prev AND m.d = u.d),
+a{t} AS MATERIALIZED (
+    SELECT *, SUM(wt) OVER (
+        PARTITION BY v0, rep ORDER BY cand ROWS UNBOUNDED PRECEDING) AS cw
+    FROM c{t}),
+b{t} AS MATERIALIZED (
+    SELECT *, COALESCE(LAG(cw) OVER (PARTITION BY v0, rep ORDER BY cand),
+                       0.0) AS pcw,
+           MAX(cw) OVER (PARTITION BY v0, rep) AS tot
+    FROM a{t}),
+w{t} AS MATERIALIZED (
+    SELECT v0, rep, cur AS prev, cand AS cur,
+           walk || ' ' || CAST(cand AS VARCHAR) AS walk
+    FROM b{t}
+    WHERE pcw <= {udraw(t)} * tot AND {udraw(t)} * tot < cw)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT v0 AS start, rep, walk FROM w{walk_len - 1}"
+    )
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the corpus graph (every surviving edge in ≥ 2
     triangles within the subgraph) — iterative support peel run to
@@ -2046,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_links": q_jaccard_links,
         "closeness": q_closeness,
         "walks": q_walks,
+        "node2vec": q_node2vec,
         "ktruss": q_ktruss,
         "modularity": q_modularity,
         "degree_dist": q_degree_dist,
@@ -2691,6 +2769,7 @@ LIMIT 20
 """,
         "closeness": _closeness_sql(4, 5, 20),
         "walks": _walks_sql(4, 2, 7),
+        "node2vec": _node2vec_sql(3, 1, 2.0, 0.5, 11),
         "ktruss": _ktruss_sql(4, 6),
         "modularity": _modularity_sql(5),
         "degree_dist": f"""

@@ -99,3 +99,117 @@ def random_walks(
     return state.select(
         F.col("v0").alias("start"), F.col("rep").cast("long").alias("rep"), "walk"
     )
+
+
+def _unit_expr(step: int, seed: int) -> F.Column:
+    """Deterministic per-(walk, step) uniform draw in [0, 1): 13 hex
+    md5 digits (< 2^52) over 2^52 — exactly representable, identical
+    in Spark and DuckDB."""
+    key = (
+        "concat(cast(v0 as string), ',', cast(rep as string), "
+        f"',', '{step}', ',', '{seed}')"
+    )
+    return F.expr(
+        f"cast(conv(substring(md5({key}), 1, 13), 16, 10) as double)"
+        f" / {float(1 << 52)!r}"
+    )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    n_walks: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Second-order biased walks (node2vec; Grover & Leskovec 2016):
+    after the uniform first step, the move from ``prev`` standing at
+    ``cur`` weights each neighbor ``x`` of ``cur`` by 1/p if
+    ``x == prev`` (return), 1 if ``x`` is adjacent to ``prev``
+    (BFS-like), else 1/q (DFS-like), and draws from the weighted
+    distribution.
+
+    The draw is deterministic: r = U(start, rep, step, seed) · W with
+    U an exact md5-derived dyadic rational and W the sequential
+    cumulative-sum total, and the chosen neighbor is the one whose
+    (prev-cumsum, cumsum] interval contains r.  With p and q powers of
+    two the weights are exact binary fractions and the candidate-order
+    cumulative sums are bit-identical across engines, so the oracle
+    replays the walks exactly.
+
+    Per step: one adjacency expansion keyed on the current vertex, one
+    left join on (prev, candidate) for the BFS membership test, and
+    one per-walk window cumsum — candidate mass is Σ deg(cur) rows,
+    the same frontier⋈edges shape as every other traversal here.
+    Returns ``(start, rep, walk)`` like :func:`random_walks`.
+    """
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    w = Window.partitionBy("s").orderBy("d")
+    adj = und.select(
+        "s", "d", (F.row_number().over(w) - 1).alias("rank")
+    ).localCheckpoint(eager=True)
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    starts = deg.select("s").select(
+        F.col("s").alias("v0"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("rep"),
+    )
+    # step 0: uniform
+    state = (
+        starts.select("v0", "rep", F.col("v0").alias("cur"))
+        .join(deg, F.col("cur") == deg["s"])
+        .withColumn("idx", _choice_expr(0, seed) % F.col("dg"))
+        .join(adj, (F.col("cur") == adj["s"]) & (F.col("idx") == adj["rank"]))
+        .select(
+            "v0",
+            "rep",
+            F.col("cur").alias("prev"),
+            F.col("d").alias("cur2"),
+            F.concat_ws(
+                " ", F.col("v0").cast("string"), F.col("d").cast("string")
+            ).alias("walk"),
+        )
+        .withColumnRenamed("cur2", "cur")
+        .localCheckpoint(eager=True)
+    )
+    member = und.select(
+        F.col("s").alias("prev"), F.col("d").alias("cand"), F.lit(1).alias("adj_pc")
+    )
+    for step in range(1, walk_len):
+        cand = (
+            state.join(und, state["cur"] == und["s"])
+            .select("v0", "rep", "prev", "cur", "walk", F.col("d").alias("cand"))
+            .join(member, ["prev", "cand"], "left")
+            .withColumn(
+                "wt",
+                F.when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("adj_pc") == 1, F.lit(1.0))
+                .otherwise(F.lit(1.0 / q)),
+            )
+        )
+        ww = Window.partitionBy("v0", "rep").orderBy("cand")
+        wall = Window.partitionBy("v0", "rep")
+        scored = (
+            cand.withColumn("cw", F.sum("wt").over(ww))
+            .withColumn("pcw", F.lag("cw", 1, 0.0).over(ww))
+            .withColumn("tot", F.max("cw").over(wall))
+            .withColumn("r", _unit_expr(step, seed) * F.col("tot"))
+        )
+        state = (
+            scored.filter((F.col("pcw") <= F.col("r")) & (F.col("r") < F.col("cw")))
+            .select(
+                "v0",
+                "rep",
+                F.col("cur").alias("prev"),
+                F.col("cand").alias("cur"),
+                F.concat_ws(" ", "walk", F.col("cand").cast("string")).alias("walk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        F.col("v0").alias("start"), F.col("rep").cast("long").alias("rep"), "walk"
+    )

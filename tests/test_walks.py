@@ -59,3 +59,82 @@ def test_walks_shape_and_reproducibility(spark):
     # a different seed changes at least one walk on this graph
     c = random_walks(df, walk_len=3, n_walks=1, seed=2).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def _py_node2vec(edges, walk_len, n_walks, p, q, seed):
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    adj: dict[int, list[int]] = {}
+    for s, d in sorted(und):
+        adj.setdefault(s, []).append(d)
+    nbr = {v: set(ns) for v, ns in adj.items()}
+    out = {}
+    for v0 in adj:
+        for rep in range(n_walks):
+            cur = adj[v0][_draw(v0, rep, 0, seed) % len(adj[v0])]
+            prev, path = v0, [v0, cur]
+            for step in range(1, walk_len):
+                cands = adj[cur]
+                wts = [
+                    (1.0 / p) if x == prev
+                    else 1.0 if x in nbr[prev]
+                    else (1.0 / q)
+                    for x in cands
+                ]
+                cws = []
+                running = 0.0
+                for wt in wts:
+                    running = running + wt
+                    cws.append(running)
+                key = f"{v0},{rep},{step},{seed}".encode()
+                u = int(hashlib.md5(key).hexdigest()[:13], 16) / float(1 << 52)
+                r = u * cws[-1]
+                pcw = 0.0
+                for i, cw in enumerate(cws):
+                    if pcw <= r < cw:
+                        nxt = cands[i]
+                        break
+                    pcw = cw
+                prev, cur = cur, nxt
+                path.append(cur)
+            out[(v0, rep)] = " ".join(str(v) for v in path)
+    return out
+
+
+def test_node2vec_matches_python_replay(spark):
+    from ccl_spark.walks import node2vec_walks
+
+    rng = random.Random(31)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(90)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["start"], r["rep"]): r["walk"]
+        for r in node2vec_walks(
+            df, walk_len=4, n_walks=2, p=2.0, q=0.5, seed=3
+        ).collect()
+    }
+    assert got == _py_node2vec(edges, 4, 2, 2.0, 0.5, 3)
+
+
+def test_node2vec_bias_extremes(spark):
+    from ccl_spark.walks import node2vec_walks
+
+    # path graph 0-1-2-3-4-5: from the second step on, a huge p and
+    # tiny q make returning impossible whenever going onward is an
+    # option, so every interior-start walk marches monotonically
+    edges = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = node2vec_walks(df, walk_len=3, p=1024.0, q=1.0 / 1024, seed=1).collect()
+    got = {r["start"]: [int(x) for x in r["walk"].split(" ")] for r in rows}
+    assert len(got) == 6
+    for start, path in got.items():
+        assert len(path) == 4 and path[0] == start
+        for a, b in zip(path, path[1:]):
+            assert abs(a - b) == 1
+        # after step 1 the walk never backtracks unless at an endpoint
+        for i in range(2, len(path)):
+            if path[i - 1] not in (0, 5):
+                assert path[i] != path[i - 2]
