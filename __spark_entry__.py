@@ -756,6 +756,14 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index over the documents table; posting
+    lists sorted (doc, pos), truncated at 50 with the true total kept."""
+    from ccl_spark.textops import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (keyword extraction) —
     broadcast corpus size, per-document window top-k."""
@@ -1107,6 +1115,40 @@ def q_corpus_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_vertices"), F.asc("component"))
         .limit(5)
     )
+
+
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 page pairs by co-citation count (shared citing pages) on
+    the directed corpus graph."""
+    from ccl_spark.graphstats import cocitation
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return cocitation(e, k=20)
+
+
+def q_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 page pairs by bibliographic coupling (shared outlinks)
+    on the directed corpus graph."""
+    from ccl_spark.graphstats import bibliographic_coupling
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return bibliographic_coupling(e, k=20)
+
+
+def _directed_wedge_sql(witness: str, other: str, k: int, max_degree: int) -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    return f"""
+WITH e AS (SELECT DISTINCT src, dst FROM {src} WHERE src <> dst),
+wd AS (SELECT {witness} AS w, COUNT(*) AS dg FROM e GROUP BY {witness}),
+nb AS (SELECT e.{witness} AS w, e.{other} AS n FROM e
+       JOIN wd ON wd.w = e.{witness}
+       WHERE wd.dg >= 2 AND wd.dg <= {max_degree}),
+pr AS (SELECT a.n AS u, b.n AS v, COUNT(*) AS score
+       FROM nb a JOIN nb b ON a.w = b.w AND a.n < b.n GROUP BY 1, 2)
+SELECT u, v, score FROM pr ORDER BY score DESC, u, v LIMIT {k}
+"""
 
 
 def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2128,6 +2170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "degree_dist": q_degree_dist,
         "powerlaw": q_powerlaw,
+        "cocitation": q_cocitation,
+        "coupling": q_coupling,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -2791,5 +2836,23 @@ deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s)
 SELECT ROUND(1.0 + COUNT(*) / SUM(LN(deg / 2.5)), 6) AS alpha,
        COUNT(*) AS n_tail
 FROM deg WHERE deg >= 3
+""",
+        "cocitation": _directed_wedge_sql("src", "dst", 20, 10_000),
+        "coupling": _directed_wedge_sql("dst", "src", 20, 10_000),
+        "inverted_index": """
+WITH t AS (
+    SELECT doc_id AS doc,
+           UNNEST(STRING_SPLIT(text, ' ')) AS term,
+           UNNEST(range(1, len(STRING_SPLIT(text, ' ')) + 1)) AS pos
+    FROM documents
+),
+tf AS (SELECT * FROM t WHERE term <> ''),
+rk AS (SELECT term, doc, pos,
+              ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc, pos) AS rn
+       FROM tf)
+SELECT term, COUNT(DISTINCT doc) AS n_docs, COUNT(*) AS n_postings,
+       STRING_AGG(CASE WHEN rn <= 50 THEN doc || ':' || pos END, ' '
+                  ORDER BY doc, pos) AS postings
+FROM rk GROUP BY term
 """,
     }

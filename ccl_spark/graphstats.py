@@ -85,6 +85,57 @@ def assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
     )
 
 
+def _directed_wedge(
+    e: DataFrame, witness: str, other: str, k: int, max_degree: int
+) -> DataFrame:
+    """Top-k page pairs co-occurring in the ``other`` role of a shared
+    ``witness`` endpoint of the directed edge table ``e(s, d)`` —
+    the shared plan of co-citation (witness = citing page) and
+    bibliographic coupling (witness = cited page).  The witness cap
+    bounds wedge fan-out exactly as in :func:`_wedge_scores`."""
+    wd = e.groupBy(F.col(witness).alias("w")).agg(F.count(F.lit(1)).alias("dg"))
+    nb = e.select(F.col(witness).alias("w"), F.col(other).alias("n")).join(
+        wd.filter((F.col("dg") >= 2) & (F.col("dg") <= max_degree)), "w"
+    )
+    a = nb.select("w", F.col("n").alias("u"))
+    b = nb.select("w", F.col("n").alias("v"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("u"), F.asc("v"))
+        .limit(k)
+    )
+
+
+def cocitation(
+    edges: DataFrame,
+    k: int = 20,
+    max_degree: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Top-k page pairs by co-citation count — the number of pages
+    that link to both (Small 1973); the directed link-graph
+    relatedness signal.  Returns ``(u, v, score)``, (score DESC, u, v)
+    tie-break."""
+    return _directed_wedge(_directed(edges, src, dst), "s", "d", k, max_degree)
+
+
+def bibliographic_coupling(
+    edges: DataFrame,
+    k: int = 20,
+    max_degree: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Top-k page pairs by bibliographic coupling — the number of
+    common pages both link to (Kessler 1963); co-citation's outlink
+    dual."""
+    return _directed_wedge(_directed(edges, src, dst), "d", "s", k, max_degree)
+
+
 def degree_distribution(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

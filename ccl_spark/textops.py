@@ -239,6 +239,47 @@ def tfidf_top_terms(
     )
 
 
+def inverted_index(
+    docs: DataFrame,
+    max_postings: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional inverted index — the search-engine build step:
+    ``(term, n_docs, n_postings, postings)`` with ``postings`` the
+    space-joined ``doc:pos`` occurrence list (1-based token position),
+    sorted by (doc, pos) and truncated to ``max_postings`` entries
+    (``n_postings`` keeps the untruncated total, so truncation is
+    visible, never silent).
+
+    One posexplode + one term-keyed aggregate; the per-term posting
+    list is assembled with ``array_sort(collect_list(struct))`` so the
+    output is deterministic at any parallelism, and the truncation cap
+    bounds the hot-term (stopword) row width — the Zipf-skew guard for
+    an index build at corpus scale."""
+    tok = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.posexplode(_tokens(text_col)).alias("pos0", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select("term", "doc", (F.col("pos0") + 1).alias("pos"))
+    )
+    entries = F.transform(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("doc", "pos"))), 1, max_postings
+        ),
+        lambda x: F.concat_ws(
+            ":", x["doc"].cast("string"), x["pos"].cast("string")
+        ),
+    )
+    return tok.groupBy("term").agg(
+        F.countDistinct("doc").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_postings"),
+        F.array_join(entries, " ").alias("postings"),
+    )
+
+
 def bpe_merges(
     docs: DataFrame,
     n_merges: int = 8,

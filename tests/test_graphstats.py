@@ -221,3 +221,44 @@ def test_degree_distribution_and_powerlaw(spark):
     expect = 1.0 + len(tail) / sum(math.log(d / 1.5) for d in tail)
     assert row["alpha"] == pytest.approx(expect, abs=1e-6)
     assert row["n_tail"] == len(tail)
+
+
+def test_cocitation_and_coupling(spark):
+    from ccl_spark.graphstats import bibliographic_coupling, cocitation
+
+    # 1 and 2 both cited by 10, 11, 12; both cite 20, 21
+    edges = (
+        [(w, 1) for w in (10, 11, 12)]
+        + [(w, 2) for w in (10, 11, 12)]
+        + [(1, 20), (2, 20), (1, 21), (2, 21), (3, 20)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cc = {(r["u"], r["v"]): r["score"] for r in cocitation(df, k=50).collect()}
+    # independent replay
+    out: dict[int, set] = {}
+    inn: dict[int, set] = {}
+    for s, d in set(edges):
+        out.setdefault(s, set()).add(d)
+        inn.setdefault(d, set()).add(s)
+    exp_cc = {}
+    for w, ns in out.items():
+        if len(ns) < 2:
+            continue
+        for u in ns:
+            for v in ns:
+                if u < v:
+                    exp_cc[(u, v)] = exp_cc.get((u, v), 0) + 1
+    assert cc == exp_cc and cc[(1, 2)] == 3
+    bc = {
+        (r["u"], r["v"]): r["score"]
+        for r in bibliographic_coupling(df, k=50).collect()
+    }
+    exp_bc = {}
+    for w, ns in inn.items():
+        if len(ns) < 2:
+            continue
+        for u in ns:
+            for v in ns:
+                if u < v:
+                    exp_bc[(u, v)] = exp_bc.get((u, v), 0) + 1
+    assert bc == exp_bc and bc[(1, 2)] == 2 and bc[(1, 3)] == 1

@@ -656,3 +656,30 @@ def test_tfidf_top_terms(spark):
     assert got == expect
     # fig appears only in doc 4, twice: 2 * ln(4)
     assert got[(4, "fig")] == round(2 * math.log(4), 6)
+
+
+def test_inverted_index(spark):
+    from ccl_spark.textops import inverted_index
+
+    docs = spark.createDataFrame(
+        [(2, "b a b"), (1, "a b a"), (3, "c")],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["n_docs"] == 2 and got["a"]["n_postings"] == 3
+    # sorted by (doc, pos) regardless of input order
+    assert got["a"]["postings"] == "1:1 1:3 2:2"
+    assert got["b"]["postings"] == "1:2 2:1 2:3"
+    assert got["c"]["postings"] == "3:1" and got["c"]["n_docs"] == 1
+
+
+def test_inverted_index_truncation(spark):
+    from ccl_spark.textops import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "x x x x") for i in range(5)], "doc_id long, text string"
+    )
+    row = inverted_index(docs, max_postings=3).first()
+    assert row["n_postings"] == 20  # true total survives truncation
+    assert row["postings"] == "0:1 0:2 0:3"
