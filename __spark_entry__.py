@@ -1117,6 +1117,63 @@ def q_corpus_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores (3 power iterations of the bipartite
+    random-walk chains) on the corpus graph, top-20 authorities."""
+    from ccl_spark.hits import salsa
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return (
+        salsa(e, max_iter=3)
+        .orderBy(F.desc("authority"), F.asc("vertex"))
+        .limit(20)
+    )
+
+
+def _salsa_sql(iters: int, k: int) -> str:
+    """Both SALSA chains unrolled: per iteration one degree-weighted
+    back(: in-edge) join and one forward(: out-edge) join."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM {src}
+                   WHERE src <> dst),
+od AS MATERIALIZED (SELECT s, COUNT(*) AS od FROM e GROUP BY s),
+idg AS MATERIALIZED (SELECT d, COUNT(*) AS idg FROM e GROUP BY d),
+a0 AS (SELECT d AS v, CAST(1.0 AS DOUBLE) AS a FROM idg),
+h0 AS (SELECT s AS v, CAST(1.0 AS DOUBLE) AS h FROM od)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+bk{t} AS (SELECT e.s, SUM(p.a / idg.idg) AS m
+         FROM e JOIN idg ON idg.d = e.d JOIN a{t - 1} p ON p.v = e.d
+         GROUP BY e.s),
+a{t} AS MATERIALIZED (SELECT e.d AS v, SUM(b.m / od.od) AS a
+         FROM e JOIN od ON od.s = e.s JOIN bk{t} b ON b.s = e.s
+         GROUP BY e.d),
+fw{t} AS (SELECT e.d, SUM(p.h / od.od) AS m
+         FROM e JOIN od ON od.s = e.s JOIN h{t - 1} p ON p.v = e.s
+         GROUP BY e.d),
+h{t} AS MATERIALIZED (SELECT e.s AS v, SUM(f.m / idg.idg) AS h
+         FROM e JOIN idg ON idg.d = e.d JOIN fw{t} f ON f.d = e.d
+         GROUP BY e.s)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+an AS (SELECT v, a / (SELECT COUNT(*) FROM idg) AS a FROM a{iters}),
+hn AS (SELECT v, h / (SELECT COUNT(*) FROM od) AS h FROM h{iters})
+SELECT COALESCE(an.v, hn.v) AS vertex,
+       ROUND(COALESCE(an.a, 0.0), 6) AS authority,
+       ROUND(COALESCE(hn.h, 0.0), 6) AS hub
+FROM an FULL JOIN hn ON an.v = hn.v
+ORDER BY ROUND(COALESCE(an.a, 0.0), 6) DESC, vertex LIMIT {k}"""
+    )
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 page pairs by co-citation count (shared citing pages) on
     the directed corpus graph."""
@@ -1524,6 +1581,23 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     return remove_boilerplate(docs)
+
+
+def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier: per-host fetch rounds with
+    at most 2 URLs per host per round, longest pages first. The oracle
+    replays the ranking over the generator's ground-truth text table
+    (text bytes are extraction-parity-tested elsewhere)."""
+    from ccl_spark.extract import extract_text
+    from ccl_spark.frontier import frontier_plan
+
+    _dump_texts(1000)
+    docs = extract_text(generate_pages(spark, 1000, seed=42)).select(
+        "url",
+        F.regexp_extract("url", r"https://(h\d+)\.", 1).alias("host"),
+        F.length("text").alias("priority"),
+    )
+    return frontier_plan(docs, per_host_cap=2, priority_col="priority")
 
 
 def _dump_anchors(n_pages: int) -> None:
@@ -2172,6 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw": q_powerlaw,
         "cocitation": q_cocitation,
         "coupling": q_coupling,
+        "salsa": q_salsa,
+        "frontier": q_frontier,
         "inverted_index": q_inverted_index,
     }
 
@@ -2838,6 +2914,18 @@ SELECT ROUND(1.0 + COUNT(*) / SUM(LN(deg / 2.5)), 6) AS alpha,
 FROM deg WHERE deg >= 3
 """,
         "cocitation": _directed_wedge_sql("src", "dst", 20, 10_000),
+        "salsa": _salsa_sql(3, 20),
+        "frontier": f"""
+WITH d AS (SELECT url, host, LEN(text) AS pr
+           FROM '{_ORACLE_DIR}/corpus_texts_1000.parquet'),
+rk AS (SELECT host, url,
+              ROW_NUMBER() OVER (PARTITION BY host ORDER BY pr DESC, url)
+              AS rank_in_host
+       FROM d)
+SELECT host, url, rank_in_host,
+       CAST((rank_in_host - 1) // 2 AS BIGINT) AS fetch_round
+FROM rk
+""",
         "coupling": _directed_wedge_sql("dst", "src", 20, 10_000),
         "inverted_index": """
 WITH t AS (

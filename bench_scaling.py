@@ -110,9 +110,19 @@ for _ in range(reps):
     pagerank(edges, tol=1e-6).count()
     t_pr.append(time.monotonic() - t0)
     _settle()
+# walk-corpus generation (DeepWalk input): per step two keyed
+# equi-joins over O(V) walk state — the embedding-pipeline stage
+from ccl_spark.walks import random_walks
+t_wk = []
+for _ in range(reps):
+    t0 = time.monotonic()
+    random_walks(edges, walk_len=4, n_walks=1, seed=42).count()
+    t_wk.append(time.monotonic() - t0)
+    _settle()
 print(json.dumps({{"cpus": cpus, "edges": n_edges, "components": n_comp,
                    "t_ex": min(t_ex), "t_cc": min(t_cc), "t_pr": min(t_pr),
-                   "t_cc0": min(t_cc0), "t_cc0_all": t_cc0,
+                   "t_cc0": min(t_cc0), "t_cc0_all": t_cc0, "t_wk": min(t_wk),
+                   "t_wk_all": t_wk,
                    "t_ex_all": t_ex, "t_cc_all": t_cc, "t_pr_all": t_pr}}))
 spark.stop()
 """
@@ -188,6 +198,7 @@ def main() -> None:
     eff_cc0 = (lo["t_cc0"] / hi["t_cc0"]) / 4
     eff_pr = (lo["t_pr"] / hi["t_pr"]) / 4
     eff_ex = (lo["t_ex"] / hi["t_ex"]) / 4
+    eff_wk = (lo["t_wk"] / hi["t_wk"]) / 4
     summary = {
         "vertices": v,
         "edges": hi["edges"],
@@ -206,6 +217,7 @@ def main() -> None:
         "scaling_efficiency_cc": round(eff_cc, 3),
         "scaling_efficiency_cc_pure_distributed": round(eff_cc0, 3),
         "scaling_efficiency_pagerank": round(eff_pr, 3),
+        "scaling_efficiency_walks": round(eff_wk, 3),
         "raw": {"local8": lo, "local32": hi},
     }
     print(json.dumps(summary))
@@ -222,6 +234,7 @@ def main() -> None:
         f"| CC to fixpoint (s) | {summary['local8']['t_cc']} | {summary['local32']['t_cc']} | {summary['scaling_efficiency_cc']} |",
         f"| CC pure-distributed (s, threshold=0) | {round(lo['t_cc0'], 2)} | {round(hi['t_cc0'], 2)} | {summary['scaling_efficiency_cc_pure_distributed']} |",
         f"| PageRank to 1e-6 (s) | {summary['local8']['t_pr']} | {summary['local32']['t_pr']} | {summary['scaling_efficiency_pagerank']} |",
+        f"| walk corpus len-4 (s) | {round(lo['t_wk'], 2)} | {round(hi['t_wk'], 2)} | {summary['scaling_efficiency_walks']} |",
         f"| CC edges/sec | {summary['edges_per_sec_cc_local8']} | {summary['edges_per_sec_cc_local32']} | |",
         f"| PR edges/sec | {summary['edges_per_sec_pr_local8']} | {summary['edges_per_sec_pr_local32']} | |",
         "",

@@ -10,7 +10,8 @@ Package and run:
 Subcommands: cc | pagerank | lpa | triangles | extract | dedup |
 dedup-corpus (near-dup pairs -> transitive clusters -> deduped docs) |
 tokenize (train BPE merges on the corpus, encode every document to
-its token-id stream).
+its token-id stream) | walks (deterministic DeepWalk/node2vec walk
+corpus for skip-gram embedding training).
 Every iterative job takes --checkpoint (superstep state + lineage) and
 --resume (continue the latest complete superstep at that root) — the
 north rule's mid-algorithm resumability.
@@ -40,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
         "algo",
         choices=[
             "cc", "pagerank", "lpa", "triangles", "extract", "dedup",
-            "dedup-corpus", "tokenize",
+            "dedup-corpus", "tokenize", "walks",
         ],
     )
     p.add_argument("--edges", help="parquet edge table (src, dst)")
@@ -53,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--threshold", type=float, default=0.8, help="dedup jaccard cutoff")
     p.add_argument("--merges", type=int, default=1000, help="tokenize: BPE merge rounds")
+    p.add_argument("--walk-len", type=int, default=10, help="walks: steps per walk")
+    p.add_argument("--n-walks", type=int, default=1, help="walks: walks per vertex")
+    p.add_argument("--seed", type=int, default=42, help="walks: draw seed")
+    p.add_argument("--p", type=float, default=None, help="walks: node2vec return parameter")
+    p.add_argument("--q", type=float, default=None, help="walks: node2vec in-out parameter")
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint", help="checkpoint/lineage root")
     p.add_argument("--resume", action="store_true")
@@ -103,6 +109,19 @@ def main(argv: list[str] | None = None) -> int:
             for r in bpe_merges(docs, n_merges=args.merges).orderBy("merge_rank").collect()
         ]
         out = bpe_encode_docs(docs, merges)
+    elif args.algo == "walks":
+        from ccl_spark.walks import node2vec_walks, random_walks
+
+        e = _edges(spark, args.edges)
+        if args.p is not None or args.q is not None:
+            out = node2vec_walks(
+                e, walk_len=args.walk_len, n_walks=args.n_walks,
+                p=args.p or 1.0, q=args.q or 1.0, seed=args.seed,
+            )
+        else:
+            out = random_walks(
+                e, walk_len=args.walk_len, n_walks=args.n_walks, seed=args.seed
+            )
     elif args.algo == "cc":
         out = connected_components(_edges(spark, args.edges), harness=harness)
     elif args.algo == "pagerank":

@@ -222,3 +222,92 @@ def _join2(base: DataFrame, hub: DataFrame, auth: DataFrame) -> DataFrame:
     return (
         base.join(hub, "vertex").join(auth, "vertex").select("vertex", *keep, "hub", "authority")
     )
+
+
+def salsa(
+    edges: DataFrame,
+    max_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """SALSA hub/authority scores (Lempel & Moran 2000): power
+    iteration of the two bipartite random-walk chains.
+
+    Authority chain: from authority k step back to a uniform
+    in-neighbor i, then forward to a uniform out-neighbor of i; the
+    hub chain is the mirror image.  Each iteration is therefore two
+    edge-keyed equi-joins with degree division — the same
+    one-exchange-per-hop shape as PageRank, never materializing the
+    quadratic A^T·A.  Both chains start uniform and preserve total
+    mass exactly, so the final normalization divides by the exact
+    integer node count (bit-identical across engines) rather than a
+    float sum.
+
+    Returns ``(vertex, authority, hub)`` rounded to 6dp; vertices
+    missing from a chain (no in-links / no out-links) carry 0.0.
+    ``max_iter`` is a fixed iteration count — the chains converge
+    geometrically and the oracle replays the identical rounds.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    od = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    idg = e.groupBy("d").agg(F.count(F.lit(1)).alias("idg"))
+
+    # ---- authority chain ----
+    a = idg.select(F.col("d").alias("v"), F.lit(1.0).alias("a"))
+    for _ in range(max_iter):
+        back = (
+            e.join(idg, "d")
+            .join(a, e["d"] == F.col("v"))
+            .groupBy("s")
+            .agg(F.sum(F.col("a") / F.col("idg")).alias("m"))
+        )
+        a = (
+            e.join(od, "s")
+            .join(back, "s")
+            .groupBy(e["d"])
+            .agg(F.sum(F.col("m") / F.col("od")).alias("a"))
+            .select(F.col("d").alias("v"), "a")
+            .localCheckpoint(eager=True)
+        )
+
+    # ---- hub chain (mirror) ----
+    h = od.select(F.col("s").alias("v"), F.lit(1.0).alias("h"))
+    for _ in range(max_iter):
+        fwd = (
+            e.join(od, "s")
+            .join(h, e["s"] == F.col("v"))
+            .groupBy("d")
+            .agg(F.sum(F.col("h") / F.col("od")).alias("m"))
+        )
+        h = (
+            e.join(idg, "d")
+            .join(fwd, "d")
+            .groupBy(e["s"])
+            .agg(F.sum(F.col("m") / F.col("idg")).alias("h"))
+            .select(F.col("s").alias("v"), "h")
+            .localCheckpoint(eager=True)
+        )
+
+    n_a = idg.agg(F.count(F.lit(1)).alias("n_a"))
+    n_h = od.agg(F.count(F.lit(1)).alias("n_h"))
+    a_norm = a.crossJoin(F.broadcast(n_a)).select(
+        "v", (F.col("a") / F.col("n_a")).alias("a")
+    )
+    h_norm = h.crossJoin(F.broadcast(n_h)).select(
+        "v", (F.col("h") / F.col("n_h")).alias("h")
+    )
+    return (
+        a_norm.join(h_norm, "v", "full_outer")
+        .select(
+            F.col("v").alias("vertex"),
+            F.round(F.coalesce("a", F.lit(0.0)), 6).alias("authority"),
+            F.round(F.coalesce("h", F.lit(0.0)), 6).alias("hub"),
+        )
+    )

@@ -683,3 +683,36 @@ def test_inverted_index_truncation(spark):
     row = inverted_index(docs, max_postings=3).first()
     assert row["n_postings"] == 20  # true total survives truncation
     assert row["postings"] == "0:1 0:2 0:3"
+
+
+def test_frontier_plan(spark):
+    import pytest as _pytest
+
+    from ccl_spark.frontier import frontier_plan
+
+    urls = spark.createDataFrame(
+        [
+            ("a", "u1", 10),
+            ("a", "u2", 30),
+            ("a", "u3", 20),
+            ("a", "u4", 30),
+            ("b", "u5", 1),
+        ],
+        "host string, url string, priority long",
+    )
+    got = {
+        r["url"]: (r["rank_in_host"], r["fetch_round"])
+        for r in frontier_plan(urls, per_host_cap=2, priority_col="priority").collect()
+    }
+    # host a ordered u2(30) < u4(30 tie, url) < u3(20) < u1(10)
+    assert got["u2"] == (1, 0) and got["u4"] == (2, 0)
+    assert got["u3"] == (3, 1) and got["u1"] == (4, 1)
+    assert got["u5"] == (1, 0)
+    # no priority column: url order
+    got2 = {
+        r["url"]: r["fetch_round"]
+        for r in frontier_plan(urls, per_host_cap=3).collect()
+    }
+    assert got2 == {"u1": 0, "u2": 0, "u3": 0, "u4": 1, "u5": 0}
+    with _pytest.raises(ValueError):
+        frontier_plan(urls, per_host_cap=0)
