@@ -141,3 +141,32 @@ def test_cli_tokenize_end_to_end(spark, tmp_path):
         assert sorted(poss) == list(range(len(poss)))  # contiguous stream
     ids = {r.token_id for r in rows}
     assert ids == set(range(max(ids) + 1))  # dense lexicographic id map
+
+
+def test_cli_walks_end_to_end(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    epath = str(tmp_path / "edges")
+    edges.write.parquet(epath)
+    opath = str(tmp_path / "walks")
+
+    from ccl_spark.cli import main
+
+    rc = main(
+        ["walks", "--edges", epath, "--out", opath, "--walk-len", "3",
+         "--master", "local[4]"]
+    )
+    assert rc == 0
+    rows = spark.read.parquet(opath).collect()
+    assert len(rows) == 4  # one walk per vertex
+    assert all(len(r.walk.split(" ")) == 4 for r in rows)
+
+    # node2vec mode via --p/--q
+    opath2 = str(tmp_path / "walks2")
+    rc = main(
+        ["walks", "--edges", epath, "--out", opath2, "--walk-len", "2",
+         "--p", "2.0", "--q", "0.5", "--master", "local[4]"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(opath2).count() == 4
