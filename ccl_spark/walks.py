@@ -50,6 +50,7 @@ def random_walks(
     seed: int = 42,
     src: str = "src",
     dst: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """``n_walks`` deterministic uniform random walks of ``walk_len``
     steps from every vertex of the symmetrized graph.
@@ -57,6 +58,8 @@ def random_walks(
     Returns ``(start, rep, walk)`` where ``walk`` is the
     space-joined vertex sequence (walk_len + 1 ids) — the text-line
     shape a skip-gram trainer consumes directly.
+    ``checkpoint=False`` keeps the full join lineage in one plan
+    (used by the plan audits; the default truncates per step).
     """
     und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
     w = Window.partitionBy("s").orderBy("d")
@@ -94,8 +97,9 @@ def random_walks(
                 F.col("d").alias("cur"),
                 F.concat_ws(" ", "walk", F.col("d").cast("string")).alias("walk"),
             )
-            .localCheckpoint(eager=True)
         )
+        if checkpoint:
+            state = state.localCheckpoint(eager=True)
     return state.select(
         F.col("v0").alias("start"), F.col("rep").cast("long").alias("rep"), "walk"
     )

@@ -169,3 +169,31 @@ def test_adamic_adar_no_pair_explosion_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_corpus_size(spark):
+    from ccl_spark.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _executed(tfidf_top_terms(docs))
+    # the corpus-size one-row frame joins in as a broadcast, never a
+    # shuffled cross join; everything stays JVM-side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_walks_step_is_keyed_joins_no_python(spark):
+    from ccl_spark.walks import random_walks
+
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    plan = _executed(random_walks(e, walk_len=2, checkpoint=False))
+    # per-step moves are hash equi-joins on the walk's current vertex;
+    # no row-at-a-time Python, no nested-loop fallback
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
