@@ -1208,6 +1208,69 @@ SELECT u, v, score FROM pr ORDER BY score DESC, u, v LIMIT {k}
 """
 
 
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style synchronous greedy modularity moves (3 rounds) on
+    the corpus graph; community sizes top-10. Oracle replays the
+    identical gain-argmax rounds as chained CTEs — the score
+    arithmetic is integer-derived so ties break identically."""
+    from ccl_spark.graphstats import greedy_modularity_labels
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    lab = greedy_modularity_labels(e, rounds=3)
+    return (
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy(F.desc("n_vertices"), F.asc("label"))
+        .limit(10)
+    )
+
+
+def _louvain_sql(rounds: int, k: int) -> str:
+    """The synchronous modularity-move rounds unrolled."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+und AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM {src} WHERE src <> dst
+    UNION SELECT dst, src FROM {src} WHERE src <> dst)),
+deg AS MATERIALIZED (SELECT s AS v, COUNT(*) AS dg FROM und GROUP BY s),
+e2 AS (SELECT SUM(dg) AS e2 FROM deg),
+l0 AS (SELECT v, v AS lab FROM deg)"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""
+ms{t} AS (SELECT l.lab, SUM(d.dg) AS mass
+         FROM l{t} l JOIN deg d ON d.v = l.v GROUP BY l.lab),
+k{t} AS (SELECT und.s AS v, l.lab AS c, COUNT(*) AS k
+        FROM und JOIN l{t} l ON l.v = und.d GROUP BY 1, 2),
+cand{t} AS (SELECT v, c, k FROM k{t}
+           UNION ALL
+           SELECT l.v, l.lab AS c, 0 AS k FROM l{t} l
+           WHERE NOT EXISTS (SELECT 1 FROM k{t} kk
+                             WHERE kk.v = l.v AND kk.c = l.lab)),
+sc{t} AS (SELECT cand.v, cand.c,
+                cand.k - deg.dg * (ms.mass -
+                    CASE WHEN cand.c = l.lab THEN deg.dg ELSE 0 END)
+                    / e2.e2 AS score
+         FROM cand{t} cand JOIN deg ON deg.v = cand.v
+         JOIN ms{t} ms ON ms.lab = cand.c
+         JOIN l{t} l ON l.v = cand.v, e2),
+l{t + 1} AS MATERIALIZED (SELECT v, c AS lab FROM (
+            SELECT v, c, ROW_NUMBER() OVER (
+                PARTITION BY v ORDER BY score DESC, c) AS rn
+            FROM sc{t}) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT lab AS label, COUNT(*) AS n_vertices FROM l{rounds}
+GROUP BY lab ORDER BY n_vertices DESC, label LIMIT {k}"""
+    )
+
+
 def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized degree histogram of the corpus graph."""
     from ccl_spark.graphstats import degree_distribution
@@ -2242,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": q_node2vec,
         "ktruss": q_ktruss,
         "modularity": q_modularity,
+        "louvain": q_louvain,
         "degree_dist": q_degree_dist,
         "powerlaw": q_powerlaw,
         "cocitation": q_cocitation,
@@ -2893,6 +2957,7 @@ LIMIT 20
         "node2vec": _node2vec_sql(3, 1, 2.0, 0.5, 11),
         "ktruss": _ktruss_sql(4, 6),
         "modularity": _modularity_sql(5),
+        "louvain": _louvain_sql(3, 10),
         "degree_dist": f"""
 WITH und AS (SELECT DISTINCT s, d FROM (
     SELECT src AS s, dst AS d FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'

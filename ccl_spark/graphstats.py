@@ -28,7 +28,7 @@ selected top-k set is reproducible bit-for-bit across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _directed(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -210,6 +210,82 @@ def modularity(
             ).alias("modularity")
         )
     )
+
+
+def greedy_modularity_labels(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous Louvain-style first-level community detection:
+    each round, every vertex moves to the candidate community (its
+    neighbors' communities plus its own) maximizing the modularity
+    gain score ``k_{v,c} − deg(v)·Σtot_c^{−v}/2m`` (Blondel et al.
+    2008 eq. 2, the v-removed total mass, constant terms dropped),
+    ties on the smallest community id.  A fixed ``rounds`` count keeps
+    the engine and the oracle on identical iterates (the sequence is
+    deterministic; like LPA, extra rounds past a fixpoint are
+    identity).
+
+    Per round: one community-mass aggregate, one neighbor-community
+    count (edge-keyed join + (v, c) groupBy with map-side partials),
+    one per-vertex window argmax — the LPA shuffle shape plus one
+    |C|-row mass join; nothing is ever quadratic.  The score arithmetic
+    is integer-derived (counts, degrees, one division by the exact
+    edge total), so engines agree bit-for-bit including ties.
+
+    Returns ``(vertex, label)``.
+    """
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("s").alias("v")).agg(F.count(F.lit(1)).alias("dg"))
+    e2 = deg.agg(F.sum("dg").alias("e2"))
+    lab = deg.select("v", F.col("v").alias("lab"))
+    for _ in range(rounds):
+        mass = (
+            lab.join(deg, "v").groupBy("lab").agg(F.sum("dg").alias("mass"))
+        )
+        k = (
+            und.join(
+                lab.select(F.col("v").alias("d"), F.col("lab").alias("c")), "d"
+            )
+            .select(F.col("s").alias("v"), "c")
+            .groupBy("v", "c")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        own = (
+            lab.select("v", F.col("lab").alias("c"))
+            .join(k.select("v", "c"), ["v", "c"], "left_anti")
+            .withColumn("k", F.lit(0).cast("long"))
+        )
+        cur = lab.select("v", F.col("lab").alias("cur_lab"))
+        scored = (
+            k.unionByName(own)
+            .join(deg, "v")
+            .join(mass.select(F.col("lab").alias("c"), "mass"), "c")
+            .join(cur, "v")
+            .crossJoin(F.broadcast(e2))
+            .withColumn(
+                "score",
+                F.col("k")
+                - F.col("dg")
+                * (
+                    F.col("mass")
+                    - F.when(F.col("c") == F.col("cur_lab"), F.col("dg")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.col("e2"),
+            )
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("c"))
+        lab = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", F.col("c").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return lab.select(F.col("v").alias("vertex"), F.col("lab").alias("label"))
 
 
 def _wedge_scores(und: DataFrame, wgt: F.Column, max_degree: int) -> DataFrame:

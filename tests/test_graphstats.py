@@ -262,3 +262,76 @@ def test_cocitation_and_coupling(spark):
                 if u < v:
                     exp_bc[(u, v)] = exp_bc.get((u, v), 0) + 1
     assert bc == exp_bc and bc[(1, 2)] == 2 and bc[(1, 3)] == 1
+
+
+def _py_greedy_modularity(edges, rounds):
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    adj: dict[int, list[int]] = {}
+    for a, b in sorted(und):
+        adj.setdefault(a, []).append(b)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    e2 = sum(deg.values())
+    lab = {v: v for v in deg}
+    for _ in range(rounds):
+        mass: dict[int, int] = {}
+        for v in deg:
+            mass[lab[v]] = mass.get(lab[v], 0) + deg[v]
+        new = {}
+        for v in deg:
+            k: dict[int, int] = {lab[v]: 0}
+            for u in adj[v]:
+                k[lab[u]] = k.get(lab[u], 0) + 1
+            best = None
+            for c in k:
+                adj_mass = mass[c] - (deg[v] if c == lab[v] else 0)
+                score = k[c] - deg[v] * adj_mass / e2
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            new[v] = best[1]
+        lab = new
+    return lab
+
+
+def test_greedy_modularity_two_cliques(spark):
+    from ccl_spark.graphstats import greedy_modularity_labels, modularity
+
+    # two K4s joined by a single bridge: communities = the cliques
+    from itertools import combinations
+
+    edges = (
+        list(combinations(range(4), 2))
+        + list(combinations(range(10, 14), 2))
+        + [(0, 10)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lab = greedy_modularity_labels(df, rounds=3)
+    got = {r["vertex"]: r["label"] for r in lab.collect()}
+    assert got == _py_greedy_modularity(edges, 3)
+    # each clique collapses to one community
+    assert len({got[v] for v in range(4)}) == 1
+    assert len({got[v] for v in range(10, 14)}) == 1
+    assert got[0] != got[10]
+    # and the found partition beats the singleton partition's Q = <0
+    q = modularity(df, lab).first()["modularity"]
+    assert q > 0.3
+
+
+def test_greedy_modularity_matches_python_random(spark):
+    import random
+
+    from ccl_spark.graphstats import greedy_modularity_labels
+
+    rng = random.Random(47)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (1, 3):
+        got = {
+            r["vertex"]: r["label"]
+            for r in greedy_modularity_labels(df, rounds=rounds).collect()
+        }
+        assert got == _py_greedy_modularity(edges, rounds)
