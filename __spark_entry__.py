@@ -764,6 +764,15 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential PII redaction (email -> IPv4 -> phone) with
+    stage-consistent counts; Java∩RE2 regex subset so DuckDB
+    reproduces the scrubbed text byte-for-byte."""
+    from ccl_spark.textops import scrub_pii
+
+    return scrub_pii(_t(spark, sf_dir, "documents"))
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (keyword extraction) —
     broadcast corpus size, per-document window top-k."""
@@ -2265,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_bpe": q_tokens_bpe,
         "vocab": q_vocab,
         "tfidf": q_tfidf,
+        "pii_scrub": q_pii_scrub,
         "incremental_cc": q_incremental_cc,
         "quality": q_quality,
         "dedup_exact": q_dedup_exact,
@@ -2980,6 +2990,20 @@ FROM deg WHERE deg >= 3
 """,
         "cocitation": _directed_wedge_sql("src", "dst", 20, 10_000),
         "salsa": _salsa_sql(3, 20),
+        "pii_scrub": r"""
+WITH s1 AS (SELECT doc_id, text,
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t1 FROM documents),
+s2 AS (SELECT *, regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')
+        AS t2 FROM s1)
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(t2, '\+?\d[\d().-]{7,}\d')) AS n_phone,
+  len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+  regexp_replace(t2, '\+?\d[\d().-]{7,}\d', '[PHONE]', 'g') AS scrubbed
+FROM s2
+""",
         "frontier": f"""
 WITH d AS (SELECT url, host, LEN(text) AS pr
            FROM '{_ORACLE_DIR}/corpus_texts_1000.parquet'),

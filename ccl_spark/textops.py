@@ -239,6 +239,49 @@ def tfidf_top_terms(
     )
 
 
+# Conservative patterns that parse identically in Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d().-]{7,}\d",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII redaction — the mandatory scrub stage of a
+    training-data pipeline: emails, phone-number-shaped digit runs and
+    IPv4 literals are counted and replaced by ``[EMAIL]``/``[PHONE]``/
+    ``[IP]`` placeholders (in that fixed order, so the output is
+    deterministic).  Pure JVM ``regexp_extract_all`` /
+    ``regexp_replace`` — no Python in the path; patterns restricted to
+    the Java∩RE2 regex subset so an ANSI-SQL engine reproduces the
+    result byte-for-byte.
+
+    Returns ``(id, n_email, n_phone, n_ipv4, scrubbed)``.
+    """
+    # sequential scrub: email, then IPv4, then phone — an IPv4 literal
+    # also matches the looser phone shape, so each stage counts on the
+    # PREVIOUS stage's output (counts == placeholders inserted, no
+    # double counting)
+    def n(col: F.Column, pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long")
+
+    s0 = F.col(text_col)
+    s1 = F.regexp_replace(s0, PII_PATTERNS["email"], "[EMAIL]")
+    s2 = F.regexp_replace(s1, PII_PATTERNS["ipv4"], "[IP]")
+    s3 = F.regexp_replace(s2, PII_PATTERNS["phone"], "[PHONE]")
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        n(s0, PII_PATTERNS["email"]).alias("n_email"),
+        n(s2, PII_PATTERNS["phone"]).alias("n_phone"),
+        n(s1, PII_PATTERNS["ipv4"]).alias("n_ipv4"),
+        s3.alias("scrubbed"),
+    )
+
+
 def inverted_index(
     docs: DataFrame,
     max_postings: int = 50,

@@ -716,3 +716,26 @@ def test_frontier_plan(spark):
     assert got2 == {"u1": 0, "u2": 0, "u3": 0, "u4": 1, "u5": 0}
     with _pytest.raises(ValueError):
         frontier_plan(urls, per_host_cap=0)
+
+
+def test_scrub_pii(spark):
+    from ccl_spark.textops import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or alice@test.org today"),
+            (2, "call +1(555)123-4567 now"),
+            (3, "server at 192.168.1.1 and 10.0.0.255 up"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_phone"] == 0
+    assert got[1]["scrubbed"] == "contact [EMAIL] or [EMAIL] today"
+    assert got[2]["n_phone"] == 1
+    assert got[2]["scrubbed"] == "call [PHONE] now"
+    assert got[3]["n_ipv4"] == 2
+    assert got[3]["scrubbed"] == "server at [IP] and [IP] up"
+    assert got[4]["scrubbed"] == "clean text with no pii at all"
+    assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ipv4"]) == (0, 0, 0)
