@@ -764,6 +764,14 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
 
 
+def q_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean log-probability per document under the corpus-trained
+    add-one char-bigram model (perplexity-style fluency signal)."""
+    from ccl_spark.textops import char_bigram_logprob
+
+    return char_bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential PII redaction (email -> IPv4 -> phone) with
     stage-consistent counts; Java∩RE2 regex subset so DuckDB
@@ -2275,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab": q_vocab,
         "tfidf": q_tfidf,
         "pii_scrub": q_pii_scrub,
+        "charlm": q_charlm,
         "incremental_cc": q_incremental_cc,
         "quality": q_quality,
         "dedup_exact": q_dedup_exact,
@@ -2990,6 +2999,23 @@ FROM deg WHERE deg >= 3
 """,
         "cocitation": _directed_wedge_sql("src", "dst", 20, 10_000),
         "salsa": _salsa_sql(3, 20),
+        "charlm": """
+WITH pairs AS (
+    SELECT doc_id, UNNEST(list_transform(range(1, len(text)),
+        i -> substring(text, CAST(i AS INT), 2))) AS ab
+    FROM documents),
+cab AS (SELECT ab, COUNT(*) AS cab FROM pairs GROUP BY ab),
+ca AS (SELECT substring(ab, 1, 1) AS a, SUM(cab) AS ca FROM cab GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT ch) AS v FROM (
+    SELECT substring(ab, 1, 1) AS ch FROM pairs
+    UNION SELECT substring(ab, 2, 1) FROM pairs)),
+model AS (SELECT ab, LN((cab + 1) / (ca + v)) AS lp
+          FROM cab JOIN ca ON ca.a = substring(cab.ab, 1, 1), v)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(SUM(lp) / COUNT(*), 6) AS logprob
+FROM pairs JOIN model ON model.ab = pairs.ab
+GROUP BY doc_id
+""",
         "pii_scrub": r"""
 WITH s1 AS (SELECT doc_id, text,
         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',

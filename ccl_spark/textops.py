@@ -531,6 +531,63 @@ def bpe_encode_docs(
     )
 
 
+def char_bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean log-probability under an add-one-smoothed
+    character-bigram model trained on the corpus itself — the
+    perplexity-style fluency signal of the CCNet/Gopher quality
+    filters, self-contained (no external LM): gibberish and
+    boilerplate-dense documents score far from the corpus mean.
+
+    Model: P(b|a) = (C(ab)+1) / (C(a·)+V), with C from the corpus
+    bigram table and V the distinct-character count; score(doc) =
+    Σ ln P over the document's bigrams / n_bigrams.
+
+    Shape at scale: one explode to the corpus bigram table, one
+    (bigram) count aggregate (map-side partials absorb the Zipf skew),
+    a broadcast of the |Σ|²-bounded model back onto the per-document
+    bigrams, and one per-document mean.  Returns
+    ``(id, n_bigrams, logprob)`` with logprob rounded to 6dp.
+    """
+    # guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty array, not a degenerate sequence
+    bg = F.expr(
+        f"CASE WHEN length({text_col}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, length({text_col}) - 1),"
+        f" i -> substring({text_col}, i, 2)) END"
+    )
+    pairs = docs.select(
+        F.col(id_col).cast("long").alias(id_col), F.explode(bg).alias("ab")
+    )
+    cab = pairs.groupBy("ab").agg(F.count(F.lit(1)).alias("cab"))
+    ca = cab.groupBy(F.substring("ab", 1, 1).alias("a")).agg(
+        F.sum("cab").alias("ca")
+    )
+    v = (
+        pairs.select(F.explode(F.split(F.col("ab"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .agg(F.countDistinct("ch").alias("v"))
+    )
+    model = (
+        cab.withColumn("a", F.substring("ab", 1, 1))
+        .join(ca, "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "ab",
+            F.log((F.col("cab") + 1) / (F.col("ca") + F.col("v"))).alias("lp"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(model), "ab")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("logprob"),
+        )
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:

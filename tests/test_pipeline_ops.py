@@ -739,3 +739,37 @@ def test_scrub_pii(spark):
     assert got[3]["scrubbed"] == "server at [IP] and [IP] up"
     assert got[4]["scrubbed"] == "clean text with no pii at all"
     assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_char_bigram_logprob(spark):
+    import math
+
+    from ccl_spark.textops import char_bigram_logprob
+
+    texts = {1: "abab", 2: "abba", 3: "zq", 4: "x"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in char_bigram_logprob(docs).collect()}
+    # independent replay
+    cab: dict = {}
+    for t in texts.values():
+        for i in range(len(t) - 1):
+            cab[t[i : i + 2]] = cab.get(t[i : i + 2], 0) + 1
+    ca: dict = {}
+    for ab, c in cab.items():
+        ca[ab[0]] = ca.get(ab[0], 0) + c
+    chars = {c for ab in cab for c in ab}
+    v = len(chars)
+    for d, t in texts.items():
+        bgs = [t[i : i + 2] for i in range(len(t) - 1)]
+        if not bgs:
+            assert d not in got  # no bigrams -> no row
+            continue
+        lp = sum(
+            math.log((cab[ab] + 1) / (ca[ab[0]] + v)) for ab in bgs
+        ) / len(bgs)
+        assert got[d]["n_bigrams"] == len(bgs)
+        assert got[d]["logprob"] == round(lp, 6)
+    # the common pattern scores higher than the rare one
+    assert got[1]["logprob"] > got[3]["logprob"]
