@@ -764,6 +764,43 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli corpus sample (md5 unit hash < 0.3) —
+    byte-identical membership in both engines."""
+    from ccl_spark.sampling import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), 0.3).select("doc_id")
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/valid/test assignment from consecutive md5-hash
+    intervals (10% / 10%)."""
+    from ccl_spark.sampling import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents"), 0.1, 0.1).select(
+        "doc_id", "split"
+    )
+
+
+def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget bin packing per language bucket (greedy running
+    total, 2000-token bins)."""
+    from ccl_spark.sampling import pack_documents
+    from ccl_spark.textops import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "lang").join(token_count(d), "doc_id")
+    return pack_documents(docs, budget=2000, bucket_col="lang").select(
+        "lang", "doc_id", "n_tokens", "bin"
+    )
+
+
+_UNIT_HASH_SQL = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ',{salt}'), 1, 13))"
+    "::BIGINT / 4503599627370496.0)"
+)
+
+
 def q_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean log-probability per document under the corpus-trained
     add-one char-bigram model (perplexity-style fluency signal)."""
@@ -2284,6 +2321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "pii_scrub": q_pii_scrub,
         "charlm": q_charlm,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
+        "packing": q_packing,
         "incremental_cc": q_incremental_cc,
         "quality": q_quality,
         "dedup_exact": q_dedup_exact,
@@ -2999,6 +3039,28 @@ FROM deg WHERE deg >= 3
 """,
         "cocitation": _directed_wedge_sql("src", "dst", 20, 10_000),
         "salsa": _salsa_sql(3, 20),
+        "hash_sample": f"""
+SELECT doc_id FROM documents
+WHERE {_UNIT_HASH_SQL.format(salt="sample")} < 0.3
+""",
+        "hash_split": f"""
+SELECT doc_id,
+       CASE WHEN {_UNIT_HASH_SQL.format(salt="split")} < 0.1 THEN 'test'
+            WHEN {_UNIT_HASH_SQL.format(salt="split")} < 0.2 THEN 'valid'
+            ELSE 'train' END AS split
+FROM documents
+""",
+        "packing": """
+WITH d AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+c AS (SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+SELECT lang, doc_id, n_tokens,
+       CAST(CEIL(cum / 2000) - 1 AS BIGINT) AS bin
+FROM c
+""",
         "charlm": """
 WITH pairs AS (
     SELECT doc_id, UNNEST(list_transform(range(1, len(text)),

@@ -1,0 +1,68 @@
+"""sampling ops vs independent hashlib.md5 replays."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ccl_spark.sampling import hash_sample, hash_split, pack_documents
+
+
+def _unit(key, salt):
+    h = hashlib.md5(f"{key},{salt}".encode()).hexdigest()[:13]
+    return int(h, 16) / float(1 << 52)
+
+
+def test_hash_sample_matches_python_and_rate(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(2000)], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="s1").collect()}
+    expect = {i for i in range(2000) if _unit(i, "s1") < 0.3}
+    assert kept == expect
+    assert 0.25 < len(kept) / 2000 < 0.35
+    # deterministic across calls, different under a different salt
+    kept2 = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="s1").collect()}
+    assert kept2 == kept
+    kept3 = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="s2").collect()}
+    assert kept3 != kept
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_hash_split_stability(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1000)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["split"] for r in hash_split(docs, 0.1, 0.1).collect()}
+    for i, s in got.items():
+        u = _unit(i, "split")
+        assert s == ("test" if u < 0.1 else "valid" if u < 0.2 else "train")
+    # growth stability: the same ids keep their split in a larger corpus
+    bigger = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(3000)], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r["split"] for r in hash_split(bigger, 0.1, 0.1).collect()}
+    assert all(got2[i] == got[i] for i in got)
+    with pytest.raises(ValueError):
+        hash_split(docs, 0.6, 0.5)
+
+
+def test_pack_documents(spark):
+    rows = [
+        ("a", 1, 40),
+        ("a", 2, 50),
+        ("a", 3, 30),
+        ("a", 4, 100),
+        ("b", 9, 10),
+    ]
+    docs = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    got = {
+        (r["lang"], r["doc_id"]): r["bin"]
+        for r in pack_documents(docs, budget=100, bucket_col="lang").collect()
+    }
+    # cum: 40(bin0), 90(bin0), 120(bin1), 220(bin2); b: 10(bin0)
+    assert got == {("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 2, ("b", 9): 0}
+    with pytest.raises(ValueError):
+        pack_documents(docs, budget=0, bucket_col="lang")
