@@ -1561,6 +1561,46 @@ w{t} AS MATERIALIZED (
     )
 
 
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby maximal independent set of the corpus graph
+    (md5 priorities); the oracle unrolls the same rounds with headroom
+    (rounds past completion are empty no-ops)."""
+    from ccl_spark.mis import maximal_independent_set
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return maximal_independent_set(e)
+
+
+def _mis_sql(rounds: int) -> str:
+    """Luby rounds unrolled: winners = undecided vertices whose
+    (priority, id) beats every undecided neighbor; then peel winners
+    and their neighborhoods."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+und AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM {src} WHERE src <> dst
+    UNION SELECT dst, src FROM {src} WHERE src <> dst)),
+u0 AS MATERIALIZED (SELECT DISTINCT s AS v,
+    ('0x' || substring(md5(CAST(s AS VARCHAR) || ',mis'), 1, 13))::BIGINT AS p
+    FROM und)"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""
+w{t} AS MATERIALIZED (SELECT x.v FROM u{t} x WHERE NOT EXISTS (
+    SELECT 1 FROM und e JOIN u{t} n ON n.v = e.d
+    WHERE e.s = x.v AND (n.p < x.p OR (n.p = x.p AND n.v < x.v)))),
+u{t + 1} AS MATERIALIZED (SELECT u.v, u.p FROM u{t} u
+    WHERE NOT EXISTS (SELECT 1 FROM w{t} w WHERE w.v = u.v)
+    AND NOT EXISTS (SELECT 1 FROM und e JOIN w{t} w ON w.v = e.s
+                    WHERE e.d = u.v))"""
+        )
+    union = " UNION ALL ".join(f"SELECT v FROM w{t}" for t in range(rounds))
+    return "WITH " + ",".join(parts) + f"\nSELECT v AS vertex FROM ({union}) t"
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the corpus graph (every surviving edge in ≥ 2
     triangles within the subgraph) — iterative support peel run to
@@ -2363,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks": q_walks,
         "node2vec": q_node2vec,
         "ktruss": q_ktruss,
+        "mis": q_mis,
         "modularity": q_modularity,
         "louvain": q_louvain,
         "degree_dist": q_degree_dist,
@@ -3015,6 +3056,7 @@ LIMIT 20
         "walks": _walks_sql(4, 2, 7),
         "node2vec": _node2vec_sql(3, 1, 2.0, 0.5, 11),
         "ktruss": _ktruss_sql(4, 6),
+        "mis": _mis_sql(7),
         "modularity": _modularity_sql(5),
         "louvain": _louvain_sql(3, 10),
         "degree_dist": f"""

@@ -1,0 +1,88 @@
+"""Maximal independent set — Luby's algorithm with deterministic
+hash priorities (Luby 1986).
+
+Each round, an undecided vertex enters the MIS iff its priority
+``(U(v), v)`` (md5-derived unit draw, vertex id as tiebreak) is
+strictly smaller than every undecided neighbor's; the new MIS members
+and their neighbors then leave the undecided set.  Expected O(log n)
+rounds; priorities are pure functions of (vertex, salt), so the
+result is one specific MIS — reproducible across partitionings,
+retries and engines (the SQL oracle replays the identical rounds).
+
+Per round: one edge-keyed join against the undecided set to find each
+vertex's minimum neighbor priority (map-side partial min), one
+semi-join to peel winners and their neighbors.  State is O(|V|) rows
+and shrinks geometrically; every round's survivor set is
+``localCheckpoint``-ed.  Raises if ``max_rounds`` is exhausted with
+vertices still undecided — never returns a non-maximal set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ccl_spark.graphstats import _symmetrized
+
+
+def _priority(col: str, salt: str) -> F.Column:
+    return F.expr(
+        f"cast(conv(substring(md5(concat(cast({col} as string), ',{salt}')),"
+        f" 1, 13), 16, 10) as bigint)"
+    )
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    salt: str = "mis",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Return ``(vertex long)`` — the members of the deterministic
+    Luby MIS of the symmetrized simple graph (isolated vertices are
+    trivially members; self-loops are dropped)."""
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    verts = und.select(F.col("s").alias("v")).distinct()
+    undecided = verts.withColumn("p", _priority("v", salt)).localCheckpoint(
+        eager=True
+    )
+    spark = und.sparkSession
+    mis = spark.createDataFrame([], "vertex long")
+    for _ in range(max_rounds):
+        if undecided.limit(1).count() == 0:
+            return mis
+        nbr_p = undecided.select(
+            F.col("v").alias("d"), F.col("p").alias("p_n"), F.col("v").alias("v_n")
+        )
+        # min undecided-neighbor priority per undecided vertex
+        # (lexicographic (p, v) — encode as struct min)
+        m = (
+            und.join(undecided.select(F.col("v").alias("s")), "s")
+            .join(nbr_p, "d")
+            .groupBy("s")
+            .agg(F.min(F.struct("p_n", "v_n")).alias("mn"))
+            .select(
+                F.col("s").alias("v"),
+                F.col("mn.p_n").alias("np"),
+                F.col("mn.v_n").alias("nv"),
+            )
+        )
+        winners = (
+            undecided.join(m, "v", "left")
+            .filter(
+                F.col("np").isNull()
+                | (F.struct(F.col("p"), F.col("v")) < F.struct("np", "nv"))
+            )
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
+        mis = mis.unionByName(winners.select(F.col("v").alias("vertex")))
+        removed = winners.unionByName(
+            und.join(winners.withColumnRenamed("v", "s"), "s").select(
+                F.col("d").alias("v")
+            )
+        ).distinct()
+        undecided = undecided.join(removed, "v", "left_anti").localCheckpoint(
+            eager=True
+        )
+    raise RuntimeError(f"MIS did not decide every vertex in {max_rounds} rounds")
