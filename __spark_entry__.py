@@ -764,6 +764,23 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
 
 
+def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4x256) over the corpus token stream; top-20
+    tokens by min-over-rows estimate — deterministic md5 buckets, so
+    the oracle rebuilds the identical sketch."""
+    from ccl_spark.sketch import cms_build, cms_estimate
+    from ccl_spark.textops import vocabulary
+
+    d = _t(spark, sf_dir, "documents")
+    sk = cms_build(d, depth=4, width=256)
+    terms = vocabulary(d).select("token")
+    return (
+        cms_estimate(sk, terms, depth=4, width=256)
+        .orderBy(F.desc("est"), F.asc("token"))
+        .limit(20)
+    )
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli corpus sample (md5 unit hash < 0.3) —
     byte-identical membership in both engines."""
@@ -2361,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "pii_scrub": q_pii_scrub,
         "charlm": q_charlm,
+        "cms_heavy": q_cms_heavy,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "packing": q_packing,
@@ -3081,6 +3099,24 @@ FROM deg WHERE deg >= 3
 """,
         "cocitation": _directed_wedge_sql("src", "dst", 20, 10_000),
         "salsa": _salsa_sql(3, 20),
+        "cms_heavy": """
+WITH tf AS (SELECT token FROM (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    WHERE token <> ''),
+rws AS (SELECT token, UNNEST(range(0, 4)) AS r FROM tf),
+b AS (SELECT r, ('0x' || substring(md5(token || ',' || CAST(r AS VARCHAR)
+        || ',cms'), 1, 13))::BIGINT % 256 AS bucket FROM rws),
+sk AS (SELECT r, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+terms AS (SELECT DISTINCT token FROM tf),
+probes AS (SELECT token, UNNEST(range(0, 4)) AS r FROM terms),
+pb AS (SELECT token, r, ('0x' || substring(md5(token || ',' ||
+        CAST(r AS VARCHAR) || ',cms'), 1, 13))::BIGINT % 256 AS bucket
+       FROM probes),
+est AS (SELECT token, MIN(cnt) AS est
+        FROM pb JOIN sk ON sk.r = pb.r AND sk.bucket = pb.bucket
+        GROUP BY token)
+SELECT token, est FROM est ORDER BY est DESC, token LIMIT 20
+""",
         "hash_sample": f"""
 SELECT doc_id FROM documents
 WHERE {_UNIT_HASH_SQL.format(salt="sample")} < 0.3

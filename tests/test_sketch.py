@@ -1,0 +1,58 @@
+"""Count-min sketch vs an independent hashlib.md5 replay + the CMS
+never-undercount guarantee."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from ccl_spark.sketch import cms_build, cms_estimate
+
+
+def _bucket(token, row, width):
+    h = hashlib.md5(f"{token},{row},cms".encode()).hexdigest()[:13]
+    return int(h, 16) % width
+
+
+def _py_cms(texts, depth, width):
+    sk = Counter()
+    for t in texts:
+        for tok in t.split(" "):
+            if tok:
+                for r in range(depth):
+                    sk[(r, _bucket(tok, r, width))] += 1
+    return sk
+
+
+def test_cms_matches_python_and_bounds(spark):
+    texts = [
+        "a a a b c d e f",
+        "a b b g h i j k",
+        "x y z a b c q r s t u v w",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    depth, width = 4, 16  # narrow width forces real collisions
+    sk = cms_build(docs, depth=depth, width=width)
+    got_sk = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert got_sk == dict(_py_cms(texts, depth, width))
+
+    true = Counter(tok for t in texts for tok in t.split(" ") if tok)
+    terms = spark.createDataFrame([(t,) for t in true], "token string")
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(sk, terms, depth=depth, width=width).collect()
+    }
+    # estimates equal the replay's min-over-rows, and never undercount
+    pysk = _py_cms(texts, depth, width)
+    for tok, c in true.items():
+        exp = min(pysk[(r, _bucket(tok, r, width))] for r in range(depth))
+        assert est[tok] == exp >= c
+    assert est["a"] >= 5
+
+
+def test_cms_size_bounded(spark):
+    docs = spark.createDataFrame(
+        [(f"tok{i} tok{i + 1} tok{i + 2}",) for i in range(200)], "text string"
+    )
+    sk = cms_build(docs, depth=3, width=32)
+    assert sk.count() <= 3 * 32
