@@ -781,6 +781,19 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership (4096 bits, 3 hashes): filter built from the
+    English documents' ids, probed with every document id — the
+    broadcast join-pruning shape, relationally encoded."""
+    from ccl_spark.sketch import bloom_build, bloom_might_contain
+
+    d = _t(spark, sf_dir, "documents")
+    bloom = bloom_build(
+        d.filter(F.col("lang") == "en").select(F.col("doc_id").alias("key"))
+    )
+    return bloom_might_contain(bloom, d.select(F.col("doc_id").alias("key")))
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli corpus sample (md5 unit hash < 0.3) —
     byte-identical membership in both engines."""
@@ -2379,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "charlm": q_charlm,
         "cms_heavy": q_cms_heavy,
+        "bloom": q_bloom,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "packing": q_packing,
@@ -3116,6 +3130,23 @@ est AS (SELECT token, MIN(cnt) AS est
         FROM pb JOIN sk ON sk.r = pb.r AND sk.bucket = pb.bucket
         GROUP BY token)
 SELECT token, est FROM est ORDER BY est DESC, token LIMIT 20
+""",
+        "bloom": """
+WITH idx AS (SELECT UNNEST(range(0, 3)) AS i),
+mem AS (SELECT CAST(doc_id AS VARCHAR) AS key FROM documents
+        WHERE lang = 'en'),
+bpos AS (SELECT DISTINCT ('0x' || substring(md5(key || ',' ||
+        CAST(i AS VARCHAR) || ',bloom'), 1, 13))::BIGINT % 4096 AS pos
+        FROM mem, idx),
+cand AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS key FROM documents),
+probes AS (SELECT DISTINCT key, ('0x' || substring(md5(key || ',' ||
+        CAST(i AS VARCHAR) || ',bloom'), 1, 13))::BIGINT % 4096 AS pos
+        FROM cand, idx),
+need AS (SELECT key, COUNT(*) AS n_need FROM probes GROUP BY key),
+hits AS (SELECT key, COUNT(*) AS n_hit
+         FROM probes JOIN bpos ON bpos.pos = probes.pos GROUP BY key)
+SELECT need.key, COALESCE(hits.n_hit, 0) = need.n_need AS might_contain
+FROM need LEFT JOIN hits ON hits.key = need.key
 """,
         "hash_sample": f"""
 SELECT doc_id FROM documents

@@ -46,6 +46,62 @@ def cms_build(
     return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def bloom_build(
+    keys: DataFrame,
+    m: int = 4096,
+    k: int = 3,
+    key_col: str = "key",
+) -> DataFrame:
+    """Bloom filter as a DataFrame: the distinct set positions
+    ``(pos)`` of ``k`` md5 hashes per key over ``m`` bits — at most m
+    rows regardless of key count.  The deterministic relational
+    encoding of the classic join-pruning filter: broadcast it and
+    semi-join candidates before an expensive shuffle."""
+    pos = keys.select(F.col(key_col).cast("string").alias("key")).select(
+        "key", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    )
+    return pos.select(_bloom_pos("key", "i", m).alias("pos")).distinct()
+
+
+def _bloom_pos(key_col: str, i_col: str, m: int) -> F.Column:
+    return F.expr(
+        f"pmod(cast(conv(substring(md5(concat({key_col}, ',',"
+        f" cast({i_col} as string), ',bloom')), 1, 13), 16, 10) as bigint), {m})"
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    candidates: DataFrame,
+    m: int = 4096,
+    k: int = 3,
+    key_col: str = "key",
+) -> DataFrame:
+    """``(key, might_contain)`` — true iff all k positions are set.
+    No false negatives; false positives at the standard
+    (1 − e^{−kn/m})^k rate."""
+    probes = (
+        candidates.select(F.col(key_col).cast("string").alias("key"))
+        .distinct()
+        .select(
+            "key", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+        )
+        .select("key", _bloom_pos("key", "i", m).alias("pos"))
+        .distinct()  # two of a key's k hashes may collide — compare
+        # hits against the key's own distinct position count
+    )
+    need = probes.groupBy("key").agg(F.count(F.lit(1)).alias("n_need"))
+    hits = (
+        probes.join(bloom, "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return need.join(hits, "key", "left").select(
+        "key",
+        (F.coalesce("n_hit", F.lit(0)) == F.col("n_need")).alias("might_contain"),
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     terms: DataFrame,

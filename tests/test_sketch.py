@@ -56,3 +56,37 @@ def test_cms_size_bounded(spark):
     )
     sk = cms_build(docs, depth=3, width=32)
     assert sk.count() <= 3 * 32
+
+
+def _bloom_pos(key, i, m):
+    h = hashlib.md5(f"{key},{i},bloom".encode()).hexdigest()[:13]
+    return int(h, 16) % m
+
+
+def test_bloom_no_false_negatives_and_replay(spark):
+    from ccl_spark.sketch import bloom_build, bloom_might_contain
+
+    members = [f"url{i}" for i in range(50)]
+    others = [f"miss{i}" for i in range(50)]
+    m, k = 512, 3
+    keys = spark.createDataFrame([(x,) for x in members], "key string")
+    bloom = bloom_build(keys, m=m, k=k)
+    got_pos = {r["pos"] for r in bloom.collect()}
+    exp_pos = {_bloom_pos(x, i, m) for x in members for i in range(k)}
+    assert got_pos == exp_pos
+
+    cands = spark.createDataFrame(
+        [(x,) for x in members + others], "key string"
+    )
+    got = {
+        r["key"]: r["might_contain"]
+        for r in bloom_might_contain(bloom, cands, m=m, k=k).collect()
+    }
+    # no false negatives
+    assert all(got[x] for x in members)
+    # python replay of the positive set (false positives included)
+    for x in others:
+        exp = all(_bloom_pos(x, i, m) in exp_pos for i in range(k))
+        assert got[x] == exp
+    # with m=512, k=3, n=50 most misses are rejected
+    assert sum(got[x] for x in others) < 15
