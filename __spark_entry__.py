@@ -764,6 +764,20 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
 
 
+def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling over a synthetic
+    functional graph (x -> x-7 chains, terminals 0..6); the oracle
+    walks the same chains with a recursive CTE."""
+    from ccl_spark.chains import resolve_chains
+
+    cust = _t(spark, sf_dir, "customer")
+    red = cust.select(
+        (F.col("c_custkey") % 300).cast("long").alias("src"),
+        ((F.col("c_custkey") % 300) - 7).cast("long").alias("dst"),
+    ).filter(F.col("src") >= 7)
+    return resolve_chains(red)
+
+
 def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (4x256) over the corpus token stream; top-20
     tokens by min-over-rows estimate — deterministic md5 buckets, so
@@ -2393,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm": q_charlm,
         "cms_heavy": q_cms_heavy,
         "bloom": q_bloom,
+        "redirects": q_redirects,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "packing": q_packing,
@@ -3130,6 +3145,22 @@ est AS (SELECT token, MIN(cnt) AS est
         FROM pb JOIN sk ON sk.r = pb.r AND sk.bucket = pb.bucket
         GROUP BY token)
 SELECT token, est FROM est ORDER BY est DESC, token LIMIT 20
+""",
+        "redirects": """
+WITH RECURSIVE
+f AS (SELECT v, MIN(nxt) AS nxt FROM (
+        SELECT CAST(c_custkey % 300 AS BIGINT) AS v,
+               CAST((c_custkey % 300) - 7 AS BIGINT) AS nxt
+        FROM customer WHERE (c_custkey % 300) >= 7) GROUP BY v
+      HAVING v <> MIN(nxt)),
+walk(v, cur, n) AS (
+    SELECT v, nxt, 1 FROM f
+    UNION ALL
+    SELECT w.v, f.nxt, w.n + 1 FROM walk w JOIN f ON f.v = w.cur
+    WHERE w.n < 64)
+SELECT v, cur AS target FROM (
+    SELECT v, cur, ROW_NUMBER() OVER (PARTITION BY v ORDER BY n DESC) AS rn
+    FROM walk) WHERE rn = 1
 """,
         "bloom": """
 WITH idx AS (SELECT UNNEST(range(0, 3)) AS i),
