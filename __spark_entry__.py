@@ -778,6 +778,54 @@ def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_chains(red)
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (synchronous Bellman-Ford)
+    on the symmetrized corpus graph, integer weights
+    1 + (s%5 + d%5) % 5 (per-endpoint mods — full-range ids would
+    overflow a summed mod), source = min vertex id. Exact long
+    distances, so both engines agree bit-for-bit."""
+    from ccl_spark.chains import sssp
+    from ccl_spark.graphstats import _symmetrized
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    und = _symmetrized(e, "src", "dst").withColumn(
+        "w", 1 + (F.pmod("s", F.lit(5)) + F.pmod("d", F.lit(5))) % 5
+    )
+    source = und.agg(F.min("s")).first()[0]
+    return sssp(und, source, weight_col="w", src="s", dst="d", check_every=4)
+
+
+def _sssp_sql(rounds: int) -> str:
+    """Synchronous relaxation unrolled; sentinel-LEAST emulates
+    null-skipping min across the full join."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    wexpr = "1 + (((u.s % 5) + 5) % 5 + ((u.d % 5) + 5) % 5) % 5"
+    parts = [
+        f"""
+und AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM {src} WHERE src <> dst
+    UNION SELECT dst, src FROM {src} WHERE src <> dst)),
+d0 AS (SELECT MIN(s) AS v, CAST(0 AS BIGINT) AS dist FROM und)"""
+    ]
+    big = 1 << 60
+    for t in range(rounds):
+        parts.append(
+            f"""
+c{t} AS (SELECT u.d AS v, MIN(p.dist + {wexpr}) AS nd
+        FROM d{t} p JOIN und u ON u.s = p.v GROUP BY u.d),
+d{t + 1} AS MATERIALIZED (
+    SELECT COALESCE(p.v, c.v) AS v,
+           LEAST(COALESCE(p.dist, {big}), COALESCE(c.nd, {big})) AS dist
+    FROM d{t} p FULL JOIN c{t} c ON c.v = p.v)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT v AS vertex, dist FROM d{rounds}"
+    )
+
+
 def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (4x256) over the corpus token stream; top-20
     tokens by min-over-rows estimate — deterministic md5 buckets, so
@@ -2408,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy": q_cms_heavy,
         "bloom": q_bloom,
         "redirects": q_redirects,
+        "sssp": q_sssp,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "packing": q_packing,
@@ -3146,6 +3195,7 @@ est AS (SELECT token, MIN(cnt) AS est
         GROUP BY token)
 SELECT token, est FROM est ORDER BY est DESC, token LIMIT 20
 """,
+        "sssp": _sssp_sql(12),
         "redirects": """
 WITH RECURSIVE
 f AS (SELECT v, MIN(nxt) AS nxt FROM (

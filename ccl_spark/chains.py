@@ -58,3 +58,70 @@ def resolve_chains(
     raise RuntimeError(
         f"chains unresolved after {max_rounds} doubling rounds (cycle?)"
     )
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    weight_col: str | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 256,
+    check_every: int = 1,
+) -> DataFrame:
+    """Single-source shortest paths by synchronous Bellman-Ford
+    relaxation: dist_{t+1}(v) = min(dist_t(v), min over in-edges
+    (dist_t(u) + w)).  ``weight_col=None`` means unit weights (= BFS
+    levels).  Integer weights keep every distance an exact long, so
+    results are bit-identical across engines and partitionings.
+
+    Per round: one edge-keyed join of the O(|V|)-row distance table
+    with the edge list and one per-vertex min (map-side partial) —
+    the PageRank shuffle shape.  Converges in at most (hop count of
+    the longest shortest path) rounds; the per-round improvement
+    count doubles as the stop signal — ``check_every > 1`` probes it
+    only every k rounds (rounds past the fixpoint are identity, so
+    correctness is unchanged; k-1 scheduler round-trips saved, the
+    same trade as betweenness ``early_stop=False``).  Raises if
+    ``max_rounds`` is exhausted before the fixpoint (negative-weight
+    cycles are out of scope: weights must be non-negative).
+
+    Returns ``(vertex, dist)`` for every vertex reachable from
+    ``source``.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        w.alias("w"),
+    ).localCheckpoint(eager=True)
+    spark = e.sparkSession
+    dist = spark.createDataFrame([(int(source), 0)], "vertex long, dist long")
+    for r in range(max_rounds):
+        cand = (
+            dist.join(e, dist["vertex"] == e["u"])
+            .select(e["v"].alias("vertex"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("vertex")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(cand, "vertex", "full_outer")
+            .select(
+                "vertex",
+                F.least("dist", "nd").alias("dist"),  # least skips NULLs
+                (
+                    F.col("dist").isNull()
+                    | (F.col("nd").isNotNull() & (F.col("nd") < F.col("dist")))
+                ).alias("improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dist = merged.select("vertex", "dist")
+        if (r + 1) % check_every == 0:
+            if merged.filter("improved").limit(1).count() == 0:
+                return dist
+    raise RuntimeError(f"sssp did not converge in {max_rounds} rounds")
