@@ -764,6 +764,23 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel over the events table
+    (strict timestamp ordering, earliest-completion semantics)."""
+    from ccl_spark.analytics import funnel_conversion
+
+    return funnel_conversion(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (integer day-arithmetic week bins)."""
+    from ccl_spark.analytics import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling over a synthetic
     functional graph (x -> x-7 chains, terminals 0..6); the oracle
@@ -2457,6 +2474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom": q_bloom,
         "redirects": q_redirects,
         "sssp": q_sssp,
+        "funnel": q_funnel,
+        "retention": q_retention,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "packing": q_packing,
@@ -3196,6 +3215,31 @@ est AS (SELECT token, MIN(cnt) AS est
 SELECT token, est FROM est ORDER BY est DESC, token LIMIT 20
 """,
         "sssp": _sssp_sql(12),
+        "funnel": """
+WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+       JOIN s0 ON s0.u = e.user_id AND e.ts > s0.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+       JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step, COUNT(*) AS n_users FROM s0
+UNION ALL
+SELECT 1, 'click', COUNT(*) FROM s1
+UNION ALL
+SELECT 2, 'purchase', COUNT(*) FROM s2
+""",
+        "retention": """
+WITH act AS (SELECT user_id AS u,
+        date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+        FROM events),
+first AS (SELECT u, MIN(wk) AS cohort_week FROM act GROUP BY u)
+SELECT first.cohort_week, act.wk - first.cohort_week AS week_offset,
+       COUNT(DISTINCT act.u) AS n_users
+FROM act JOIN first ON first.u = act.u
+GROUP BY 1, 2
+""",
         "redirects": """
 WITH RECURSIVE
 f AS (SELECT v, MIN(nxt) AS nxt FROM (

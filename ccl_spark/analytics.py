@@ -1,0 +1,89 @@
+"""Event-stream product analytics: funnels and retention cohorts.
+
+The events table (user_id, ts, event_type) supports the two classic
+behavioral queries:
+
+- ``funnel_conversion``: how many users complete an ordered step
+  sequence, each step strictly after the previous one's earliest
+  completion.  One filtered aggregate per step plus a user-keyed join
+  — never a self-join of the full event table; state per step is one
+  row per surviving user (monotonically shrinking).
+- ``retention_cohorts``: users grouped by first-activity week, counted
+  per later activity week.  Week indices are integer day arithmetic
+  from a fixed epoch (no timezone/week-start conventions to disagree
+  on), so both engines bin identically.
+
+Both are single-pass over the event table per step/aggregate, keyed on
+the user — the Zipf guard is per-user event counts, which product
+streams bound naturally.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """``(step_idx, step, n_users)`` — users whose events contain the
+    step sequence in strict timestamp order (earliest-completion
+    semantics: each step matches the user's first occurrence after the
+    previous step's match; earliest-first matching maximizes
+    downstream conversion and is the standard funnel definition)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    state = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("t"))
+    )
+    stages = [state]
+    for s in steps[1:]:
+        nxt = events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("ts2")
+        )
+        state = (
+            stages[-1]
+            .join(nxt, "u")
+            .filter(F.col("ts2") > F.col("t"))
+            .groupBy("u")
+            .agg(F.min("ts2").alias("t"))
+        )
+        stages.append(state)
+    counts = [
+        st.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            "n_users",
+        )
+        for i, st in enumerate(stages)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counts)
+
+
+def retention_cohorts(
+    events: DataFrame,
+    epoch: str = "2024-01-01",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``(cohort_week, week_offset, n_users)`` — distinct active users
+    per (first-activity week, weeks-since-cohort).  Weeks are
+    ``floor(days-since-epoch / 7)`` — pure integer binning."""
+    wk = F.floor(
+        F.datediff(F.to_date(F.col(ts_col)), F.lit(epoch).cast("date")) / 7
+    ).cast("long")
+    act = events.select(F.col(user_col).alias("u"), wk.alias("wk"))
+    first = act.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    return (
+        act.join(first, "u")
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("u").alias("n_users"))
+    )

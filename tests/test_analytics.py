@@ -1,0 +1,56 @@
+"""Funnel and cohort analytics vs pure-Python replays."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from ccl_spark.analytics import funnel_conversion, retention_cohorts
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # user 1 completes view -> click -> buy in order
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "buy"),
+        # user 2 clicks BEFORE viewing: click matched only if after view
+        (2, _ts(5), "click"), (2, _ts(6), "view"),
+        # user 3 views only
+        (3, _ts(1), "view"),
+        # user 4: click after view but buy before click -> stops at click
+        (4, _ts(1), "view"), (4, _ts(2), "buy"), (4, _ts(3), "click"),
+        # noise
+        (5, _ts(1), "error"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["step"]: (r["step_idx"], r["n_users"])
+        for r in funnel_conversion(df, ["view", "click", "buy"]).collect()
+    }
+    assert got["view"] == (0, 4)   # users 1, 2, 3, 4
+    assert got["click"] == (1, 2)  # users 1 and 4 (2's click precedes view)
+    assert got["buy"] == (2, 1)    # user 1 only
+    with pytest.raises(ValueError):
+        funnel_conversion(df, [])
+
+
+def test_retention_cohorts(spark):
+    day = datetime.timedelta(days=1)
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, d0, "a"), (1, d0 + 8 * day, "a"), (1, d0 + 15 * day, "a"),
+        (2, d0 + 7 * day, "a"), (2, d0 + 21 * day, "a"),
+        (3, d0, "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    # cohort 0: users 1, 3 active week 0; user 1 again weeks 1 and 2
+    # cohort 1: user 2 active weeks 0 and 2 (day 21 = week 3, offset 2)
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
