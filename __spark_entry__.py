@@ -781,6 +781,14 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of the JSON props field $.k (semi-structured
+    extraction, JVM JSON path on both engines)."""
+    from ccl_spark.analytics import props_histogram
+
+    return props_histogram(_t(spark, sf_dir, "events"))
+
+
 def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling over a synthetic
     functional graph (x -> x-7 chains, terminals 0..6); the oracle
@@ -2476,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "funnel": q_funnel,
         "retention": q_retention,
+        "json_props": q_json_props,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "packing": q_packing,
@@ -3215,6 +3224,12 @@ est AS (SELECT token, MIN(cnt) AS est
 SELECT token, est FROM est ORDER BY est DESC, token LIMIT 20
 """,
         "sssp": _sssp_sql(12),
+        "json_props": """
+WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT k // 10 AS bin, COUNT(*) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k
+FROM k WHERE k IS NOT NULL GROUP BY 1
+""",
         "funnel": """
 WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -68,6 +68,29 @@ def funnel_conversion(
     return reduce(lambda a, b: a.unionByName(b), counts)
 
 
+def props_histogram(
+    events: DataFrame,
+    path: str = "$.k",
+    bin_width: int = 10,
+    props_col: str = "props",
+) -> DataFrame:
+    """``(bin, n_events, sum_k)`` — histogram of a numeric field
+    extracted from the semi-structured JSON ``props`` column
+    (``get_json_object``, JVM-side JSON path; no schema inference
+    pass, so malformed rows become NULL and are dropped, never
+    poison the aggregate)."""
+    k = F.get_json_object(F.col(props_col), path).cast("long")
+    return (
+        events.select(k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.floor(F.col("k") / bin_width).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     epoch: str = "2024-01-01",

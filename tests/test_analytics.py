@@ -54,3 +54,18 @@ def test_retention_cohorts(spark):
     # cohort 0: users 1, 3 active week 0; user 1 again weeks 1 and 2
     # cohort 1: user 2 active weeks 0 and 2 (day 21 = week 3, offset 2)
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_props_histogram(spark):
+    from ccl_spark.analytics import props_histogram
+
+    rows = [
+        (1, '{"k": 5}'), (2, '{"k": 15}'), (3, '{"k": 17}'),
+        (4, '{"other": 1}'), (5, "not json"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string")
+    got = {
+        r["bin"]: (r["n_events"], r["sum_k"])
+        for r in props_histogram(df).collect()
+    }
+    assert got == {0: (1, 5), 1: (2, 32)}
