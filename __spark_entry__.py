@@ -781,6 +781,14 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type value percentiles (percentile_cont
+    convention on both engines)."""
+    from ccl_spark.analytics import value_quantiles
+
+    return value_quantiles(_t(spark, sf_dir, "events"))
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram of the JSON props field $.k (semi-structured
     extraction, JVM JSON path on both engines)."""
@@ -2485,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "json_props": q_json_props,
+        "quantiles": q_quantiles,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "packing": q_packing,
@@ -3224,6 +3233,14 @@ est AS (SELECT token, MIN(cnt) AS est
 SELECT token, est FROM est ORDER BY est DESC, token LIMIT 20
 """,
         "sssp": _sssp_sql(12),
+        "quantiles": """
+SELECT event_type AS grp,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
         "json_props": """
 WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events)

@@ -68,6 +68,34 @@ def funnel_conversion(
     return reduce(lambda a, b: a.unionByName(b), counts)
 
 
+def value_quantiles(
+    events: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_col: str = "event_type",
+    value_col: str = "value",
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group value percentiles ``(group, p50, p90, p99, n)``.
+
+    ``approx=False`` uses exact sort-based ``percentile`` (linear
+    interpolation at rank (n−1)·p — the ANSI ``percentile_cont``
+    convention, so a SQL engine reproduces it bit-for-bit).  At 100-TB
+    scale exact percentiles shuffle every value to its group; pass
+    ``approx=True`` for ``approx_percentile`` (t-digest-style sketch,
+    map-side mergeable, bounded memory) once the oracle-exactness
+    requirement is dropped — same output shape."""
+    fn = "approx_percentile" if approx else "percentile"
+    cols = [
+        F.round(
+            F.expr(f"{fn}({value_col}, {p!r})"), 6
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return events.groupBy(F.col(group_col).alias("grp")).agg(
+        *cols, F.count(F.lit(1)).alias("n")
+    )
+
+
 def props_histogram(
     events: DataFrame,
     path: str = "$.k",

@@ -69,3 +69,19 @@ def test_props_histogram(spark):
         for r in props_histogram(df).collect()
     }
     assert got == {0: (1, 5), 1: (2, 32)}
+
+
+def test_value_quantiles(spark):
+    from ccl_spark.analytics import value_quantiles
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r["grp"]: r for r in value_quantiles(df).collect()}
+    # percentile_cont on 1..10: p50 = 5.5 (rank 4.5), p90 = 9.1
+    assert got["a"]["p50"] == 5.5
+    assert got["a"]["p90"] == 9.1
+    assert got["a"]["n"] == 10
+    assert got["b"]["p50"] == got["b"]["p99"] == 5.0
+    # approx path: same shape, sane values
+    ap = {r["grp"]: r for r in value_quantiles(df, approx=True).collect()}
+    assert set(ap) == {"a", "b"} and 4.0 <= ap["a"]["p50"] <= 7.0
