@@ -16,6 +16,33 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``extract``    Arrow-vectorized text + hyperlink extraction
 - ``edges``      edge-table builder (dedup, salt, degrees, CSR blocks)
 - ``superstep``  checkpoint / lineage / resume harness for iterative jobs
+- ``scc``        strongly connected components + bow-tie decomposition
+- ``kcore``      k-core peeling
+- ``hits``       HITS hubs/authorities + SALSA random-walk variant
+- ``betweenness`` pivot-sampled Brandes betweenness / harmonic / closeness
+- ``neighborhood`` exact neighborhood function, effective diameter, HyperBall
+- ``graphstats`` reciprocity, assortativity, link prediction (AA/RA/Jaccard,
+                 co-citation, coupling), modularity + greedy Louvain moves,
+                 degree power law
+- ``walks``      deterministic DeepWalk / node2vec walk corpora
+- ``mis``        Luby maximal independent set
+- ``chains``     redirect-chain resolution (pointer doubling), Bellman-Ford SSSP
+- ``dedup``      exact / MinHash-LSH / SimHash / containment dedup + clusters
+- ``similarity`` brute / LSH / IVF / PQ / IVF-PQ ANN, embedding near-dup
+- ``textops``    tokenization, BPE train/encode, quality, TF-IDF, inverted
+                 index, PII scrub, char-bigram LM scoring
+- ``sampling``   hash sampling, train/valid/test splits, token packing
+- ``sketch``     count-min sketch, Bloom filter
+- ``boilerplate`` CCNet-style per-host line dedup
+- ``anchors``    anchor-text extraction + per-target term index
+- ``frontier``   politeness-scheduled crawl rounds
+- ``analytics``  funnels, retention cohorts, JSON props, percentiles
+- ``asof``       as-of and banded range joins
+- ``streaming``  watermarked windows, stateful ages, stream dedup, CC fold-in
+- ``multimodal`` pure-numpy BMP/PNG/JPEG/WAV/AVI decode + features
+- ``sources``    parquet/Iceberg-seam table IO
+- ``components`` component sizes, ages, EOL, dust filtering, incremental CC
+- ``golden``     reference golden-fixture adapters
 
 Everything is DataFrame-first: Catalyst handles pushdown/pruning/joins;
 iteration state is checkpointed DataFrames; the only Python on the hot
