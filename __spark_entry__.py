@@ -1450,6 +1450,24 @@ GROUP BY lab ORDER BY n_vertices DESC, label LIMIT {k}"""
     )
 
 
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity 3T/W of the corpus graph."""
+    from ccl_spark.graphstats import transitivity
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return transitivity(e)
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient among corpus vertices of degree > 10."""
+    from ccl_spark.graphstats import rich_club
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return rich_club(e, k=10)
+
+
 def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized degree histogram of the corpus graph."""
     from ccl_spark.graphstats import degree_distribution
@@ -2541,6 +2559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "degree_dist": q_degree_dist,
         "powerlaw": q_powerlaw,
+        "transitivity": q_transitivity,
+        "rich_club": q_rich_club,
         "cocitation": q_cocitation,
         "coupling": q_coupling,
         "salsa": q_salsa,
@@ -3213,6 +3233,37 @@ SELECT ROUND(1.0 + COUNT(*) / SUM(LN(deg / 2.5)), 6) AS alpha,
 FROM deg WHERE deg >= 3
 """,
         "cocitation": _directed_wedge_sql("src", "dst", 20, 10_000),
+        "transitivity": f"""
+WITH und AS (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'
+    WHERE src <> dst
+    UNION SELECT dst, src FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'
+    WHERE src <> dst)),
+deg AS (SELECT s, COUNT(*) AS dg FROM und GROUP BY s),
+w AS (SELECT CAST(SUM(dg * (dg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+canon AS (SELECT s AS a, d AS b FROM und WHERE s < d),
+t AS (SELECT COUNT(*) AS n_triangles FROM canon e1
+      JOIN canon e2 ON e2.a = e1.a AND e1.b < e2.b
+      JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT n_wedges, n_triangles,
+       ROUND(3.0 * n_triangles / n_wedges, 6) AS transitivity
+FROM w, t
+""",
+        "rich_club": f"""
+WITH und AS (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'
+    WHERE src <> dst
+    UNION SELECT dst, src FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'
+    WHERE src <> dst)),
+deg AS (SELECT s, COUNT(*) AS dg FROM und GROUP BY s),
+rich AS (SELECT s AS v FROM deg WHERE dg > 10),
+er AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges_rich FROM und
+       WHERE s IN (SELECT v FROM rich) AND d IN (SELECT v FROM rich)),
+nr AS (SELECT COUNT(*) AS n_rich FROM rich)
+SELECT n_rich, n_edges_rich,
+       ROUND(2.0 * n_edges_rich / (n_rich * (n_rich - 1)), 6) AS phi
+FROM nr, er
+""",
         "salsa": _salsa_sql(3, 20),
         "cms_heavy": """
 WITH tf AS (SELECT token FROM (

@@ -168,6 +168,63 @@ def powerlaw_alpha(
     )
 
 
+def transitivity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global transitivity 3·triangles / wedges (the whole-graph
+    counterpart of the local clustering coefficient).  Wedges come
+    from the degree table (Σ d(d−1)/2 — one aggregate); the triangle
+    count reuses the degree-ordered enumeration.  One row
+    ``(n_wedges, n_triangles, transitivity)``."""
+    from ccl_spark.triangles import triangles
+
+    und = _symmetrized(edges, src, dst)
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    wedges = deg.agg(
+        (F.sum(F.col("dg") * (F.col("dg") - 1)) / 2).cast("long").alias("n_wedges")
+    )
+    tri = triangles(edges, src, dst).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return (
+        wedges.crossJoin(F.broadcast(tri))
+        .select(
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("transitivity"),
+        )
+    )
+
+
+def rich_club(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)): the edge
+    density among vertices of degree > k (Zhou & Mondragón 2004) —
+    do the hubs of the crawl link to each other?  One degree filter
+    + one edge semi-join on both endpoints.  One row
+    ``(n_rich, n_edges_rich, phi)``."""
+    und = _symmetrized(edges, src, dst)
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    rich = deg.filter(F.col("dg") > k).select(F.col("s").alias("v"))
+    er = (
+        und.join(rich.select(F.col("v").alias("s")), "s")
+        .join(rich.select(F.col("v").alias("d")), "d")
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges_rich"))
+    )
+    nr = rich.agg(F.count(F.lit(1)).alias("n_rich"))
+    return nr.crossJoin(F.broadcast(er)).select(
+        "n_rich",
+        "n_edges_rich",
+        F.round(
+            F.lit(2.0)
+            * F.col("n_edges_rich")
+            / (F.col("n_rich") * (F.col("n_rich") - 1)),
+            6,
+        ).alias("phi"),
+    )
+
+
 def modularity(
     edges: DataFrame,
     labels: DataFrame,

@@ -335,3 +335,32 @@ def test_greedy_modularity_matches_python_random(spark):
             for r in greedy_modularity_labels(df, rounds=rounds).collect()
         }
         assert got == _py_greedy_modularity(edges, rounds)
+
+
+def test_transitivity(spark):
+    from ccl_spark.graphstats import transitivity
+
+    # triangle + one pendant: T=1; degrees 2,2,3,1 -> wedges 1+1+3+0=5
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = transitivity(df).first()
+    assert row["n_triangles"] == 1 and row["n_wedges"] == 5
+    assert row["transitivity"] == pytest.approx(3 / 5, abs=1e-6)
+
+
+def test_rich_club(spark):
+    from ccl_spark.graphstats import rich_club
+
+    # K4 core (degrees >= 3) plus pendant chains lowering nothing
+    from itertools import combinations
+
+    edges = list(combinations(range(4), 2)) + [(0, 10), (1, 11), (10, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = rich_club(df, k=3).first()
+    # degree>3: vertices 0 and 1 (deg 4 each); 1 edge between them
+    assert row["n_rich"] == 2 and row["n_edges_rich"] == 1
+    assert row["phi"] == pytest.approx(1.0, abs=1e-6)
+    row2 = rich_club(df, k=2).first()
+    # degree>2: 0,1,2,3 (K4): 6 edges, phi = 1
+    assert row2["n_rich"] == 4 and row2["n_edges_rich"] == 6
+    assert row2["phi"] == pytest.approx(1.0, abs=1e-6)
