@@ -102,6 +102,19 @@ def bloom_might_contain(
     )
 
 
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the same (depth, width): counters
+    add cell-wise.  Mergeability is THE distributed property — shard
+    sketches build independently (per partition, per day, per stream
+    microbatch) and fold without touching raw data; the merged sketch
+    is identical to one built over the union."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     terms: DataFrame,

@@ -90,3 +90,27 @@ def test_bloom_no_false_negatives_and_replay(spark):
         assert got[x] == exp
     # with m=512, k=3, n=50 most misses are rejected
     assert sum(got[x] for x in others) < 15
+
+
+def test_cms_merge_equals_union_build(spark):
+    from ccl_spark.sketch import cms_build, cms_estimate, cms_merge
+
+    t1 = ["a a b c", "d e f a"]
+    t2 = ["a b b g", "h a c c"]
+    d1 = spark.createDataFrame([(t,) for t in t1], "text string")
+    d2 = spark.createDataFrame([(t,) for t in t2], "text string")
+    both = spark.createDataFrame([(t,) for t in t1 + t2], "text string")
+    depth, width = 3, 32
+    merged = cms_merge(
+        cms_build(d1, depth=depth, width=width),
+        cms_build(d2, depth=depth, width=width),
+    )
+    direct = cms_build(both, depth=depth, width=width)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # estimates from the merged sketch match the direct build
+    terms = spark.createDataFrame([("a",), ("c",), ("zz",)], "token string")
+    em = {r["token"]: r["est"] for r in cms_estimate(merged, terms, depth, width).collect()}
+    ed = {r["token"]: r["est"] for r in cms_estimate(direct, terms, depth, width).collect()}
+    assert em == ed and em["a"] >= 5
