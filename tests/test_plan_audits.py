@@ -197,3 +197,39 @@ def test_walks_step_is_keyed_joins_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_sketch_and_index_plans_jvm_only(spark):
+    from ccl_spark.sketch import bloom_build, cms_build
+    from ccl_spark.textops import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(30)], "doc_id long, text string"
+    )
+    keys = spark.createDataFrame([(i,) for i in range(30)], "key long")
+    for df in (
+        cms_build(docs),
+        bloom_build(keys),
+        inverted_index(docs),
+    ):
+        plan = _executed(df)
+        # hash/bucket/posting paths are pure JVM expressions
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_funnel_plan_no_event_self_join_explosion(spark):
+    import datetime
+
+    from ccl_spark.analytics import funnel_conversion
+
+    rows = [
+        (i % 5, datetime.datetime(2024, 1, 1, 0, i % 60), t)
+        for i, t in enumerate(["view", "click", "purchase"] * 30)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    plan = _executed(funnel_conversion(df, ["view", "click", "purchase"]))
+    # per-step state is user-keyed aggregates joined on the user —
+    # never an unkeyed event-table self join
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
