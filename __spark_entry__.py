@@ -1540,6 +1540,31 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance-oracle precomputation: exact BFS distances
+    from the 4 hub landmarks to every vertex within 5 hops (the
+    serving structure behind two-lookup distance estimates)."""
+    from ccl_spark.betweenness import landmark_distances
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return landmark_distances(
+        e.select("src", "dst"), n_pivots=4, max_depth=5, early_stop=False
+    ).select("p", "v", F.col("dist").cast("long").alias("dist"))
+
+
+def _landmarks_sql(n_pivots: int, max_depth: int) -> str:
+    parts = _pivot_bfs_sql_parts(n_pivots, max_depth)
+    union = " UNION ALL ".join(
+        [f"SELECT p, v, CAST(0 AS BIGINT) AS dist FROM f0"]
+        + [
+            f"SELECT p, v, CAST({r} AS BIGINT) FROM f{r}"
+            for r in range(1, max_depth + 1)
+        ]
+    )
+    return "WITH " + ",".join(parts) + f"\nSELECT p, v, dist FROM ({union}) t"
+
+
 def _pivot_bfs_sql_parts(n_pivots: int, max_depth: int) -> list[str]:
     """Shared forward-BFS CTEs (pivot selection + level-synchronous
     frontier expansion with path counting) for the betweenness and
@@ -2539,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "betweenness": q_betweenness,
         "harmonic": q_harmonic,
+        "landmarks": q_landmarks,
         "boilerplate": q_boilerplate,
         "sessions": q_sessions,
         "repetition": q_repetition,
@@ -2980,6 +3006,7 @@ FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
 """,
         "betweenness": _betweenness_sql(4, 5, 20),
         "harmonic": _harmonic_sql(4, 5, 20),
+        "landmarks": _landmarks_sql(4, 5),
         "boilerplate": f"""
 WITH a AS (SELECT * FROM '{_ORACLE_DIR}/corpus_texts_1000.parquet'),
 nd AS (SELECT host, COUNT(*) AS n_docs FROM a GROUP BY host),

@@ -141,6 +141,47 @@ def closeness_centrality(
     )
 
 
+def landmark_distances(
+    edges: DataFrame,
+    n_pivots: int = 8,
+    max_depth: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    early_stop: bool = True,
+) -> DataFrame:
+    """``(p, v, dist)`` — exact BFS distance from each of the
+    n_pivots highest-degree landmarks to every vertex within
+    ``max_depth`` (the forward phase of the shared pivot BFS).  This
+    is the classic landmark/distance-oracle precomputation (Potamias
+    et al. 2009): store O(n_pivots·|V|) rows once, then serve
+    d(u,v) ≲ min_p d(p,u)+d(p,v) with two index lookups — no graph
+    traversal at query time."""
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    levels = _pivot_bfs(und, n_pivots, max_depth, early_stop)
+    out = levels[0].select("p", "v", "dist")
+    for lv in levels[1:]:
+        out = out.unionByName(lv.select("p", "v", "dist"))
+    return out
+
+
+def landmark_pair_estimates(
+    landmarks: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Upper-bound distance estimates for ``pairs(u, v)`` from a
+    :func:`landmark_distances` table: ``est = min_p d(p,u)+d(p,v)``
+    (exact when a shortest path passes a landmark; NULL-free — pairs
+    not covered by any common landmark are omitted).  Two hash
+    equi-joins against the landmark table + one per-pair min."""
+    lu = landmarks.select(F.col("p"), F.col("v").alias("u"), F.col("dist").alias("du"))
+    lv = landmarks.select(F.col("p"), F.col("v").alias("v"), F.col("dist").alias("dv"))
+    return (
+        pairs.join(lu, "u")
+        .join(lv, ["p", "v"])
+        .groupBy("u", "v")
+        .agg(F.min(F.col("du") + F.col("dv")).alias("est"))
+    )
+
+
 def betweenness_approx(
     edges: DataFrame,
     n_pivots: int = 8,
