@@ -104,3 +104,55 @@ def test_asof_join_matches_brute_force(spark, left, right):
         cand = [(rt, v) for (rk, rt), v in rd.items() if rk == k and rt <= t]
         exp.append((k, t, max(cand)[1] if cand else None))
     assert got == sorted(exp)
+
+
+@FUZZ
+@given(edges=edges_strategy, k=st.integers(3, 5))
+def test_ktruss_matches_python_peel(spark, edges, k):
+    from ccl_spark.triangles import ktruss
+
+    from tests.test_graph_algos import _py_ktruss
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"]) for r in ktruss(df, k=k).collect()}
+    assert got == _py_ktruss(edges, k)
+
+
+@FUZZ
+@given(edges=edges_strategy)
+def test_mis_matches_python_luby(spark, edges):
+    from ccl_spark.mis import maximal_independent_set
+
+    from tests.test_mis import _py_mis
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vertex"] for r in maximal_independent_set(df).collect()}
+    assert got == _py_mis(edges, "mis")
+
+
+@FUZZ
+@given(edges=edges_strategy)
+def test_sssp_matches_dijkstra(spark, edges):
+    from ccl_spark.chains import sssp
+
+    from tests.test_chains import _py_sssp
+
+    # weights from the endpoint formula; source = min endpoint
+    weights = [1 + (s + d) % 5 for s, d in edges]
+    source = min(min(s, d) for s, d in edges)
+    df = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in zip(edges, weights)],
+        "src long, dst long, w long",
+    )
+    got = {
+        r["vertex"]: r["dist"]
+        for r in sssp(df, source, weight_col="w", check_every=3).collect()
+    }
+    # dedup semantics: sssp MINs over duplicate (s, d) rows the same
+    # way dijkstra takes the lightest parallel edge
+    best = {}
+    for (s, d), w in zip(edges, weights):
+        best[(s, d)] = min(w, best.get((s, d), 1 << 60))
+    e2 = list(best)
+    w2 = [best[e] for e in e2]
+    assert got == _py_sssp(e2, source, w2)
