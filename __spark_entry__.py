@@ -1450,6 +1450,16 @@ GROUP BY lab ORDER BY n_vertices DESC, label LIMIT {k}"""
     )
 
 
+def q_dir_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four directed degree correlations (out-out / out-in / in-out /
+    in-in) of the corpus graph."""
+    from ccl_spark.graphstats import directed_assortativity
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return directed_assortativity(e)
+
+
 def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global transitivity 3T/W of the corpus graph."""
     from ccl_spark.graphstats import transitivity
@@ -2587,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw": q_powerlaw,
         "transitivity": q_transitivity,
         "rich_club": q_rich_club,
+        "dir_assort": q_dir_assort,
         "cocitation": q_cocitation,
         "coupling": q_coupling,
         "salsa": q_salsa,
@@ -3260,6 +3271,21 @@ SELECT ROUND(1.0 + COUNT(*) / SUM(LN(deg / 2.5)), 6) AS alpha,
 FROM deg WHERE deg >= 3
 """,
         "cocitation": _directed_wedge_sql("src", "dst", 20, 10_000),
+        "dir_assort": f"""
+WITH e AS (SELECT DISTINCT src AS s, dst AS d
+           FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet' WHERE src <> dst),
+od AS (SELECT s AS v, COUNT(*) AS od FROM e GROUP BY s),
+idg AS (SELECT d AS v, COUNT(*) AS idg FROM e GROUP BY d),
+deg AS (SELECT COALESCE(od.v, idg.v) AS v, COALESCE(od, 0) AS od,
+               COALESCE(idg, 0) AS idg
+        FROM od FULL JOIN idg ON od.v = idg.v),
+j AS (SELECT ds.od AS s_out, ds.idg AS s_in, dd.od AS d_out, dd.idg AS d_in
+      FROM e JOIN deg ds ON ds.v = e.s JOIN deg dd ON dd.v = e.d)
+SELECT 'out-out' AS mode, ROUND(CORR(s_out, d_out), 6) AS assortativity FROM j
+UNION ALL SELECT 'out-in', ROUND(CORR(s_out, d_in), 6) FROM j
+UNION ALL SELECT 'in-out', ROUND(CORR(s_in, d_out), 6) FROM j
+UNION ALL SELECT 'in-in', ROUND(CORR(s_in, d_in), 6) FROM j
+""",
         "transitivity": f"""
 WITH und AS (SELECT DISTINCT s, d FROM (
     SELECT src AS s, dst AS d FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'

@@ -168,6 +168,56 @@ def powerlaw_alpha(
     )
 
 
+def directed_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """The four directed degree correlations (out-out, out-in, in-out,
+    in-in): Pearson correlation over edges between the source's
+    out/in degree and the target's out/in degree (Foster et al. 2010)
+    — the full mixing profile of a directed web graph.  One degree
+    table, two edge joins, four map-side-partial correlations in one
+    aggregate.  Returns four rows ``(mode, assortativity)``."""
+    e = _directed(edges, src, dst)
+    od = e.groupBy(F.col("s").alias("v")).agg(F.count(F.lit(1)).alias("od"))
+    idg = e.groupBy(F.col("d").alias("v")).agg(F.count(F.lit(1)).alias("idg"))
+    deg = od.join(idg, "v", "full_outer").select(
+        "v",
+        F.coalesce("od", F.lit(0)).alias("od"),
+        F.coalesce("idg", F.lit(0)).alias("idg"),
+    )
+    j = (
+        e.join(
+            deg.select(
+                F.col("v").alias("s"),
+                F.col("od").alias("s_out"),
+                F.col("idg").alias("s_in"),
+            ),
+            "s",
+        )
+        .join(
+            deg.select(
+                F.col("v").alias("d"),
+                F.col("od").alias("d_out"),
+                F.col("idg").alias("d_in"),
+            ),
+            "d",
+        )
+    )
+    row = j.agg(
+        F.round(F.corr("s_out", "d_out"), 6).alias("oo"),
+        F.round(F.corr("s_out", "d_in"), 6).alias("oi"),
+        F.round(F.corr("s_in", "d_out"), 6).alias("io"),
+        F.round(F.corr("s_in", "d_in"), 6).alias("ii"),
+    )
+    pairs = F.array(
+        F.struct(F.lit("out-out").alias("mode"), F.col("oo").alias("assortativity")),
+        F.struct(F.lit("out-in").alias("mode"), F.col("oi").alias("assortativity")),
+        F.struct(F.lit("in-out").alias("mode"), F.col("io").alias("assortativity")),
+        F.struct(F.lit("in-in").alias("mode"), F.col("ii").alias("assortativity")),
+    )
+    return row.select(F.explode(pairs).alias("x")).select("x.mode", "x.assortativity")
+
+
 def transitivity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global transitivity 3·triangles / wedges (the whole-graph
     counterpart of the local clustering coefficient).  Wedges come

@@ -364,3 +364,35 @@ def test_rich_club(spark):
     # degree>2: 0,1,2,3 (K4): 6 edges, phi = 1
     assert row2["n_rich"] == 4 and row2["n_edges_rich"] == 6
     assert row2["phi"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_directed_assortativity(spark):
+    from ccl_spark.graphstats import directed_assortativity
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["mode"]: r["assortativity"] for r in directed_assortativity(df).collect()}
+    # independent replay
+    e = {(s, d) for s, d in edges if s != d}
+    od: dict[int, int] = {}
+    idg: dict[int, int] = {}
+    for s, d in e:
+        od[s] = od.get(s, 0) + 1
+        idg[d] = idg.get(d, 0) + 1
+    import math
+
+    def corr(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        sx = math.sqrt(sum((x - mx) ** 2 for x in xs))
+        sy = math.sqrt(sum((y - my) ** 2 for y in ys))
+        return cov / (sx * sy)
+
+    for mode, fs, ft in [
+        ("out-out", od, od), ("out-in", od, idg),
+        ("in-out", idg, od), ("in-in", idg, idg),
+    ]:
+        xs = [fs.get(s, 0) for s, d in sorted(e)]
+        ys = [ft.get(d, 0) for s, d in sorted(e)]
+        assert got[mode] == pytest.approx(corr(xs, ys), abs=1e-6), mode
