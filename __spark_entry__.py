@@ -1575,6 +1575,118 @@ def _landmarks_sql(n_pivots: int, max_depth: int) -> str:
     return "WITH " + ",".join(parts) + f"\nSELECT p, v, dist FROM ({union}) t"
 
 
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pivot eccentricity (max BFS distance within the depth
+    bound) from the 4 hub pivots — max(ecc) is the standard diameter
+    lower bound; shares the forward pivot-BFS CTEs with harmonic/
+    closeness/landmarks."""
+    from ccl_spark.betweenness import pivot_eccentricity
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return pivot_eccentricity(
+        e.select("src", "dst"), n_pivots=4, max_depth=5, early_stop=False
+    )
+
+
+def _ecc_sql(n_pivots: int, max_depth: int) -> str:
+    parts = _pivot_bfs_sql_parts(n_pivots, max_depth)
+    union = " UNION ALL ".join(
+        ["SELECT p, 0 AS dist FROM f0"]
+        + [f"SELECT p, {r} AS dist FROM f{r}" for r in range(1, max_depth + 1)]
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT CAST(p AS BIGINT) AS p, CAST(MAX(dist) AS BIGINT) AS ecc
+FROM ({union}) t GROUP BY p"""
+    )
+
+
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (4 rounds, alpha = 1/16) on the
+    directed corpus graph — alpha a power of two makes every
+    intermediate dyadic-exact, so Spark's unordered partial sums and
+    the oracle's sequential CTE sums are bit-identical (the node2vec
+    powers-of-two trick applied to a centrality)."""
+    from ccl_spark.pagerank import katz_centrality
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return katz_centrality(e.select("src", "dst"), alpha=1.0 / 16, n_iter=4, k=20)
+
+
+def _katz_sql(n_iter: int, k: int) -> str:
+    """The Katz recurrence unrolled: x_{t+1} = 1 + alpha * A^T x_t."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM {src}),
+v AS MATERIALIZED (SELECT DISTINCT x AS vertex FROM (
+    SELECT s AS x FROM e UNION SELECT d FROM e)),
+x0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) AS x FROM v)"""
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"""
+m{t} AS (SELECT e.d AS vertex, SUM(x.x) AS m
+    FROM e JOIN x{t} x ON x.vertex = e.s GROUP BY e.d),
+x{t + 1} AS MATERIALIZED (SELECT v.vertex,
+    1.0 + 0.0625 * COALESCE(m.m, 0.0) AS x
+    FROM v LEFT JOIN m{t} m ON m.vertex = v.vertex)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT vertex, ROUND(x, 6) AS katz FROM x{n_iter}
+ORDER BY ROUND(x, 6) DESC, vertex LIMIT {k}"""
+    )
+
+
+def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core decomposition (per-vertex coreness) by the
+    iterative-h-index algorithm (Lü et al. 2016), run to its fixpoint;
+    the oracle unrolls the same monotone iteration with headroom
+    rounds (idempotent past convergence)."""
+    from ccl_spark.kcore import core_numbers
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return core_numbers(e.select("src", "dst"))
+
+
+def _core_numbers_sql(rounds: int) -> str:
+    """h-index iteration unrolled: c_{t+1}(v) = min(c_t(v),
+    H({c_t(u) : u ~ v})) with H computed as max(min(val, desc-rank))."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+und AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM {src} WHERE src <> dst
+    UNION SELECT dst, src FROM {src} WHERE src <> dst)),
+c0 AS MATERIALIZED (SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS val
+    FROM und GROUP BY s)"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""
+h{t} AS (SELECT s, MAX(LEAST(val, rn)) AS h FROM (
+    SELECT e.s, c.val,
+           ROW_NUMBER() OVER (PARTITION BY e.s ORDER BY c.val DESC) AS rn
+    FROM und e JOIN c{t} c ON c.v = e.d) z GROUP BY s),
+c{t + 1} AS MATERIALIZED (SELECT c.v,
+    CAST(LEAST(c.val, COALESCE(h.h, 0)) AS BIGINT) AS val
+    FROM c{t} c LEFT JOIN h{t} h ON h.s = c.v)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT v AS vertex, val AS core FROM c{rounds}"
+    )
+
+
 def _pivot_bfs_sql_parts(n_pivots: int, max_depth: int) -> list[str]:
     """Shared forward-BFS CTEs (pivot selection + level-synchronous
     frontier expansion with path counting) for the betweenness and
@@ -2575,6 +2687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "harmonic": q_harmonic,
         "landmarks": q_landmarks,
+        "eccentricity": q_eccentricity,
+        "katz": q_katz,
+        "core_numbers": q_core_numbers,
         "boilerplate": q_boilerplate,
         "sessions": q_sessions,
         "repetition": q_repetition,
@@ -3018,6 +3133,9 @@ FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
         "betweenness": _betweenness_sql(4, 5, 20),
         "harmonic": _harmonic_sql(4, 5, 20),
         "landmarks": _landmarks_sql(4, 5),
+        "eccentricity": _ecc_sql(4, 5),
+        "katz": _katz_sql(4, 20),
+        "core_numbers": _core_numbers_sql(12),
         "boilerplate": f"""
 WITH a AS (SELECT * FROM '{_ORACLE_DIR}/corpus_texts_1000.parquet'),
 nd AS (SELECT host, COUNT(*) AS n_docs FROM a GROUP BY host),

@@ -164,6 +164,31 @@ def landmark_distances(
     return out
 
 
+def pivot_eccentricity(
+    edges: DataFrame,
+    n_pivots: int = 8,
+    max_depth: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    early_stop: bool = True,
+) -> DataFrame:
+    """``(p long, ecc long)`` — per-pivot eccentricity (the largest
+    BFS distance any vertex sits from pivot ``p``, bounded at
+    ``max_depth``).  max(ecc) over the pivots is the classic
+    lower bound on the graph diameter (Magnien, Latapy & Habib 2009);
+    pivots are the same deterministic hub set as the other
+    pivot-sampled centralities, so the forward BFS (and its oracle
+    CTE chain) is shared."""
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    levels = _pivot_bfs(und, n_pivots, max_depth, early_stop)
+    out = levels[0].select("p", "dist")
+    for lv in levels[1:]:
+        out = out.unionByName(lv.select("p", "dist"))
+    return out.groupBy(F.col("p").cast("long").alias("p")).agg(
+        F.max("dist").cast("long").alias("ecc")
+    )
+
+
 def landmark_pair_estimates(
     landmarks: DataFrame, pairs: DataFrame
 ) -> DataFrame:

@@ -14,7 +14,7 @@ pattern as cc.py: one job per round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def k_core(
@@ -68,3 +68,69 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return final_deg
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 200,
+) -> DataFrame:
+    """Return ``(vertex long, core long)`` — the full k-core
+    decomposition (each vertex's coreness: the largest k such that it
+    survives in the k-core) via the iterative-h-index algorithm of
+    Lü et al., "The H-index of a network node" (Nature Communications
+    2016): start from c₀(v) = deg(v) and repeatedly set
+    c_{t+1}(v) = H({c_t(u) : u ∈ N(v)}), where H is the Hirsch
+    h-index of the neighbor multiset.  The sequence is monotone
+    non-increasing and converges exactly to the coreness — a fully
+    distributed alternative to the inherently sequential min-degree
+    peel.
+
+    Execution shape: each round is one edge-keyed equi-join (neighbor
+    value lookup), one ``row_number`` window per destination vertex
+    (the h-index is max(min(val_desc_rank_r, r))), and one aggregate —
+    all shuffle-partitioned on the vertex key, no collect_list, no
+    driver data.  Hub skew lands on the window sort, which is
+    spill-safe.  Rounds are O(peel depth) in practice (single digits
+    on power-law graphs).  Convergence is probed with one count per
+    round; the iteration is idempotent at the fixpoint, so the SQL
+    oracle replays it as a fixed unroll with headroom rounds.
+    """
+    und = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .unionByName(
+            edges.select(
+                F.col(dst).cast("long").alias("s"), F.col(src).cast("long").alias("d")
+            ).filter(F.col("s") != F.col("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("val")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = und.join(cur.withColumnRenamed("v", "d"), "d").select("s", "val")
+        rn = nbr.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("s").orderBy(F.desc("val")))
+        )
+        h = rn.groupBy("s").agg(
+            F.max(F.least(F.col("val"), F.col("rn"))).cast("long").alias("h")
+        )
+        nxt = (
+            cur.join(h.withColumnRenamed("s", "v"), "v", "left")
+            .select("v", F.least(F.col("val"), F.coalesce("h", F.lit(0))).alias("val"))
+            .localCheckpoint(eager=False)
+        )
+        changed = nxt.join(
+            cur.withColumnRenamed("val", "old"), "v"
+        ).filter(F.col("val") != F.col("old")).count()
+        cur.unpersist()
+        cur = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"core_numbers: no fixpoint in {max_iter} rounds")
+    return cur.select(F.col("v").alias("vertex"), F.col("val").alias("core"))

@@ -509,3 +509,69 @@ def _frontier_loop(
     raise RuntimeError(
         f"pagerank(frontier): no convergence to {tol} in {max_iter} iterations"
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 1.0 / 16,
+    n_iter: int = 4,
+    k: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Top-k vertices by truncated Katz centrality (Katz 1953):
+    x₀ = 1,  x_{t+1}(v) = 1 + α · Σ_{u→v} x_t(u), i.e. after n_iter
+    rounds x(v) = Σ_{ℓ≤n_iter} α^ℓ · (#walks of length ℓ ending at v)
+    — the walk-counting cousin of PageRank that rewards being reachable
+    by many short paths rather than by random-surfer mass.
+
+    Determinism: ``alpha`` must be a (negative) power of two.  Every
+    intermediate is then a dyadic rational that IEEE doubles represent
+    exactly, so Spark's unordered partial sums and the SQL oracle's
+    sequential sums produce bit-identical values — the same
+    powers-of-two trick node2vec uses for its window cumsums.  The
+    final (round(x, 6) DESC, vertex ASC) tie-break therefore selects
+    identical rows on both engines.
+
+    Execution shape: per round one edge-keyed equi-join against the
+    O(|V|) score table and one groupBy sum (map-side partial) — the
+    PageRank inner loop without the dangling/teleport bookkeeping.
+    Fixed n_iter rounds, no convergence probe, each round's state
+    localCheckpoint-ed so plan depth stays O(1).
+    """
+    import math
+
+    frac = math.log2(1.0 / alpha)
+    if frac != int(frac):
+        raise ValueError(f"katz_centrality: alpha must be a power of two, got {alpha}")
+    e = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("s").alias("vertex"))
+        .unionByName(e.select(F.col("d").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = verts.withColumn("x", F.lit(1.0))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(x.withColumnRenamed("vertex", "s"), "s")
+            .groupBy(F.col("d").alias("vertex"))
+            .agg(F.sum("x").alias("m"))
+        )
+        x = (
+            verts.join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                (F.lit(1.0) + F.lit(alpha) * F.coalesce("m", F.lit(0.0))).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        x.select("vertex", F.round("x", 6).alias("katz"))
+        .orderBy(F.desc("katz"), F.asc("vertex"))
+        .limit(k)
+    )

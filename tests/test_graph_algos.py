@@ -438,3 +438,43 @@ def test_salsa_mass_and_degree_proportionality(spark):
     # L1 mass: authorities sum to 1, hubs sum to 1
     assert sum(r["authority"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
     assert sum(r["hub"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_katz_exact_small(spark):
+    from ccl_spark.pagerank import katz_centrality
+
+    # star 1->0, 2->0, 3->0 plus 0->1: hand-computed truncated Katz
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long"
+    )
+    a = 1.0 / 16
+    # closed-form for 2 rounds: x2(v) = 1 + a*indeg + a^2*(walks of len 2)
+    got = {r.vertex: r.katz for r in katz_centrality(edges, n_iter=2, k=10).collect()}
+    exp = {
+        0: 1 + 3 * a + a * a,          # len-2 walks into 0: 0->1->0
+        1: 1 + a + 3 * a * a,          # 1->0->1? no: walks ending at 1: x->0->1 for x in {1,2,3}
+        2: 1.0,
+        3: 1.0,
+    }
+    assert got == {v: round(x, 6) for v, x in exp.items()}
+
+
+def test_katz_rejects_non_dyadic_alpha(spark):
+    import pytest as _pytest
+
+    from ccl_spark.pagerank import katz_centrality
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        katz_centrality(edges, alpha=0.1)
+
+
+def test_pivot_eccentricity_path(spark):
+    from ccl_spark.betweenness import pivot_eccentricity
+
+    # path 0-1-2-3-4: hub pivots (degree 2, id ASC) are 1,2; ecc(1)=3, ecc(2)=2
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.p: r.ecc for r in pivot_eccentricity(edges, n_pivots=2, max_depth=8).collect()}
+    assert got == {1: 3, 2: 2}

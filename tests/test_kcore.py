@@ -42,3 +42,53 @@ def test_clustering_coefficient(spark):
     assert got[1] == (2, 1, 1.0)
     assert got[2] == (3, 1, round(1 / 3, 6))
     assert got[3] == (1, 0, 0.0)
+
+
+def _peel_coreness(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent oracle: the textbook sequential min-degree peel."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    core: dict[int, int] = {}
+    k = 0
+    live = dict(adj)
+    while live:
+        k = max(k, min(len(ns) for ns in live.values()))
+        peel = [v for v, ns in live.items() if len(ns) <= k]
+        while peel:
+            v = peel.pop()
+            if v not in live:
+                continue
+            core[v] = k
+            for u in live[v]:
+                live[u].discard(v)
+                if u in live and len(live[u]) <= k:
+                    peel.append(u)
+            del live[v]
+    return core
+
+
+def test_core_numbers_vs_peel_oracle(spark):
+    from ccl_spark.kcore import core_numbers
+
+    # K4 + pendant chain + disjoint cycle + a bridge: mixed corenesses
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 4), (4, 5), (10, 11), (11, 12), (12, 10), (5, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: r.core for r in core_numbers(df).collect()}
+    assert got == _peel_coreness(edges)
+
+
+def test_core_numbers_random_vs_peel(spark):
+    import random
+
+    from ccl_spark.kcore import core_numbers
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: r.core for r in core_numbers(df).collect()}
+    assert got == _peel_coreness(edges)
