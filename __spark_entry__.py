@@ -1687,6 +1687,47 @@ c{t + 1} AS MATERIALIZED (SELECT c.v,
     )
 
 
+def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec skipgram training pairs (window ±2) over the documents
+    corpus — top-100 (center, context) pairs by count; integer-exact,
+    (cnt DESC, center, context) tie-break."""
+    from ccl_spark.cooc import skipgram_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        skipgram_pairs(docs, window=2)
+        .orderBy(F.desc("cnt"), F.asc("center"), F.asc("context"))
+        .limit(100)
+    )
+
+
+_SKIPGRAM_TOKS_SQL = """
+toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+           UNNEST(range(0, len(STRING_SPLIT(text, ' ')))) AS pos
+    FROM documents
+),
+pairs AS (
+    SELECT a.tok AS center, b.tok AS context, COUNT(*) AS cnt
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id
+     AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+     AND b.pos <> a.pos
+    GROUP BY a.tok, b.tok
+)"""
+
+
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI over the skipgram pair table
+    (Church & Hanks 1990); counts integer-exact, one double div + ln
+    rounded to 6dp with a deterministic tie-break."""
+    from ccl_spark.cooc import pmi_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_topk(docs, window=2, min_count=10, k=50)
+
+
 def _pivot_bfs_sql_parts(n_pivots: int, max_depth: int) -> list[str]:
     """Shared forward-BFS CTEs (pivot selection + level-synchronous
     frontier expansion with path counting) for the betweenness and
@@ -2690,6 +2731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "katz": q_katz,
         "core_numbers": q_core_numbers,
+        "skipgram": q_skipgram,
+        "pmi": q_pmi,
         "boilerplate": q_boilerplate,
         "sessions": q_sessions,
         "repetition": q_repetition,
@@ -3136,6 +3179,26 @@ FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
         "eccentricity": _ecc_sql(4, 5),
         "katz": _katz_sql(4, 20),
         "core_numbers": _core_numbers_sql(12),
+        "skipgram": "WITH "
+        + _SKIPGRAM_TOKS_SQL
+        + """
+SELECT center, context, cnt FROM pairs
+ORDER BY cnt DESC, center, context LIMIT 100""",
+        "pmi": "WITH "
+        + _SKIPGRAM_TOKS_SQL
+        + """,
+ca AS (SELECT center, SUM(cnt) AS ca FROM pairs GROUP BY center),
+cb AS (SELECT context, SUM(cnt) AS cb FROM pairs GROUP BY context),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM pairs)
+SELECT p.center, p.context, p.cnt,
+       ROUND(LN((CAST(p.cnt AS DOUBLE) * tot.t)
+                / (CAST(ca.ca AS DOUBLE) * CAST(cb.cb AS DOUBLE))), 6) AS pmi
+FROM pairs p
+JOIN ca ON ca.center = p.center
+JOIN cb ON cb.context = p.context
+CROSS JOIN tot
+WHERE p.cnt >= 10
+ORDER BY pmi DESC, p.center, p.context LIMIT 50""",
         "boilerplate": f"""
 WITH a AS (SELECT * FROM '{_ORACLE_DIR}/corpus_texts_1000.parquet'),
 nd AS (SELECT host, COUNT(*) AS n_docs FROM a GROUP BY host),

@@ -1,0 +1,112 @@
+"""Word co-occurrence statistics: skipgram training pairs and PMI
+collocations — the embedding-training prep stage of an LLM data
+pipeline (word2vec-style (center, context) pair extraction, Mikolov
+et al. 2013; pointwise mutual information per Church & Hanks 1990).
+
+Reference scope: the reference engine's text path stops at per-page
+token extraction (ccl/extract + tests); pair extraction over token
+positions is the natural next stage for a corpus engine and is listed
+in SURVEY §2's pipeline extensions.
+
+Execution shape (100-TB story):
+- tokens are posexploded once: (doc_id, pos, tok) — one narrow shuffle-
+  free projection off the documents scan;
+- context candidates are generated JVM-side as a 2·window array
+  explode (pos ± off), then resolved by ONE hash equi-join on
+  (doc_id, pos) — never a per-document quadratic self-join;
+- pair counts are a map-side-combining groupBy on (center, context):
+  Zipf skew on hot pairs is absorbed by the partial aggregation;
+- PMI derives from the pair table alone (center/context marginals +
+  one scalar total), so no second pass over the corpus; the scalar
+  total joins in via a broadcast of one row.
+
+Determinism: counts are exact integers; PMI is one double division +
+one log, rounded to 6dp with a (score DESC, center ASC, context ASC)
+tie-break so Spark and the SQL oracle select identical top-k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, tok) — whitespace tokens with their 0-based
+    position (the same split(' ') tokenization as textops.token_count,
+    so counts line up across the pipeline)."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(center string, context string, cnt long)`` — co-occurrence
+    counts of (center, context) token pairs within ``window`` positions
+    of each other inside a document (both directions, the word2vec
+    skipgram corpus).  ``min_count`` drops rare pairs."""
+    toks = _positions(docs, id_col, text_col)
+    offs = [o for o in range(-window, window + 1) if o != 0]
+    cand = toks.select(
+        "doc_id",
+        F.col("tok").alias("center"),
+        F.explode(F.array(*[F.col("pos") + F.lit(o) for o in offs])).alias("cpos"),
+    )
+    ctx = toks.select(
+        "doc_id", F.col("pos").alias("cpos"), F.col("tok").alias("context")
+    )
+    return (
+        cand.join(ctx, ["doc_id", "cpos"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def pmi_topk(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information
+    PMI(a, b) = ln( P(a,b) / (P(a)·P(b)) ) computed over the skipgram
+    pair table (marginals are the pair table's own row sums, the
+    standard word2vec-context formulation).  Counts stay integer-exact
+    until one double division + log; 6dp rounding + (pmi DESC, center,
+    context) tie-break keeps the top-k engine-identical."""
+    pairs = skipgram_pairs(
+        docs, window=window, min_count=1, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    ca = pairs.groupBy("center").agg(F.sum("cnt").alias("ca"))
+    cb = pairs.groupBy("context").agg(F.sum("cnt").alias("cb"))
+    tot = pairs.agg(F.sum("cnt").cast("double").alias("t"))
+    scored = (
+        pairs.filter(F.col("cnt") >= min_count)
+        .join(ca, "center")
+        .join(cb, "context")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            "context",
+            "cnt",
+            F.round(
+                F.log(
+                    (F.col("cnt").cast("double") * F.col("t"))
+                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("center"), F.asc("context")
+    ).limit(k)
