@@ -1932,6 +1932,48 @@ u{t + 1} AS MATERIALIZED (SELECT u.v, u.p FROM u{t} u
     return "WITH " + ",".join(parts) + f"\nSELECT v AS vertex FROM ({union}) t"
 
 
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Israeli-Itai maximal matching of the corpus graph
+    (md5 edge priorities, locally-minimal-at-both-endpoints rule); the
+    oracle unrolls the same rounds with headroom (empty no-ops past
+    the fixpoint)."""
+    from ccl_spark.mis import maximal_matching
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return maximal_matching(e)
+
+
+def _matching_sql(rounds: int) -> str:
+    """Matching rounds unrolled: winners = live edges whose
+    (priority, u, v) beats every live edge sharing an endpoint; then
+    peel the matched endpoints' edges."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+e0 AS MATERIALIZED (SELECT a, b,
+    ('0x' || substring(md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)
+        || ',mm'), 1, 13))::BIGINT AS p
+    FROM (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM {src} WHERE src <> dst))"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""
+w{t} AS MATERIALIZED (SELECT x.a, x.b FROM e{t} x WHERE NOT EXISTS (
+    SELECT 1 FROM e{t} y
+    WHERE (y.a IN (x.a, x.b) OR y.b IN (x.a, x.b))
+      AND NOT (y.a = x.a AND y.b = x.b)
+      AND (y.p < x.p OR (y.p = x.p AND (y.a < x.a
+           OR (y.a = x.a AND y.b < x.b)))))),
+e{t + 1} AS MATERIALIZED (SELECT e.a, e.b, e.p FROM e{t} e
+    WHERE NOT EXISTS (SELECT 1 FROM w{t} w
+        WHERE w.a IN (e.a, e.b) OR w.b IN (e.a, e.b)))"""
+        )
+    union = " UNION ALL ".join(f"SELECT a, b FROM w{t}" for t in range(rounds))
+    return "WITH " + ",".join(parts) + f"\nSELECT a AS u, b AS v FROM ({union}) t"
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the corpus graph (every surviving edge in ≥ 2
     triangles within the subgraph) — iterative support peel run to
@@ -2749,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": q_node2vec,
         "ktruss": q_ktruss,
         "mis": q_mis,
+        "matching": q_matching,
         "modularity": q_modularity,
         "louvain": q_louvain,
         "degree_dist": q_degree_dist,
@@ -3429,6 +3472,7 @@ LIMIT 20
         "node2vec": _node2vec_sql(3, 1, 2.0, 0.5, 11),
         "ktruss": _ktruss_sql(4, 6),
         "mis": _mis_sql(7),
+        "matching": _matching_sql(14),
         "modularity": _modularity_sql(5),
         "louvain": _louvain_sql(3, 10),
         "degree_dist": f"""

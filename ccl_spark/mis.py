@@ -86,3 +86,77 @@ def maximal_independent_set(
             eager=True
         )
     raise RuntimeError(f"MIS did not decide every vertex in {max_rounds} rounds")
+
+
+def maximal_matching(
+    edges: DataFrame,
+    salt: str = "mm",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Return ``(u long, v long)`` — a deterministic maximal matching
+    of the symmetrized simple graph, by the edge-analogue of Luby's
+    algorithm (Israeli & Itai 1986): each round, a live edge enters
+    the matching iff its priority ``(U(e), u, v)`` is strictly
+    smallest among all live edges sharing either endpoint; matched
+    endpoints then drop out with all their edges.  The globally
+    minimal live edge always wins, so every round makes progress;
+    expected O(log n) rounds with hash priorities.
+
+    Per round: one explode of each edge to its two endpoints, one
+    per-endpoint struct-min aggregate (map-side partial), and one
+    join-back to find edges that win at BOTH endpoints — all
+    vertex-keyed equi-joins, state O(live edges) and shrinking.
+    Priorities are pure md5 functions of (u, v, salt), so the result
+    is one specific matching, reproducible across partitionings and
+    engines.  Raises if ``max_rounds`` is exhausted with live edges
+    remaining — never returns a non-maximal matching.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("u"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    live = und.withColumn(
+        "p",
+        F.expr(
+            f"cast(conv(substring(md5(concat(cast(u as string), ',',"
+            f" cast(v as string), ',{salt}')), 1, 13), 16, 10) as bigint)"
+        ),
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    matched = spark.createDataFrame([], "u long, v long")
+    for _ in range(max_rounds):
+        if live.limit(1).count() == 0:
+            return matched
+        s = F.struct("p", "u", "v").alias("s")
+        ep = live.select(F.col("u").alias("x"), s).unionByName(
+            live.select(F.col("v").alias("x"), s)
+        )
+        mn = ep.groupBy("x").agg(F.min("s").alias("mn"))
+        winners = (
+            live.join(mn.withColumnRenamed("x", "u"), "u")
+            .filter(F.struct("p", "u", "v") == F.col("mn"))
+            .drop("mn")
+            .join(mn.withColumnRenamed("x", "v"), "v")
+            .filter(F.struct("p", "u", "v") == F.col("mn"))
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        matched = matched.unionByName(winners)
+        mv = (
+            winners.select(F.col("u").alias("x"))
+            .unionByName(winners.select(F.col("v").alias("x")))
+            .distinct()
+        )
+        live = (
+            live.join(mv.withColumnRenamed("x", "u"), "u", "left_anti")
+            .join(mv.withColumnRenamed("x", "v"), "v", "left_anti")
+            .select("u", "v", "p")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"maximal_matching: live edges after {max_rounds} rounds")

@@ -76,3 +76,62 @@ def test_mis_star_and_selfloops(spark):
     got = {r["vertex"] for r in maximal_independent_set(df).collect()}
     assert got == _py_mis(edges, "mis")
     assert got == {0} or got == set(range(1, 6))
+
+
+def _matching_oracle(edges: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    """Exact replay of the Israeli-Itai rounds with md5 priorities."""
+    import hashlib
+
+    live = {
+        (min(u, v), max(u, v))
+        for u, v in edges
+        if u != v
+    }
+    pri = {
+        e: int(hashlib.md5(f"{e[0]},{e[1]},mm".encode()).hexdigest()[:13], 16)
+        for e in live
+    }
+    matched: set[tuple[int, int]] = set()
+    while live:
+        winners = set()
+        for e in live:
+            key = (pri[e], e[0], e[1])
+            if all(
+                (pri[f], f[0], f[1]) >= key
+                for f in live
+                if f != e and (set(f) & set(e))
+            ):
+                winners.add(e)
+        matched |= winners
+        mv = {x for e in winners for x in e}
+        live = {e for e in live if not (set(e) & mv)}
+    return matched
+
+
+def test_maximal_matching_replays_oracle(spark):
+    import random
+
+    from ccl_spark.mis import maximal_matching
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(80)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.u, r.v) for r in maximal_matching(df).collect()}
+    assert got == _matching_oracle(edges)
+    # matching property: no vertex appears twice
+    flat = [x for e in got for x in e]
+    assert len(flat) == len(set(flat))
+    # maximality: every input edge touches a matched vertex
+    mv = set(flat)
+    for u, v in edges:
+        if u != v:
+            assert u in mv or v in mv
+
+
+def test_maximal_matching_path(spark):
+    from ccl_spark.mis import maximal_matching
+
+    # path 0-1-2: exactly one edge can match; result must be maximal
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {(r.u, r.v) for r in maximal_matching(df).collect()}
+    assert got in ({(0, 1)}, {(1, 2)})
