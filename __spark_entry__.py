@@ -613,6 +613,19 @@ def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie(e, labels=_quad_scc_labels(spark, sf_dir)).select("vertex", "region")
 
 
+def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC condensation DAG of the quadratic-map graph with
+    longest-path topological levels (level 0 = sources); reuses the
+    memoized SCC labels, so the gate pays only the O(#components)
+    level fixpoint. Oracle = the scc closure oracle extended with a
+    recursive path enumeration (safe: functional-graph condensations
+    are in-trees, so path count is linear)."""
+    from ccl_spark.scc import condensation_levels
+
+    e = _edges_quad(spark, sf_dir)
+    return condensation_levels(e, labels=_quad_scc_labels(spark, sf_dir))
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the quadratic-map graph (iterative peel to fixpoint —
     3 cascading rounds at sf0.01); oracle = the same peel unrolled as
@@ -2719,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "kcore": q_kcore,
         "scc": q_scc,
+        "condensation": q_condensation,
         "bowtie": q_bowtie,
         "clustering": q_clustering,
         "ages": q_ages,
@@ -2907,6 +2921,40 @@ SELECT v.vertex,
        LEAST(v.vertex, COALESCE(MIN(m.v), v.vertex)) AS component
 FROM verts v LEFT JOIN mutual m ON m.u = v.vertex
 GROUP BY v.vertex
+""",
+        "condensation": f"""
+WITH RECURSIVE
+e AS (SELECT src, dst FROM ({_EDGES_QUAD_SQL}) WHERE src <> dst),
+verts AS (SELECT DISTINCT w AS vertex FROM
+          (SELECT src AS w FROM ({_EDGES_QUAD_SQL}) UNION SELECT dst FROM ({_EDGES_QUAD_SQL}))),
+reach(a, b) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+    SELECT r1.a AS u, r1.b AS v
+    FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+lab AS MATERIALIZED (
+    SELECT v.vertex, LEAST(v.vertex, COALESCE(MIN(m.v), v.vertex)) AS component
+    FROM verts v LEFT JOIN mutual m ON m.u = v.vertex
+    GROUP BY v.vertex
+),
+ce AS MATERIALIZED (
+    SELECT DISTINCT l1.component AS s, l2.component AS d
+    FROM e JOIN lab l1 ON l1.vertex = e.src JOIN lab l2 ON l2.vertex = e.dst
+    WHERE l1.component <> l2.component
+),
+comps AS (SELECT DISTINCT component FROM lab),
+paths(c, len) AS (
+    SELECT component, 0 FROM comps
+    WHERE component NOT IN (SELECT d FROM ce)
+    UNION ALL
+    SELECT ce.d, p.len + 1 FROM paths p JOIN ce ON ce.s = p.c
+)
+SELECT c AS component, CAST(MAX(len) AS BIGINT) AS level
+FROM paths GROUP BY c
 """,
         "bowtie": f"""
 WITH RECURSIVE

@@ -342,3 +342,81 @@ def bowtie(
             .alias("region"),
         )
     )
+
+
+def condensation_levels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+    labels: DataFrame | None = None,
+) -> DataFrame:
+    """``(component long, level long)`` — the SCC condensation DAG
+    with each component's longest-path depth from the DAG's sources
+    (level 0 = components with no incoming cross-component edge).
+    This is the topological layering of a web graph: level orders the
+    crawl/propagation frontier, and max(level) is the condensation
+    depth that bounds every reachability fixpoint in this module.
+
+    Evaluation is level-synchronous longest-path: a component resolves
+    once ALL its predecessors are resolved, at 1 + max(pred level) —
+    O(DAG depth) rounds, each one equi-join + one aggregate over the
+    O(#components) condensation table (tiny next to the vertex set).
+    Pass precomputed ``labels`` to skip the SCC phase.  Raises if the
+    fixpoint does not resolve every component (impossible on a true
+    DAG; guards a broken labels input with a cycle).
+    """
+    if labels is None:
+        labels = strongly_connected_components(edges, src, dst, max_iter=max_iter)
+    labels = labels.localCheckpoint(eager=True)
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab_u = labels.select(F.col("vertex").alias("u"), F.col("component").alias("cs"))
+    lab_v = labels.select(F.col("vertex").alias("v"), F.col("component").alias("cd"))
+    ce = (
+        e.join(lab_u, "u")
+        .join(lab_v, "v")
+        .filter(F.col("cs") != F.col("cd"))
+        .select(F.col("cs").alias("s"), F.col("cd").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comps = labels.select(F.col("component")).distinct().localCheckpoint(eager=True)
+    n_pred = ce.groupBy(F.col("d").alias("component")).agg(
+        F.count(F.lit(1)).alias("np")
+    )
+    resolved = (
+        comps.join(n_pred, "component", "left_anti")
+        .select("component", F.lit(0).cast("long").alias("level"))
+        .localCheckpoint(eager=True)
+    )
+    n_total = comps.count()
+    n_res = resolved.count()
+    for _ in range(max_iter):
+        if n_res == n_total:
+            return resolved
+        ready = (
+            ce.join(
+                resolved.select(F.col("component").alias("s"), "level"), "s"
+            )
+            .groupBy(F.col("d").alias("component"))
+            .agg(
+                F.count(F.lit(1)).alias("nr"),
+                (F.max("level") + F.lit(1)).cast("long").alias("level"),
+            )
+            .join(n_pred, "component")
+            .filter(F.col("nr") == F.col("np"))
+            .join(resolved.select("component"), "component", "left_anti")
+            .select("component", "level")
+        )
+        resolved = resolved.unionByName(ready).localCheckpoint(eager=True)
+        n2 = resolved.count()
+        if n2 == n_res:
+            raise RuntimeError("condensation_levels: stuck (cycle in labels input?)")
+        n_res = n2
+    raise RuntimeError(f"condensation_levels: no fixpoint in {max_iter} rounds")

@@ -174,3 +174,28 @@ def test_scc_deep_path_flat_plan(spark):
     assert got == {i: i for i in range(n)}  # all singletons
     plan = res._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(plan.splitlines()) < 10  # flat: a checkpointed scan, not a union tower
+
+
+def test_condensation_levels(spark):
+    from ccl_spark.scc import condensation_levels
+
+    # two 2-cycles {0,1} and {2,3} chained, feeding vertex 4; plus an
+    # isolated source 5 -> 0: levels  {5}:0, {0,1}:1, {2,3}:2, {4}:3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (3, 4), (5, 0)],
+        "src long, dst long",
+    )
+    got = {r.component: r.level for r in condensation_levels(edges).collect()}
+    assert got == {5: 0, 0: 1, 2: 2, 4: 3}
+
+
+def test_condensation_diamond_longest_path(spark):
+    from ccl_spark.scc import condensation_levels
+
+    # diamond with a long arm: 0->1->2->3 and 0->3 — level(3) must be
+    # the LONGEST path (3), not the shortest (1)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long"
+    )
+    got = {r.component: r.level for r in condensation_levels(edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
