@@ -1731,6 +1731,23 @@ pairs AS (
 )"""
 
 
+def q_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec negative sampling: 5 deterministic md5 draws from the
+    unigram cumulative table for each of the top-20 skipgram pairs —
+    the md5-mod draw replays exactly in SQL (the walks trick), so the
+    sample set is engine-identical."""
+    from ccl_spark.cooc import negative_samples, skipgram_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    top = (
+        skipgram_pairs(docs, window=2)
+        .orderBy(F.desc("cnt"), F.asc("center"), F.asc("context"))
+        .limit(20)
+        .select("center", "context")
+    )
+    return negative_samples(top, docs, k=5)
+
+
 def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 collocations by PMI over the skipgram pair table
     (Church & Hanks 1990); counts integer-exact, one double div + ln
@@ -2789,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": q_core_numbers,
         "skipgram": q_skipgram,
         "pmi": q_pmi,
+        "negatives": q_negatives,
         "boilerplate": q_boilerplate,
         "sessions": q_sessions,
         "repetition": q_repetition,
@@ -3275,6 +3293,25 @@ FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
         + """
 SELECT center, context, cnt FROM pairs
 ORDER BY cnt DESC, center, context LIMIT 100""",
+        "negatives": "WITH "
+        + _SKIPGRAM_TOKS_SQL
+        + """,
+top AS (SELECT center, context FROM pairs
+        ORDER BY cnt DESC, center, context LIMIT 20),
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+cum AS (SELECT tok, cnt,
+        CAST(COALESCE(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lo
+        FROM uni),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM uni),
+d AS (SELECT center, context, UNNEST(range(0, 5)) AS i FROM top),
+r AS (SELECT center, context, CAST(i AS BIGINT) AS i,
+        ('0x' || substring(md5(center || '|' || context || '|'
+            || CAST(i AS VARCHAR) || '|neg'), 1, 13))::BIGINT
+        % (SELECT t FROM tot) AS r
+      FROM d)
+SELECT r.center, r.context, r.i, c.tok AS neg
+FROM r JOIN cum c ON r.r >= c.lo AND r.r < c.lo + c.cnt""",
         "pmi": "WITH "
         + _SKIPGRAM_TOKS_SQL
         + """,

@@ -119,10 +119,19 @@ for _ in range(reps):
     random_walks(edges, walk_len=4, n_walks=1, seed=42).count()
     t_wk.append(time.monotonic() - t0)
     _settle()
+# node2vec (2nd-order p/q-biased) walks: per step the draw joins the
+# previous vertex's adjacency too — the heavier, weighted variant
+from ccl_spark.walks import node2vec_walks
+t_n2v = []
+for _ in range(reps):
+    t0 = time.monotonic()
+    node2vec_walks(edges, walk_len=4, n_walks=1, p=2.0, q=0.5, seed=42).count()
+    t_n2v.append(time.monotonic() - t0)
+    _settle()
 print(json.dumps({{"cpus": cpus, "edges": n_edges, "components": n_comp,
                    "t_ex": min(t_ex), "t_cc": min(t_cc), "t_pr": min(t_pr),
                    "t_cc0": min(t_cc0), "t_cc0_all": t_cc0, "t_wk": min(t_wk),
-                   "t_wk_all": t_wk,
+                   "t_wk_all": t_wk, "t_n2v": min(t_n2v), "t_n2v_all": t_n2v,
                    "t_ex_all": t_ex, "t_cc_all": t_cc, "t_pr_all": t_pr}}))
 spark.stop()
 """
@@ -199,6 +208,7 @@ def main() -> None:
     eff_pr = (lo["t_pr"] / hi["t_pr"]) / 4
     eff_ex = (lo["t_ex"] / hi["t_ex"]) / 4
     eff_wk = (lo["t_wk"] / hi["t_wk"]) / 4
+    eff_n2v = (lo["t_n2v"] / hi["t_n2v"]) / 4
     summary = {
         "vertices": v,
         "edges": hi["edges"],
@@ -218,6 +228,7 @@ def main() -> None:
         "scaling_efficiency_cc_pure_distributed": round(eff_cc0, 3),
         "scaling_efficiency_pagerank": round(eff_pr, 3),
         "scaling_efficiency_walks": round(eff_wk, 3),
+        "scaling_efficiency_node2vec": round(eff_n2v, 3),
         "raw": {"local8": lo, "local32": hi},
     }
     print(json.dumps(summary))
@@ -235,6 +246,7 @@ def main() -> None:
         f"| CC pure-distributed (s, threshold=0) | {round(lo['t_cc0'], 2)} | {round(hi['t_cc0'], 2)} | {summary['scaling_efficiency_cc_pure_distributed']} |",
         f"| PageRank to 1e-6 (s) | {summary['local8']['t_pr']} | {summary['local32']['t_pr']} | {summary['scaling_efficiency_pagerank']} |",
         f"| walk corpus len-4 (s) | {round(lo['t_wk'], 2)} | {round(hi['t_wk'], 2)} | {summary['scaling_efficiency_walks']} |",
+        f"| node2vec walks len-4 p=2 q=.5 (s) | {round(lo['t_n2v'], 2)} | {round(hi['t_n2v'], 2)} | {summary['scaling_efficiency_node2vec']} |",
         f"| CC edges/sec | {summary['edges_per_sec_cc_local8']} | {summary['edges_per_sec_cc_local32']} | |",
         f"| PR edges/sec | {summary['edges_per_sec_pr_local8']} | {summary['edges_per_sec_pr_local32']} | |",
         "",

@@ -110,3 +110,61 @@ def pmi_topk(
     return scored.orderBy(
         F.desc("pmi"), F.asc("center"), F.asc("context")
     ).limit(k)
+
+
+def negative_samples(
+    pairs: DataFrame,
+    docs: DataFrame,
+    k: int = 5,
+    salt: str = "neg",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(center, context, i long, neg string)`` — k word2vec negative
+    samples per (center, context) training pair, drawn from the corpus
+    unigram distribution by deterministic md5 draws: draw i for a pair
+    is ``md5(center|context|i|salt) mod total`` mapped through the
+    unigram cumulative-count table (token intervals ordered by
+    (cnt DESC, tok)).  Pure-function draws make the sample one specific
+    set — reproducible across partitionings, retries, and engines (the
+    SQL oracle replays it exactly), the same md5-draw trick as the
+    DeepWalk walk corpus.
+
+    Scale shape: the cumulative table is vocab-sized (min_count-capped
+    upstream at corpus scale) and broadcast; each draw resolves by one
+    broadcast interval probe, so the cost is O(pairs · k) with no
+    shuffle beyond the pair table itself.  The unigram total is a
+    single driver scalar (one agg).  Mikolov et al. 2013 draw from
+    U(w)^0.75; this uses the raw counts so every weight stays integer-
+    exact (the 3/4 power would break cross-engine bit-identity).
+    """
+    from pyspark.sql import Window
+
+    toks = _positions(docs, id_col, text_col)
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = uni.select(
+        "tok",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias("lo"),
+    ).withColumn("hi", (F.col("lo") + F.col("cnt")).cast("long"))
+    total = uni.agg(F.sum("cnt").cast("long").alias("t")).first()["t"]
+    draws = pairs.select(
+        "center",
+        "context",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(k - 1).cast("long"))
+        ).alias("i"),
+    ).withColumn(
+        "r",
+        F.expr(
+            f"cast(conv(substring(md5(concat(center, '|', context, '|',"
+            f" cast(i as string), '|{salt}')), 1, 13), 16, 10) as bigint)"
+            f" % cast({total} as bigint)"
+        ),
+    )
+    return draws.join(
+        F.broadcast(cum), (F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi"))
+    ).select("center", "context", "i", F.col("tok").alias("neg"))

@@ -69,3 +69,42 @@ def test_pmi_matches_python(spark):
         for r in pmi_topk(docs, window=2, min_count=2, k=100).collect()
     }
     assert got == exp
+
+
+def test_negative_samples_replay(spark):
+    import hashlib
+
+    from ccl_spark.cooc import negative_samples
+
+    texts = {1: "a a a b b c", 2: "a b c d"}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "center string, context string"
+    )
+    got = {
+        (r.center, r.context, r.i): r.neg
+        for r in negative_samples(pairs, docs, k=3).collect()
+    }
+    # pure-Python replay of the md5-mod draw over the cumulative table
+    cnt: dict[str, int] = {}
+    for t in texts.values():
+        for w in t.split(" "):
+            cnt[w] = cnt.get(w, 0) + 1
+    order = sorted(cnt, key=lambda w: (-cnt[w], w))
+    total = sum(cnt.values())
+    cum = []
+    lo = 0
+    for w in order:
+        cum.append((w, lo, lo + cnt[w]))
+        lo += cnt[w]
+    exp = {}
+    for c, x in [("a", "b"), ("c", "d")]:
+        for i in range(3):
+            r = (
+                int(hashlib.md5(f"{c}|{x}|{i}|neg".encode()).hexdigest()[:13], 16)
+                % total
+            )
+            exp[(c, x, i)] = next(w for w, a, b in cum if a <= r < b)
+    assert got == exp
