@@ -2004,6 +2004,71 @@ e{t + 1} AS MATERIALIZED (SELECT e.a, e.b, e.p FROM e{t} e
     return "WITH " + ",".join(parts) + f"\nSELECT a AS u, b AS v FROM ({union}) t"
 
 
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Jones-Plassmann greedy coloring of the corpus
+    graph (md5 priorities; ready = no uncolored higher neighbor;
+    color = mex of colored neighbors); the oracle unrolls the same
+    rounds with headroom (empty no-ops past the fixpoint)."""
+    from ccl_spark.coloring import greedy_coloring
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return greedy_coloring(e)
+
+
+def _coloring_sql(rounds: int) -> str:
+    """Jones-Plassmann rounds unrolled: ready vertices (no uncolored
+    higher-(p,v) neighbor) take the mex of their colored neighbors."""
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+und AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM {src} WHERE src <> dst
+    UNION SELECT dst, src FROM {src} WHERE src <> dst)),
+u0 AS MATERIALIZED (SELECT DISTINCT s AS v,
+    ('0x' || substring(md5(CAST(s AS VARCHAR) || ',jp'), 1, 13))::BIGINT AS p
+    FROM und),
+col0 AS (SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS color
+         WHERE 1 = 0)"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""
+rd{t} AS MATERIALIZED (SELECT x.v FROM u{t} x WHERE NOT EXISTS (
+    SELECT 1 FROM und e JOIN u{t} n ON n.v = e.d
+    WHERE e.s = x.v AND (n.p > x.p OR (n.p = x.p AND n.v > x.v)))),
+us{t} AS MATERIALIZED (SELECT DISTINCT e.s AS v, c.color AS c
+    FROM und e JOIN rd{t} r ON r.v = e.s JOIN col{t} c ON c.vertex = e.d),
+nw{t} AS MATERIALIZED (SELECT v, MIN(c) AS color FROM (
+    SELECT cd.v, cd.c FROM (
+        SELECT r.v, UNNEST(range(0, COALESCE(n.n, 0) + 1)) AS c
+        FROM rd{t} r LEFT JOIN (SELECT v, COUNT(*) AS n FROM us{t} GROUP BY v) n
+          ON n.v = r.v) cd
+    WHERE NOT EXISTS (SELECT 1 FROM us{t} u WHERE u.v = cd.v AND u.c = cd.c)
+    ) z GROUP BY v),
+col{t + 1} AS MATERIALIZED (SELECT vertex, color FROM col{t}
+    UNION ALL SELECT v, CAST(color AS BIGINT) FROM nw{t}),
+u{t + 1} AS MATERIALIZED (SELECT u.v, u.p FROM u{t} u
+    WHERE NOT EXISTS (SELECT 1 FROM nw{t} w WHERE w.v = u.v))"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT vertex, color FROM col{rounds}"
+    )
+
+
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite butterfly (4-cycle) count of the directed corpus
+    graph — wedge-pair counting, C(c,2) per co-linked source pair,
+    integer-exact on both engines."""
+    from ccl_spark.graphstats import butterflies
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return butterflies(e.select("src", "dst"))
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the corpus graph (every surviving edge in ≥ 2
     triangles within the subgraph) — iterative support peel run to
@@ -2824,6 +2889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "mis": q_mis,
         "matching": q_matching,
+        "coloring": q_coloring,
+        "butterflies": q_butterflies,
         "modularity": q_modularity,
         "louvain": q_louvain,
         "degree_dist": q_degree_dist,
@@ -3558,6 +3625,19 @@ LIMIT 20
         "ktruss": _ktruss_sql(4, 6),
         "mis": _mis_sql(7),
         "matching": _matching_sql(14),
+        "coloring": _coloring_sql(18),
+        "butterflies": f"""
+WITH e AS (SELECT DISTINCT src AS s, dst AS d
+           FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet' WHERE src <> dst),
+wd AS (SELECT d AS w, COUNT(*) AS dg FROM e GROUP BY d),
+nb AS (SELECT e.d AS w, e.s AS n FROM e JOIN wd ON wd.w = e.d
+       WHERE wd.dg >= 2 AND wd.dg <= 10000),
+pairs AS (SELECT a.n AS u, b.n AS v, COUNT(*) AS c
+          FROM nb a JOIN nb b ON a.w = b.w AND a.n < b.n
+          GROUP BY a.n, b.n)
+SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_wedges,
+       CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT) AS n_butterflies
+FROM pairs""",
         "modularity": _modularity_sql(5),
         "louvain": _louvain_sql(3, 10),
         "degree_dist": f"""

@@ -498,3 +498,47 @@ def jaccard_links(
         )
     )
     return _top_nonadjacent(scores, und, k)
+
+
+def butterflies(
+    edges: DataFrame,
+    max_degree: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``(n_wedges long, n_butterflies long)`` — bipartite 4-cycle
+    (butterfly) count of the directed link graph viewed as a
+    src-side/dst-side bipartite graph: a butterfly is two source pages
+    that BOTH link to the same two destination pages (Wang et al.
+    2019, "Vertex priority based butterfly counting") — the bipartite
+    analogue of the triangle, and the standard cohesion motif for
+    host-to-page and page-to-resource graphs.
+
+    Counting is wedge-based and never enumerates 4-tuples: pairs of
+    sources sharing a destination are counted per (u, v) — c common
+    destinations yield C(c, 2) butterflies — so the cost is one capped
+    wedge join + one aggregate.  ``max_degree`` caps destination
+    fan-in exactly as in co-citation (a dropped hub is visible as a
+    lower count, never a wrong pair).  All counts integer-exact.
+    """
+    e = _directed(edges, src, dst)
+    wd = e.groupBy(F.col("d").alias("w")).agg(F.count(F.lit(1)).alias("dg"))
+    nb = e.select(F.col("d").alias("w"), F.col("s").alias("n")).join(
+        wd.filter((F.col("dg") >= 2) & (F.col("dg") <= max_degree)), "w"
+    )
+    a = nb.select("w", F.col("n").alias("u"))
+    b = nb.select("w", F.col("n").alias("v"))
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return pairs.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_wedges"),
+        F.coalesce(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_butterflies"),
+    )
