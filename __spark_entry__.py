@@ -2005,21 +2005,23 @@ e{t + 1} AS MATERIALIZED (SELECT e.a, e.b, e.p FROM e{t} e
 
 
 def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Jones-Plassmann greedy coloring of the corpus
-    graph (md5 priorities; ready = no uncolored higher neighbor;
-    color = mex of colored neighbors); the oracle unrolls the same
-    rounds with headroom (empty no-ops past the fixpoint)."""
+    """Deterministic Jones-Plassmann greedy coloring of the
+    quadratic-map graph (md5 priorities; ready = no uncolored higher
+    neighbor; color = mex of colored neighbors — 5 rounds, 4 colors);
+    the oracle unrolls the same rounds with headroom (empty no-ops
+    past the fixpoint).  Gate uses the 100-vertex quad graph for
+    budget (JP round count is priority-DAG depth: 21 rounds on the
+    1000-page corpus; tests replay the rounds exactly in pure
+    Python on random graphs)."""
     from ccl_spark.coloring import greedy_coloring
 
-    e = _corpus_edges(spark, 1000)
-    _dump_edges(spark, 1000)
-    return greedy_coloring(e)
+    return greedy_coloring(_edges_quad(spark, sf_dir))
 
 
 def _coloring_sql(rounds: int) -> str:
     """Jones-Plassmann rounds unrolled: ready vertices (no uncolored
     higher-(p,v) neighbor) take the mex of their colored neighbors."""
-    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    src = f"({_EDGES_QUAD_SQL})"
     parts = [
         f"""
 und AS MATERIALIZED (SELECT DISTINCT s, d FROM (
@@ -3625,7 +3627,7 @@ LIMIT 20
         "ktruss": _ktruss_sql(4, 6),
         "mis": _mis_sql(7),
         "matching": _matching_sql(14),
-        "coloring": _coloring_sql(18),
+        "coloring": _coloring_sql(8),
         "butterflies": f"""
 WITH e AS (SELECT DISTINCT src AS s, dst AS d
            FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet' WHERE src <> dst),

@@ -58,22 +58,37 @@ def greedy_coloring(
         .localCheckpoint(eager=True)
     )
     colored = spark.createDataFrame([], "vertex long, color long")
+    # newly's count doubles as the stop signal — the globally
+    # highest-priority uncolored vertex is always ready, so an empty
+    # round means the uncolored set is empty. colored stays a union of
+    # already-checkpointed per-round frames (measured faster than
+    # re-checkpointing the growing union each round at gate scale).
     for _ in range(max_rounds):
-        if uncolored.limit(1).count() == 0:
-            return colored
-        # uncolored higher-priority neighbor blocks readiness
-        nbr = und.join(
-            uncolored.select(F.col("v").alias("d"), F.col("p").alias("pn")), "d"
-        ).select(F.col("s").alias("v"), F.col("d").alias("n"), "pn")
-        blocked = (
-            nbr.join(uncolored, "v")
+        # max uncolored-neighbor priority per uncolored vertex (the MIS
+        # shape: one edge join + one map-side-partial struct-max), then
+        # ready = no uncolored neighbor outranks me
+        mx = (
+            und.join(uncolored.select(F.col("v").alias("s")), "s", "left_semi")
+            .join(
+                uncolored.select(
+                    F.col("v").alias("d"),
+                    F.col("p").alias("pn"),
+                    F.col("v").alias("vn"),
+                ),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.max(F.struct("pn", "vn")).alias("mx"))
+            .select(F.col("s").alias("v"), "mx")
+        )
+        ready = (
+            uncolored.join(mx, "v", "left")
             .filter(
-                F.struct(F.col("pn"), F.col("n")) > F.struct(F.col("p"), F.col("v"))
+                F.col("mx").isNull()
+                | (F.col("mx") < F.struct(F.col("p"), F.col("v")))
             )
             .select("v")
-            .distinct()
         )
-        ready = uncolored.join(blocked, "v", "left_anti").select("v")
         # mex over colored-neighbor colors
         used = (
             und.join(ready.withColumnRenamed("v", "s"), "s", "left_semi")
@@ -104,8 +119,12 @@ def greedy_coloring(
             .select(F.col("v").alias("vertex"), "color")
             .localCheckpoint(eager=True)
         )
-        colored = colored.unionByName(newly).localCheckpoint(eager=True)
+        if newly.count() == 0:
+            return colored
+        colored = colored.unionByName(newly)
         uncolored = uncolored.join(
             newly.select(F.col("vertex").alias("v")), "v", "left_anti"
         ).localCheckpoint(eager=True)
+    if uncolored.limit(1).count() == 0:
+        return colored
     raise RuntimeError(f"greedy_coloring: uncolored vertices after {max_rounds} rounds")

@@ -130,9 +130,10 @@ def maximal_matching(
     ).localCheckpoint(eager=True)
     spark = edges.sparkSession
     matched = spark.createDataFrame([], "u long, v long")
+    # winners' count doubles as the stop signal — the globally minimal
+    # live edge always wins, so an empty round means the live set is
+    # empty (no separate emptiness probe per round)
     for _ in range(max_rounds):
-        if live.limit(1).count() == 0:
-            return matched
         s = F.struct("p", "u", "v").alias("s")
         ep = live.select(F.col("u").alias("x"), s).unionByName(
             live.select(F.col("v").alias("x"), s)
@@ -147,6 +148,8 @@ def maximal_matching(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+        if winners.count() == 0:
+            return matched
         matched = matched.unionByName(winners)
         mv = (
             winners.select(F.col("u").alias("x"))
@@ -159,4 +162,6 @@ def maximal_matching(
             .select("u", "v", "p")
             .localCheckpoint(eager=True)
         )
+    if live.limit(1).count() == 0:
+        return matched
     raise RuntimeError(f"maximal_matching: live edges after {max_rounds} rounds")
