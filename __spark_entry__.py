@@ -2801,6 +2801,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_stack_ages": q_golden_stack_ages,
         "golden_dust_labels": q_golden_dust_labels,
         "tokens_ids": q_tokens_ids,
+        # job-count-heavy round-loop queries run while the budget is
+        # fresh (coloring ~11s, matching ~5s, core_numbers ~5s,
+        # eccentricity ~5s standalone)
+        "coloring": q_coloring,
+        "matching": q_matching,
+        "core_numbers": q_core_numbers,
+        "eccentricity": q_eccentricity,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
@@ -2868,9 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "harmonic": q_harmonic,
         "landmarks": q_landmarks,
-        "eccentricity": q_eccentricity,
         "katz": q_katz,
-        "core_numbers": q_core_numbers,
         "skipgram": q_skipgram,
         "pmi": q_pmi,
         "negatives": q_negatives,
@@ -2890,8 +2895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": q_node2vec,
         "ktruss": q_ktruss,
         "mis": q_mis,
-        "matching": q_matching,
-        "coloring": q_coloring,
         "butterflies": q_butterflies,
         "modularity": q_modularity,
         "louvain": q_louvain,
