@@ -1748,6 +1748,26 @@ def q_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(top, docs, k=5)
 
 
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill MLE of the vocabulary Zipf exponent (CSN 2009), tail
+    f >= 5 — powerlaw_alpha's estimator applied to term frequencies."""
+    from ccl_spark.textops import zipf_alpha
+
+    return zipf_alpha(_t(spark, sf_dir, "documents"), f_min=5)
+
+
+def q_doclen_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document token-length histogram — the length-filter
+    distribution every corpus pipeline reports (degree_dist's shape
+    applied to documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 collocations by PMI over the skipgram pair table
     (Church & Hanks 1990); counts integer-exact, one double div + ln
@@ -2879,6 +2899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram": q_skipgram,
         "pmi": q_pmi,
         "negatives": q_negatives,
+        "zipf": q_zipf,
+        "doclen_dist": q_doclen_dist,
         "boilerplate": q_boilerplate,
         "sessions": q_sessions,
         "repetition": q_repetition,
@@ -3365,6 +3387,18 @@ FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
         + """
 SELECT center, context, cnt FROM pairs
 ORDER BY cnt DESC, center, context LIMIT 100""",
+        "zipf": """
+WITH uni AS (
+    SELECT tok, COUNT(*) AS f FROM (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) t
+    GROUP BY tok HAVING COUNT(*) >= 5)
+SELECT ROUND(1.0 + COUNT(*) / SUM(LN(f / 4.5)), 6) AS alpha,
+       COUNT(*) AS n_tail
+FROM uni""",
+        "doclen_dist": """
+SELECT CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1""",
         "negatives": "WITH "
         + _SKIPGRAM_TOKS_SQL
         + """,

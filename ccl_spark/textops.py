@@ -604,3 +604,35 @@ def doc_fingerprint(
         F.xxhash64(norm).alias("text_hash"),
         F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias("fingerprint"),
     )
+
+
+def zipf_alpha(
+    docs: DataFrame,
+    f_min: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(alpha double, n_tail long)`` — Hill maximum-likelihood
+    estimate of the vocabulary's Zipf exponent,
+    alpha = 1 + n / Σ ln(f / (f_min − 1/2)) over terms with frequency
+    ≥ f_min (Clauset, Shalizi & Newman 2009 eq. 3.7 — the same
+    estimator powerlaw_alpha applies to degrees, here on term
+    frequencies).  The one-number summary of corpus lexical diversity:
+    natural text sits near alpha ≈ 2, template/spam mass pushes it
+    away.  One explode + one term-keyed count (map-side partials
+    absorb stopword skew) + one scalar aggregate."""
+    uni = (
+        docs.select(F.explode(_tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") >= f_min)
+    )
+    return uni.agg(
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("f").cast("double") / (f_min - 0.5))),
+            6,
+        ).alias("alpha"),
+        F.count(F.lit(1)).alias("n_tail"),
+    )
