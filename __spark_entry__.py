@@ -889,6 +889,47 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (m=64) distinct-user estimate over the event
+    stream — md5 registers with an exact integer leading-zero CASE
+    (no float log2), Σ2^-rho dyadic-exact, so the oracle rebuilds the
+    identical registers AND estimate."""
+    from ccl_spark.sketch import hll_build, hll_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_estimate(hll_build(ev, "user_id", b=6), b=6)
+
+
+def _hll_sql(b: int) -> str:
+    from ccl_spark.sketch import HLL_HASH_BITS
+
+    m = 1 << b
+    w = HLL_HASH_BITS - b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    branches = " ".join(
+        f"WHEN (h // {m}) >= {1 << (w - i)} THEN {i}" for i in range(1, w + 1)
+    )
+    # CAST: DuckDB parses bare decimal literals as DECIMAL(18), whose
+    # arithmetic overflows and differs from Spark's double semantics
+    raw = (
+        f"(CAST({alpha!r} AS DOUBLE) * {m * m}) / (s + ({m} - n_present))"
+    )
+    return f"""
+WITH h AS (SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ',hll'),
+                   1, 13))::BIGINT AS h FROM events),
+reg AS (SELECT h % {m} AS bucket,
+               MAX(CASE {branches} ELSE {w + 1} END) AS rho
+        FROM h GROUP BY 1),
+agg AS (SELECT COUNT(*) AS n_present,
+               COALESCE(SUM(POWER(2.0, -rho)), 0.0) AS s FROM reg)
+SELECT ROUND(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND n_present < {m}
+             THEN CAST({float(m)!r} AS DOUBLE)
+                  * LN(CAST({float(m)!r} AS DOUBLE) / ({m} - n_present))
+             ELSE {raw} END, 6) AS estimate,
+       CAST({m} - n_present AS BIGINT) AS n_zero
+FROM agg"""
+
+
 def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom membership (4096 bits, 3 hashes): filter built from the
     English documents' ids, probed with every document id — the
@@ -2860,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "charlm": q_charlm,
         "cms_heavy": q_cms_heavy,
+        "hll": q_hll,
         "bloom": q_bloom,
         "redirects": q_redirects,
         "sssp": q_sssp,
@@ -3747,6 +3789,7 @@ SELECT n_rich, n_edges_rich,
 FROM nr, er
 """,
         "salsa": _salsa_sql(3, 20),
+        "hll": _hll_sql(6),
         "cms_heavy": """
 WITH tf AS (SELECT token FROM (
         SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)

@@ -133,3 +133,89 @@ def cms_estimate(
         .groupBy("token")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------- HLL
+
+HLL_HASH_BITS = 52  # md5 prefix, 13 hex chars — same budget as cms/bloom
+
+
+def _hll_rho_case(v: str, w: int) -> str:
+    """SQL CASE computing rho(v) = position of the leftmost 1-bit of
+    the w-bit value ``v`` (all-zeros -> w+1), by exact integer
+    comparisons — no float log2, whose boundary rounding differs
+    between engines."""
+    branches = " ".join(
+        f"WHEN {v} >= {1 << (w - i)} THEN {i}" for i in range(1, w + 1)
+    )
+    return f"CASE {branches} ELSE {w + 1} END"
+
+
+def hll_build(
+    values: DataFrame, value_col: str, b: int = 6, salt: str = "hll"
+) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007): ``(bucket long,
+    rho long)`` — at most m = 2**b rows regardless of input size.  The
+    low b hash bits pick the register, the remaining bits' leading-
+    zero rank is max-aggregated — one groupBy over a projection, the
+    100-TB distinct-count primitive.  md5 hashing makes the registers
+    (not just the estimate) reproducible bit-for-bit across
+    partitionings and engines; registers merge by per-bucket MAX
+    (see :func:`hll_merge`), which is why the sketch distributes."""
+    m = 1 << b
+    w = HLL_HASH_BITS - b
+    h = (
+        f"cast(conv(substring(md5(concat(cast({value_col} as string),"
+        f" ',{salt}')), 1, 13), 16, 10) as bigint)"
+    )
+    return (
+        values.select(
+            F.expr(f"pmod({h}, {m})").alias("bucket"),
+            F.expr(_hll_rho_case(f"({h} div {m})", w)).cast("long").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two register tables built with the same (b, salt):
+    per-bucket MAX — the mergeability that makes HLL a one-pass
+    distributed sketch (shard-fold == whole-corpus build, tested)."""
+    return (
+        a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = 6) -> DataFrame:
+    """``(estimate double, n_zero long)`` — the HLL cardinality
+    estimate with the standard small-range (linear counting)
+    correction.  Σ 2^-rho over ≤ m dyadic terms is exact in doubles,
+    so the raw estimate is engine-identical; the linear-counting
+    branch adds one ln, absorbed by 6dp rounding."""
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)).alias(
+            "s_present"
+        ),
+    )
+    return agg.select(
+        F.round(
+            F.when(
+                (
+                    F.lit(alpha * m * m)
+                    / (F.col("s_present") + (F.lit(m) - F.col("n_present")))
+                    <= F.lit(2.5 * m)
+                )
+                & (F.col("n_present") < F.lit(m)),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_present"))),
+            ).otherwise(
+                F.lit(alpha * m * m)
+                / (F.col("s_present") + (F.lit(m) - F.col("n_present")))
+            ),
+            6,
+        ).alias("estimate"),
+        (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero"),
+    )

@@ -114,3 +114,47 @@ def test_cms_merge_equals_union_build(spark):
     em = {r["token"]: r["est"] for r in cms_estimate(merged, terms, depth, width).collect()}
     ed = {r["token"]: r["est"] for r in cms_estimate(direct, terms, depth, width).collect()}
     assert em == ed and em["a"] >= 5
+
+
+def test_hll_merge_equals_union_build(spark):
+    from ccl_spark.sketch import hll_build, hll_estimate, hll_merge
+
+    a = spark.range(0, 3000).selectExpr("id AS v")
+    b = spark.range(2000, 6000).selectExpr("id AS v")
+    whole = a.unionByName(b)
+    merged = hll_merge(hll_build(a, "v"), hll_build(b, "v"))
+    direct = hll_build(whole, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # and the folded estimate equals the whole-corpus estimate exactly
+    assert hll_estimate(merged).first() == hll_estimate(direct).first()
+
+
+def test_hll_estimate_accuracy(spark):
+    from ccl_spark.sketch import hll_build, hll_estimate
+
+    # m=64 -> typical relative error 1.04/sqrt(64) = 13%; assert a
+    # generous 3-sigma band so the test pins sanity, not luck
+    n = 10_000
+    df = spark.range(0, n).selectExpr("id AS v")
+    est = hll_estimate(hll_build(df, "v")).first()["estimate"]
+    assert abs(est - n) / n < 0.4
+    # duplicates must not move the estimate: cardinality, not count
+    dup = df.unionByName(df).unionByName(df)
+    est_dup = hll_estimate(hll_build(dup, "v")).first()["estimate"]
+    assert est_dup == est
+
+
+def test_hll_small_range_linear_counting(spark):
+    from ccl_spark.sketch import hll_build, hll_estimate
+
+    # 5 distinct values in 64 registers: the linear-counting branch
+    # m*ln(m/V) with V >= 59 empty registers
+    import math
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "v long")
+    row = hll_estimate(hll_build(df, "v")).first()
+    assert row["n_zero"] >= 59
+    exp = 64.0 * math.log(64.0 / row["n_zero"])
+    assert abs(row["estimate"] - round(exp, 6)) < 1e-9
