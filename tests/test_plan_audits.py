@@ -233,3 +233,56 @@ def test_funnel_plan_no_event_self_join_explosion(spark):
     # never an unkeyed event-table self join
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_skipgram_single_equijoin_no_python(spark):
+    from ccl_spark.cooc import pmi_topk, skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _executed(skipgram_pairs(docs, window=2))
+    # pair extraction is ONE hash equi-join on (doc_id, pos) — never a
+    # per-document quadratic non-equi self-join, never row Python
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1
+    assert "BatchEvalPython" not in plan
+    # PMI adds only marginal aggregates + one broadcast scalar
+    pmi_plan = _executed(pmi_topk(docs, window=2, min_count=1, k=5))
+    assert "BatchEvalPython" not in pmi_plan
+    assert "BroadcastExchange" in pmi_plan
+
+
+def test_negatives_vocab_is_broadcast(spark):
+    from ccl_spark.cooc import negative_samples
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([("a", "b")], "center string, context string")
+    plan = _executed(negative_samples(pairs, docs, k=3))
+    # the cumulative vocab table reaches the draws via a broadcast
+    # (range-condition join), never a shuffle of the pair stream
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hll_register_plan_is_one_aggregate(spark):
+    from ccl_spark.sketch import hll_build
+
+    df = spark.range(0, 100).selectExpr("id AS v")
+    plan = _executed(hll_build(df, "v"))
+    # one partial+final aggregate pair over a projection: exactly one
+    # exchange, no Python, output bounded by m regardless of input
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_core_numbers_round_no_python(spark):
+    from ccl_spark.kcore import core_numbers
+
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "src long, dst long"
+    )
+    assert "BatchEvalPython" not in _executed(core_numbers(e))
