@@ -930,6 +930,49 @@ SELECT ROUND(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND n_present < {m}
 FROM agg"""
 
 
+def q_hll_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct-user estimates — the
+    sketch-as-aggregation primitive (distinct per segment without a
+    count-distinct shuffle of raw keys); identical registers rebuilt
+    by the oracle."""
+    from ccl_spark.sketch import hll_build_grouped, hll_estimate_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_estimate_grouped(
+        hll_build_grouped(ev, "event_type", "user_id", b=6), b=6
+    ).withColumnRenamed("group", "event_type")
+
+
+def _hll_groups_sql(b: int) -> str:
+    from ccl_spark.sketch import HLL_HASH_BITS
+
+    m = 1 << b
+    w = HLL_HASH_BITS - b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    branches = " ".join(
+        f"WHEN (h // {m}) >= {1 << (w - i)} THEN {i}" for i in range(1, w + 1)
+    )
+    raw = (
+        f"(CAST({alpha!r} AS DOUBLE) * {m * m}) / (s + ({m} - n_present))"
+    )
+    return f"""
+WITH h AS (SELECT event_type,
+                  ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ',hll'),
+                   1, 13))::BIGINT AS h FROM events),
+reg AS (SELECT event_type, h % {m} AS bucket,
+               MAX(CASE {branches} ELSE {w + 1} END) AS rho
+        FROM h GROUP BY 1, 2),
+agg AS (SELECT event_type, COUNT(*) AS n_present,
+               SUM(POWER(2.0, -rho)) AS s FROM reg GROUP BY 1)
+SELECT event_type,
+       ROUND(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND n_present < {m}
+             THEN CAST({float(m)!r} AS DOUBLE)
+                  * LN(CAST({float(m)!r} AS DOUBLE) / ({m} - n_present))
+             ELSE {raw} END, 6) AS estimate,
+       CAST({m} - n_present AS BIGINT) AS n_zero
+FROM agg"""
+
+
 def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom membership (4096 bits, 3 hashes): filter built from the
     English documents' ids, probed with every document id — the
@@ -2902,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm": q_charlm,
         "cms_heavy": q_cms_heavy,
         "hll": q_hll,
+        "hll_groups": q_hll_groups,
         "bloom": q_bloom,
         "redirects": q_redirects,
         "sssp": q_sssp,
@@ -3790,6 +3834,7 @@ FROM nr, er
 """,
         "salsa": _salsa_sql(3, 20),
         "hll": _hll_sql(6),
+        "hll_groups": _hll_groups_sql(6),
         "cms_heavy": """
 WITH tf AS (SELECT token FROM (
         SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)

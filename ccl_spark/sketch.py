@@ -219,3 +219,59 @@ def hll_estimate(registers: DataFrame, b: int = 6) -> DataFrame:
         ).alias("estimate"),
         (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero"),
     )
+
+
+def hll_build_grouped(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL registers: ``(group, bucket, rho)`` — at most
+    m rows PER GROUP, the sketch-as-aggregation-primitive shape
+    (distinct users per segment/host/day at 100 TB without a
+    count-distinct shuffle of the raw keys).  Groups merge exactly
+    like whole sketches: per-(group, bucket) MAX."""
+    m = 1 << b
+    w = HLL_HASH_BITS - b
+    h = (
+        f"cast(conv(substring(md5(concat(cast({value_col} as string),"
+        f" ',{salt}')), 1, 13), 16, 10) as bigint)"
+    )
+    return (
+        values.select(
+            F.col(group_col).alias("group"),
+            F.expr(f"pmod({h}, {m})").alias("bucket"),
+            F.expr(_hll_rho_case(f"({h} div {m})", w)).cast("long").alias("rho"),
+        )
+        .groupBy("group", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(registers: DataFrame, b: int = 6) -> DataFrame:
+    """``(group, estimate, n_zero)`` — the per-group estimates from
+    :func:`hll_build_grouped` registers (same dyadic-exact raw branch
+    and linear-counting correction as :func:`hll_estimate`)."""
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_present"),
+    )
+    raw = F.lit(alpha * m * m) / (
+        F.col("s_present") + (F.lit(m) - F.col("n_present"))
+    )
+    return agg.select(
+        "group",
+        F.round(
+            F.when(
+                (raw <= F.lit(2.5 * m)) & (F.col("n_present") < F.lit(m)),
+                F.lit(float(m))
+                * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_present"))),
+            ).otherwise(raw),
+            6,
+        ).alias("estimate"),
+        (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero"),
+    )
