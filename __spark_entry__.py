@@ -626,6 +626,19 @@ def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return condensation_levels(e, labels=_quad_scc_labels(spark, sf_dir))
 
 
+def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest of the quadratic-map graph
+    under deterministic md5 edge weights (total (w,u,v) order → THE
+    unique MSF). Oracle = pinned parquet generated by a pure-Python
+    sequential KRUSKAL over the same edge set (an independent
+    algorithm, not an engine replay — the strongest pin in the
+    pinned-oracle family); tests additionally fuzz Borůvka vs Kruskal
+    on random graphs."""
+    from ccl_spark.mst import boruvka_msf
+
+    return boruvka_msf(_edges_quad(spark, sf_dir))
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the quadratic-map graph (iterative peel to fixpoint —
     3 cascading rounds at sf0.01); oracle = the same peel unrolled as
@@ -2928,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "scc": q_scc,
         "condensation": q_condensation,
+        "mst": q_mst,
         "bowtie": q_bowtie,
         "clustering": q_clustering,
         "ages": q_ages,
@@ -3120,6 +3134,7 @@ SELECT v.vertex,
 FROM verts v LEFT JOIN mutual m ON m.u = v.vertex
 GROUP BY v.vertex
 """,
+        "mst": f"SELECT u, v, w FROM '{_ORACLE_DIR}/pinned_mst_sf001.parquet'",
         "condensation": f"""
 WITH RECURSIVE
 e AS (SELECT src, dst FROM ({_EDGES_QUAD_SQL}) WHERE src <> dst),
