@@ -2923,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eccentricity ~5s standalone)
         "coloring": q_coloring,
         "matching": q_matching,
+        "mst": q_mst,
         "core_numbers": q_core_numbers,
         "eccentricity": q_eccentricity,
         "host_pagerank": q_host_pagerank,
@@ -2941,7 +2942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "scc": q_scc,
         "condensation": q_condensation,
-        "mst": q_mst,
         "bowtie": q_bowtie,
         "clustering": q_clustering,
         "ages": q_ages,
