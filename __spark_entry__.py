@@ -634,9 +634,38 @@ def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm, not an engine replay — the strongest pin in the
     pinned-oracle family); tests additionally fuzz Borůvka vs Kruskal
     on random graphs."""
+    return _quad_msf(spark, sf_dir)
+
+
+_MSF_MEMO: dict[tuple, DataFrame] = {}
+
+_SINGLE_LINKAGE_T = 1_500_000_000_000_000  # ~1/3 of the 52-bit weight range
+
+
+def _quad_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccl_spark.mst import boruvka_msf
 
-    return boruvka_msf(_edges_quad(spark, sf_dir))
+    key = (id(spark), sf_dir)
+    if key not in _MSF_MEMO:
+        _MSF_MEMO[key] = boruvka_msf(_edges_quad(spark, sf_dir)).localCheckpoint(
+            eager=True
+        )
+    return _MSF_MEMO[key]
+
+
+def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage clusters of the quad graph at a fixed weight
+    threshold — the Gower-Ross identity: CC of the MSF's
+    sub-threshold edges (reuses the memoized Borůvka forest, so the
+    gate pays only a CC over ≤99 edges); oracle = recursive closure
+    over the pinned Kruskal forest."""
+    from ccl_spark.mst import single_linkage
+
+    return single_linkage(
+        _edges_quad(spark, sf_dir),
+        threshold=_SINGLE_LINKAGE_T,
+        msf=_quad_msf(spark, sf_dir),
+    )
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2924,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring": q_coloring,
         "matching": q_matching,
         "mst": q_mst,
+        "single_linkage": q_single_linkage,
         "core_numbers": q_core_numbers,
         "eccentricity": q_eccentricity,
         "host_pagerank": q_host_pagerank,
@@ -3135,6 +3165,22 @@ FROM verts v LEFT JOIN mutual m ON m.u = v.vertex
 GROUP BY v.vertex
 """,
         "mst": f"SELECT u, v, w FROM '{_ORACLE_DIR}/pinned_mst_sf001.parquet'",
+        "single_linkage": f"""
+WITH RECURSIVE
+ke AS (SELECT u, v FROM '{_ORACLE_DIR}/pinned_mst_sf001.parquet'
+       WHERE w <= {_SINGLE_LINKAGE_T}),
+verts AS (SELECT DISTINCT x AS vertex FROM (
+    SELECT src AS x FROM ({_EDGES_QUAD_SQL}) UNION SELECT dst FROM ({_EDGES_QUAD_SQL}))),
+und AS (SELECT u AS s, v AS d FROM ke UNION SELECT v, u FROM ke),
+reach(a, b) AS (
+    SELECT s, d FROM und
+    UNION
+    SELECT r.a, u.d FROM reach r JOIN und u ON u.s = r.b
+)
+SELECT v.vertex,
+       LEAST(v.vertex, COALESCE(MIN(r.b), v.vertex)) AS cluster
+FROM verts v LEFT JOIN reach r ON r.a = v.vertex
+GROUP BY v.vertex""",
         "condensation": f"""
 WITH RECURSIVE
 e AS (SELECT src, dst FROM ({_EDGES_QUAD_SQL}) WHERE src <> dst),

@@ -134,3 +134,34 @@ def boruvka_msf(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"boruvka_msf: components still mergeable after {max_rounds} rounds")
+
+
+def single_linkage(
+    edges: DataFrame,
+    threshold: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    msf: DataFrame | None = None,
+) -> DataFrame:
+    """``(vertex long, cluster long)`` — single-linkage clustering at
+    ``threshold``: two vertices share a cluster iff a path of edges
+    with weight ≤ threshold connects them.  The classic identity
+    (Gower & Ross 1969): that partition is exactly the connected
+    components of the MSF's sub-threshold edges, so the expensive part
+    is computed ONCE (pass a precomputed ``msf`` to cluster the same
+    graph at many thresholds — the dendrogram-serving shape).
+    Vertices above every threshold edge become singleton clusters
+    (cluster = own id, the CC label convention)."""
+    if msf is None:
+        msf = boruvka_msf(edges, src, dst, weight_col=weight_col)
+    keep = msf.filter(F.col("w") <= F.lit(threshold))
+    verts = (
+        edges.select(F.col(src).cast("long").alias("vertex"))
+        .unionByName(edges.select(F.col(dst).cast("long").alias("vertex")))
+        .distinct()
+    )
+    lab = connected_components(keep.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    return verts.join(lab, "vertex", "left").select(
+        "vertex", F.coalesce("component", "vertex").alias("cluster")
+    )

@@ -85,3 +85,20 @@ def test_boruvka_quad_matches_pinned_kruskal(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_single_linkage_thresholds(spark):
+    from ccl_spark.mst import boruvka_msf, single_linkage
+
+    # chain 0-1-2-3 with weights 1, 5, 2: cutting at t=2 separates {0,1},{2,3}
+    edges = [(0, 1, 1), (1, 2, 5), (2, 3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long, wt long")
+    msf = boruvka_msf(df, weight_col="wt")
+    at2 = {r.vertex: r.cluster for r in single_linkage(df, 2, weight_col="wt", msf=msf).collect()}
+    assert at2[0] == at2[1] and at2[2] == at2[3] and at2[0] != at2[2]
+    # t >= max weight: one cluster
+    at5 = {r.vertex: r.cluster for r in single_linkage(df, 5, weight_col="wt", msf=msf).collect()}
+    assert len(set(at5.values())) == 1
+    # t below every weight: all singletons labeled by own id
+    at0 = {r.vertex: r.cluster for r in single_linkage(df, 0, weight_col="wt", msf=msf).collect()}
+    assert at0 == {v: v for v in range(4)}
