@@ -1874,6 +1874,68 @@ def q_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(top, docs, k=5)
 
 
+def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised seeded propagation on the corpus graph: the 4
+    top-degree hubs seed classes (hub id mod 3) and hold them fixed, 4
+    synchronous rounds of most-frequent-labeled-neighbor adoption
+    (count DESC, label ASC). Oracle = the same rounds as chained
+    CTEs."""
+    from ccl_spark.lpa import label_spreading
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    und = e.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+    deg = (
+        und.unionByName(und.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    seeds = (
+        deg.orderBy(F.desc("dg"), F.asc("s"))
+        .limit(4)
+        .select(
+            F.col("s").alias("vertex"),
+            F.pmod(F.col("s"), F.lit(3)).cast("long").alias("label"),
+        )
+    )
+    return label_spreading(e, seeds, n_iter=4)
+
+
+def _label_spreading_sql(n_iter: int) -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+und AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM {src} WHERE src <> dst
+    UNION SELECT dst, src FROM {src} WHERE src <> dst)),
+dg AS (SELECT s, COUNT(*) AS dg FROM und GROUP BY s),
+seeds AS MATERIALIZED (SELECT s AS vertex,
+    CAST(s % 3 + CASE WHEN s % 3 < 0 THEN 3 ELSE 0 END AS BIGINT) AS label
+    FROM dg ORDER BY dg DESC, s LIMIT 4),
+st0 AS (SELECT vertex, label FROM seeds)"""
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"""
+vt{t} AS (SELECT e.s AS vertex, st.label, COUNT(*) AS n
+    FROM und e JOIN st{t} st ON st.vertex = e.d GROUP BY 1, 2),
+tp{t} AS (SELECT vertex, label FROM (
+    SELECT vertex, label,
+           ROW_NUMBER() OVER (PARTITION BY vertex ORDER BY n DESC, label) AS rn
+    FROM vt{t}) z WHERE rn = 1),
+st{t + 1} AS MATERIALIZED (SELECT vertex, label FROM seeds
+    UNION ALL SELECT t.vertex, t.label FROM tp{t} t
+    WHERE NOT EXISTS (SELECT 1 FROM seeds s WHERE s.vertex = t.vertex))"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT vertex, label FROM st{n_iter}"
+    )
+
+
 def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill MLE of the vocabulary Zipf exponent (CSN 2009), tail
     f >= 5 — powerlaw_alpha's estimator applied to term frequencies."""
@@ -3031,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negatives": q_negatives,
         "zipf": q_zipf,
         "doclen_dist": q_doclen_dist,
+        "label_spreading": q_label_spreading,
         "boilerplate": q_boilerplate,
         "sessions": q_sessions,
         "repetition": q_repetition,
@@ -3534,6 +3597,7 @@ FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
         + """
 SELECT center, context, cnt FROM pairs
 ORDER BY cnt DESC, center, context LIMIT 100""",
+        "label_spreading": _label_spreading_sql(4),
         "zipf": """
 WITH uni AS (
     SELECT tok, COUNT(*) AS f FROM (

@@ -478,3 +478,29 @@ def test_pivot_eccentricity_path(spark):
     )
     got = {r.p: r.ecc for r in pivot_eccentricity(edges, n_pivots=2, max_depth=8).collect()}
     assert got == {1: 3, 2: 2}
+
+
+def test_label_spreading_seeds_fixed_and_frontier(spark):
+    from ccl_spark.lpa import label_spreading
+
+    # path 0-1-2-3-4 with seeds 0->label 7 and 4->label 9: after 1
+    # round only neighbors are labeled; seeds never change; the middle
+    # vertex 2 sees both frontiers at round 2 and takes the SMALLER
+    # label on the tie (7)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0, 7), (4, 9)], "vertex long, label long")
+    r1 = {r.vertex: r.label for r in label_spreading(e, seeds, n_iter=1).collect()}
+    assert r1 == {0: 7, 4: 9, 1: 7, 3: 9}
+    r2 = {r.vertex: r.label for r in label_spreading(e, seeds, n_iter=2).collect()}
+    assert r2 == {0: 7, 4: 9, 1: 7, 3: 9, 2: 7}
+    # majority beats tie-break: two label-9 neighbors outvote one 7
+    e2 = spark.createDataFrame(
+        [(10, 0), (10, 4), (10, 5)], "src long, dst long"
+    )
+    seeds2 = spark.createDataFrame(
+        [(0, 7), (4, 9), (5, 9)], "vertex long, label long"
+    )
+    g = {r.vertex: r.label for r in label_spreading(e2, seeds2, n_iter=1).collect()}
+    assert g[10] == 9
