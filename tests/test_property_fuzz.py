@@ -156,3 +156,67 @@ def test_sssp_matches_dijkstra(spark, edges):
     e2 = list(best)
     w2 = [best[e] for e in e2]
     assert got == _py_sssp(e2, source, w2)
+
+
+@FUZZ
+@given(edges=edges_strategy)
+def test_boruvka_matches_kruskal_fuzz(spark, edges):
+    import hashlib
+
+    from ccl_spark.mst import boruvka_msf
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.u, r.v, r.w) for r in boruvka_msf(df).collect()}
+    canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    exp = set()
+    wedges = sorted(
+        (
+            int(hashlib.md5(f"{u},{v},mstw".encode()).hexdigest()[:13], 16),
+            u,
+            v,
+        )
+        for u, v in canon
+    )
+    for w, u, v in wedges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            exp.add((u, v, w))
+    assert got == exp
+
+
+@FUZZ
+@given(edges=edges_strategy)
+def test_core_numbers_matches_peel_fuzz(spark, edges):
+    from ccl_spark.kcore import core_numbers
+    from tests.test_kcore import _peel_coreness
+
+    simple = [(u, v) for u, v in edges if u != v]
+    if not simple:
+        return
+    df = spark.createDataFrame(simple, "src long, dst long")
+    got = {r.vertex: r.core for r in core_numbers(df).collect()}
+    assert got == _peel_coreness(simple)
+
+
+@FUZZ
+@given(edges=edges_strategy)
+def test_matching_is_maximal_matching_fuzz(spark, edges):
+    from ccl_spark.mis import maximal_matching
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.u, r.v) for r in maximal_matching(df).collect()}
+    flat = [x for e in got for x in e]
+    assert len(flat) == len(set(flat))  # a matching
+    mv = set(flat)
+    for u, v in edges:
+        if u != v:
+            assert u in mv or v in mv  # maximal
