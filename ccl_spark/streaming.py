@@ -279,3 +279,65 @@ def running_ages(events: DataFrame, key_col: str = "user_id") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def latest_hll_registers(spark, root: str, before: int | None = None):
+    """(version, registers DataFrame) of the newest COMPLETE HLL
+    register snapshot under ``root`` written by streaming_hll, or None
+    — the same _SUCCESS/before contract as latest_cc_labels."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    rootp = jvm_path(root)
+    fs = rootp.getFileSystem(conf)
+    if not fs.exists(rootp):
+        return None
+    versions = []
+    for status in fs.listStatus(rootp):
+        name = status.getPath().getName()
+        if name.startswith("registers_v"):
+            v = int(name[len("registers_v"):])
+            if before is not None and v >= before:
+                continue
+            if fs.exists(jvm_path(f"{root}/registers_v{v}/_SUCCESS")):
+                versions.append(v)
+    if not versions:
+        return None
+    best = max(versions)
+    return best, spark.read.parquet(f"{root}/registers_v{best}")
+
+
+def hll_fold_batch(
+    batch_df: DataFrame, batch_id: int, root: str, value_col: str, b: int = 6
+) -> None:
+    """One streaming_hll microbatch fold: build the batch's registers,
+    per-bucket-MAX them into the previous snapshot, write
+    ``registers_v{batch_id}``.  REPLAY-IDEMPOTENT like cc_fold_batch:
+    only snapshots strictly below batch_id are read, so a replayed
+    batch recomputes the identical merge instead of consuming its own
+    half-written output."""
+    from .sketch import hll_build, hll_merge
+
+    spark = batch_df.sparkSession
+    new = hll_build(batch_df, value_col, b=b)
+    latest = latest_hll_registers(spark, root, before=batch_id)
+    merged = new if latest is None else hll_merge(latest[1], new)
+    merged.write.mode("overwrite").parquet(f"{root}/registers_v{batch_id}")
+
+
+def streaming_hll(
+    value_stream: DataFrame, root: str, value_col: str, b: int = 6
+):
+    """Continuous distinct-count maintenance: each microbatch's HLL
+    registers MAX-merge into the persisted snapshot — because the
+    merge is the sketch's own associative/commutative/idempotent
+    fold, the final registers equal a from-scratch build over every
+    row seen, in ANY batch split (pinned by
+    tests/test_streaming.py::test_streaming_hll_parity), and replays
+    cannot inflate the estimate (MAX is idempotent — the property
+    that makes HLL, unlike a raw counter, safe under at-least-once
+    delivery).  Returns the DataStreamWriter — caller sets
+    checkpointLocation / trigger and calls .start()."""
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        hll_fold_batch(batch_df, batch_id, root, value_col, b)
+
+    return value_stream.writeStream.foreachBatch(fold)

@@ -233,3 +233,46 @@ def test_sessionize_batch_gap_semantics(spark):
         (1, "11:10"): ("11:40", 1),
         (2, "09:00"): ("09:30", 1),
     }
+
+
+def test_streaming_hll_parity(spark, tmp_path):
+    """Distinct-count fold-in: stream values in 3 file-batches with
+    overlap between batches; the folded registers (and estimate) must
+    equal a from-scratch build over the union — MAX-merge is
+    idempotent, so overlapping/replayed rows cannot inflate it."""
+    from ccl_spark.sketch import hll_build, hll_estimate
+    from ccl_spark.streaming import latest_hll_registers, streaming_hll
+
+    src_dir = tmp_path / "vals_in"
+    src_dir.mkdir()
+    chunks = [range(0, 500), range(400, 900), range(800, 1200)]  # overlaps
+    for i, ch in enumerate(chunks):
+        spark.createDataFrame([(v,) for v in ch], "v long").coalesce(1).write.parquet(
+            str(src_dir / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    root = str(tmp_path / "hll_snapshots")
+    q = (
+        streaming_hll(stream, root, "v")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    latest = latest_hll_registers(spark, root)
+    assert latest is not None
+    _, regs = latest
+    whole = spark.createDataFrame([(v,) for v in range(1200)], "v long")
+    direct = hll_build(whole, "v")
+    assert sorted(map(tuple, regs.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert (
+        hll_estimate(regs).first()["estimate"]
+        == hll_estimate(direct).first()["estimate"]
+    )
