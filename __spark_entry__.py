@@ -475,6 +475,57 @@ def q_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("vertex", F.round("rank", 6).alias("rank"))
 
 
+def q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch personalized PageRank: top-5 per seed for 3 seeds in one
+    job over sparse (seed, vertex) state — the related-pages serving
+    shape; oracle unrolls the same fixed iterations with the seed
+    dimension in every CTE."""
+    from ccl_spark.pagerank import ppr_batch
+
+    return ppr_batch(
+        _edges_small(spark, sf_dir), seeds=PPR_SEEDS, n_iter=8, k=5
+    )
+
+
+def _ppr_batch_sql(iters: int, seeds: list[int], k: int) -> str:
+    vals = ", ".join(f"({int(s)})" for s in seeds)
+    parts = [
+        f"""
+e AS MATERIALIZED ({_EDGES_SQL}),
+outdeg AS MATERIALIZED (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS deg
+    FROM e GROUP BY src),
+seeds AS (SELECT CAST(seed AS BIGINT) AS seed FROM (VALUES {vals}) s(seed)),
+pr0 AS (SELECT seed, seed AS vertex, CAST(1.0 AS DOUBLE) AS r FROM seeds)"""
+    ]
+    for t in range(1, iters + 1):
+        p = f"pr{t - 1}"
+        parts.append(
+            f"""
+dang{t} AS (SELECT seed, COALESCE(SUM(r), 0) AS dg FROM {p}
+    LEFT JOIN outdeg USING (vertex) WHERE deg IS NULL GROUP BY seed),
+contrib{t} AS (SELECT p.seed, e.dst AS vertex, SUM(p.r / o.deg) AS c
+    FROM {p} p JOIN outdeg o USING (vertex)
+    JOIN e ON e.src = p.vertex GROUP BY p.seed, e.dst),
+pr{t} AS MATERIALIZED (SELECT seed, vertex, SUM(r) AS r FROM (
+    SELECT seed, vertex, {DAMPING} * c AS r FROM contrib{t}
+    UNION ALL
+    SELECT s.seed, s.seed AS vertex,
+           (1 - {DAMPING}) + {DAMPING} * COALESCE(dg.dg, 0) AS r
+    FROM seeds s LEFT JOIN dang{t} dg USING (seed)
+) z GROUP BY seed, vertex)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT seed, vertex, rank FROM (
+    SELECT seed, vertex, ROUND(r, 6) AS rank,
+           ROW_NUMBER() OVER (PARTITION BY seed
+               ORDER BY ROUND(r, 6) DESC, vertex) AS rn
+    FROM pr{iters}) z WHERE rn <= {k}"""
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities, fixed 6 iterations (chained-CTE
     oracle replays the identical normalize-after-each-half-step
@@ -3016,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching": q_matching,
         "mst": q_mst,
         "single_linkage": q_single_linkage,
+        "ppr_batch": q_ppr_batch,
         "core_numbers": q_core_numbers,
         "eccentricity": q_eccentricity,
         "host_pagerank": q_host_pagerank,
@@ -3156,6 +3208,7 @@ HAVING COUNT(*) >= 3
 """,
         "pagerank": _pagerank_sql(PR_ITERS),
         "pagerank_seeded": _pagerank_sql(PPR_ITERS, seeds=PPR_SEEDS),
+        "ppr_batch": _ppr_batch_sql(8, PPR_SEEDS, 5),
         "hits": _hits_sql(6),
         "salted_degrees": f"""
 WITH e AS ({_EDGES_SQL})

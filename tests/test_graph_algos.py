@@ -504,3 +504,31 @@ def test_label_spreading_seeds_fixed_and_frontier(spark):
     )
     g = {r.vertex: r.label for r in label_spreading(e2, seeds2, n_iter=1).collect()}
     assert g[10] == 9
+
+
+def test_ppr_batch_matches_single_seed_pagerank(spark):
+    from ccl_spark.pagerank import pagerank, ppr_batch
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 0)], "src long, dst long"
+    )
+    batch = ppr_batch(e, seeds=[0, 3], n_iter=6, k=4)
+    got = {
+        s: {(r.vertex, r.rank) for r in batch.filter(batch.seed == s).collect()}
+        for s in (0, 3)
+    }
+    from pyspark.sql import functions as SF
+
+    for s in (0, 3):
+        # ppr_batch state is sparse (only reached vertices); the dense
+        # single-seed ranking pads top-k with exact-0 rows — compare
+        # the positive-mass rows
+        single = (
+            pagerank(e, tol=0.0, max_iter=6, seeds=[s])
+            .filter(SF.col("rank") > 0)
+            .select("vertex", SF.round("rank", 6).alias("rank"))
+            .orderBy(SF.desc("rank"), SF.asc("vertex"))
+            .limit(4)
+        )
+        exp = {(r.vertex, r.rank) for r in single.collect()}
+        assert got[s] == exp, (s, got[s], exp)
