@@ -1341,6 +1341,22 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023): embedding
+    near-dup pairs -> transitive clusters -> min-id keep-set — the
+    composition a training pipeline runs over embedding space instead
+    of n-grams. Oracle = recursive min-label closure over the SAME
+    pinned pair table the emb_near_dup oracle scans (every pinned
+    cosine independently verified by numpy at pin time)."""
+    from ccl_spark.dedup import dup_clusters
+    from ccl_spark.similarity import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+    return dup_clusters(pairs).select("cluster_id", "doc_id", "keep")
+
+
 def q_emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine layer (integer-quantized arithmetic so
     Spark and DuckDB agree bit-for-bit)."""
@@ -3128,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "simhash": q_simhash,
         "emb_near_dup": q_emb_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "emb_near_dup_exact": q_emb_near_dup_exact,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3718,6 +3735,22 @@ FROM a LEFT JOIN reb ON reb.url = a.url AND reb.host = a.host
         # tests/test_pinned_oracles.py)
         "fingerprint": f"SELECT * FROM '{_ORACLE_DIR}/pinned_fingerprint_sf001.parquet'",
         "simhash": f"SELECT * FROM '{_ORACLE_DIR}/pinned_simhash_sf001.parquet'",
+        "semantic_dedup": f"""
+WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM '{_ORACLE_DIR}/pinned_emb_near_dup_sf001.parquet'),
+und AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+verts AS (SELECT DISTINCT s AS doc_id FROM und),
+reach(a, b) AS (
+    SELECT s, d FROM und
+    UNION
+    SELECT r.a, u.d FROM reach r JOIN und u ON u.s = r.b
+),
+lab AS (SELECT v.doc_id,
+        LEAST(v.doc_id, COALESCE(MIN(r.b), v.doc_id)) AS cluster_id
+        FROM verts v LEFT JOIN reach r ON r.a = v.doc_id GROUP BY v.doc_id)
+SELECT cluster_id, doc_id,
+       CAST(doc_id = cluster_id AS BIGINT) AS keep
+FROM lab""",
         "emb_near_dup": f"SELECT * FROM '{_ORACLE_DIR}/pinned_emb_near_dup_sf001.parquet'",
         "ann_lsh_topk": f"SELECT * FROM '{_ORACLE_DIR}/pinned_ann_lsh_topk_sf001.parquet'",
         "ann_ivf_topk": f"SELECT * FROM '{_ORACLE_DIR}/pinned_ann_ivf_topk_sf001.parquet'",
