@@ -2896,19 +2896,12 @@ GROUP BY 1, 2
 """
 
 
-def _host_pagerank_sql(iters: int) -> str:
-    """Weighted fixed-iteration PageRank over the host graph as
-    chained CTEs (mirrors the engine's weighted update: contrib =
-    r * w / sum-of-out-weights; dangling/n in the update)."""
-    pre = f"""
-WITH
-e AS MATERIALIZED ({_HOST_EDGES_SQL}),
-verts AS MATERIALIZED (SELECT DISTINCT v AS vertex FROM
-          (SELECT src AS v FROM e UNION SELECT dst FROM e)),
-nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
-outdeg AS MATERIALIZED (SELECT src AS vertex, SUM(w) AS deg FROM e GROUP BY src),
-pr0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) AS r FROM verts)
-"""
+def _wpr_steps(iters: int) -> str:
+    """The weighted fixed-iteration PageRank rounds as chained CTEs
+    (mirrors the engine's weighted update: contrib = r * w /
+    sum-of-out-weights; dangling/n in the update).  Expects CTEs named
+    ``e (src, dst, w)``, ``verts``, ``nn``, ``outdeg``, ``pr0`` to be
+    in scope — shared by host_pagerank and textrank oracles."""
     steps = []
     for k in range(1, iters + 1):
         p = f"pr{k - 1}"
@@ -2924,9 +2917,22 @@ pr{k} AS MATERIALIZED (SELECT v.vertex,
           + {DAMPING} * (COALESCE(c.c, 0) + (SELECT d FROM dang{k}) / (SELECT n FROM nn)) AS r
           FROM verts v LEFT JOIN contrib{k} c USING (vertex))"""
         )
+    return "".join(steps)
+
+
+def _host_pagerank_sql(iters: int) -> str:
+    pre = f"""
+WITH
+e AS MATERIALIZED ({_HOST_EDGES_SQL}),
+verts AS MATERIALIZED (SELECT DISTINCT v AS vertex FROM
+          (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+outdeg AS MATERIALIZED (SELECT src AS vertex, SUM(w) AS deg FROM e GROUP BY src),
+pr0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) AS r FROM verts)
+"""
     return (
         pre
-        + "".join(steps)
+        + _wpr_steps(iters)
         + f"\nSELECT 'host' || CAST(vertex AS VARCHAR) || '.example.com' AS host,"
         f" ROUND(r, 6) AS rank FROM pr{iters}"
     )
@@ -3057,6 +3063,164 @@ def _grams_sql(n: int) -> str:
     return f"list_transform(range(1, len(l) - {n - 2}), i -> {parts})"
 
 
+BM25_QUERIES = [
+    (1, "hash"), (1, "join"),
+    (2, "window"), (2, "sort"),
+    (3, "stream"), (3, "batch"),
+]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-10 documents for each of three fixed
+    2-term queries over the documents corpus (Okapi k1=1.2, b=0.75,
+    Lucene always-positive idf). Per-(query, doc) the score sums ≤2
+    per-term doubles — commutative, so the pre-round value matches the
+    oracle exactly."""
+    from ccl_spark.retrieval import bm25_topk
+
+    q = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    return bm25_topk(_t(spark, sf_dir, "documents"), q, k=10)
+
+
+def _bm25_sql(k: int) -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+WITH q(query_id, term) AS (SELECT DISTINCT * FROM (VALUES {vals})),
+tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+              (SELECT CAST(SUM(tf) AS DOUBLE) FROM tf) AS tot),
+sc AS (SELECT q.query_id, tf.doc_id,
+              ROUND(SUM(LN(1.0 + (n - df + 0.5) / (df + 0.5))
+                        * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (tot / n)))), 6) AS score
+       FROM tf JOIN q ON q.term = tf.term
+       JOIN dl USING (doc_id) JOIN dfreq ON dfreq.term = tf.term, st
+       GROUP BY 1, 2),
+rk AS (SELECT query_id, doc_id, score,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS rn FROM sc)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       score FROM rk WHERE rn <= {k}
+"""
+
+
+TEXTRANK_ITERS = 4
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: weighted fixed-iteration PageRank
+    over the skipgram co-occurrence graph, top-20 terms. The oracle
+    rebuilds the identical graph from the shared skipgram-toks CTEs,
+    dictionary-encodes terms by the same sorted ROW_NUMBER, and
+    replays the weighted rounds via the shared _wpr_steps CTEs."""
+    from ccl_spark.cooc import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"), window=2, n_iter=TEXTRANK_ITERS, k=20
+    )
+
+
+def _textrank_sql(iters: int, k: int) -> str:
+    return (
+        "WITH "
+        + _SKIPGRAM_TOKS_SQL
+        + """,
+ids AS MATERIALIZED (SELECT term,
+        CAST(ROW_NUMBER() OVER (ORDER BY term) AS BIGINT) AS vid
+        FROM (SELECT DISTINCT center AS term FROM pairs)),
+e AS MATERIALIZED (SELECT a.vid AS src, b.vid AS dst, CAST(cnt AS DOUBLE) AS w
+     FROM pairs JOIN ids a ON a.term = pairs.center
+     JOIN ids b ON b.term = pairs.context),
+verts AS MATERIALIZED (SELECT vid AS vertex FROM ids),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+outdeg AS MATERIALIZED (SELECT src AS vertex, SUM(w) AS deg FROM e GROUP BY src),
+pr0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) AS r FROM verts)"""
+        + _wpr_steps(iters)
+        + f"""
+SELECT ids.term AS keyword, ROUND(r, 6) AS rank
+FROM pr{iters} JOIN ids ON ids.vid = pr{iters}.vertex
+ORDER BY ROUND(r, 6) DESC, keyword LIMIT {k}"""
+    )
+
+
+def q_tri_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle estimate on the corpus graph: keep
+    each canonical edge iff a deterministic md5 draw % 2 == 0, count
+    triangles exactly on the sample, scale by 2^3 — integer-exact, so
+    the oracle replays the identical sample and estimate."""
+    from ccl_spark.triangles import sampled_triangle_estimate
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return sampled_triangle_estimate(e, sample_mod=2)
+
+
+def _tri_sampled_sql() -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    return f"""
+WITH ce AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM {src} WHERE src <> dst),
+samp AS MATERIALIZED (SELECT u, v FROM ce
+        WHERE ('0x' || substring(md5(CAST(u AS VARCHAR) || ',' ||
+                                     CAST(v AS VARCHAR) || ',doulion'),
+                                 1, 15))::BIGINT % 2 = 0),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM samp ab JOIN samp bc ON ab.v = bc.u
+        JOIN samp ac ON ac.u = ab.u AND ac.v = bc.v)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS n_edges_sampled,
+       t AS n_triangles_sampled, CAST(t * 8 AS BIGINT) AS est_triangles
+FROM tri
+"""
+
+
+SIMRANK_ITERS = 3
+
+
+def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank structural similarity (3 fixed iterations, C=0.5) on
+    the directed corpus graph — top-20 off-diagonal pairs. The oracle
+    unrolls the pair-state recurrence as chained CTEs."""
+    from ccl_spark.simrank import simrank_topk
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return simrank_topk(e, max_iter=SIMRANK_ITERS, k=20)
+
+
+def _simrank_sql(iters: int, k: int) -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM {src}
+                   WHERE src <> dst),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+          (SELECT s AS v FROM e UNION SELECT d FROM e)),
+ind AS MATERIALIZED (SELECT d, COUNT(*) AS ind FROM e GROUP BY d),
+s0 AS (SELECT v AS a, v AS b, CAST(1.0 AS DOUBLE) AS sc FROM verts)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+s{t} AS MATERIALIZED (
+  SELECT ea.d AS a, eb.d AS b, 0.5 * SUM(p.sc) / (ia.ind * ib.ind) AS sc
+  FROM s{t - 1} p JOIN e ea ON ea.s = p.a JOIN e eb ON eb.s = p.b
+  JOIN ind ia ON ia.d = ea.d JOIN ind ib ON ib.d = eb.d
+  WHERE ea.d <> eb.d
+  GROUP BY ea.d, eb.d, ia.ind, ib.ind
+  UNION ALL SELECT v, v, CAST(1.0 AS DOUBLE) FROM verts)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT a AS u, b AS v, ROUND(sc, 6) AS score FROM s{iters}
+WHERE a < b ORDER BY ROUND(sc, 6) DESC, u, v LIMIT {k}"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -3086,6 +3250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_batch": q_ppr_batch,
         "core_numbers": q_core_numbers,
         "eccentricity": q_eccentricity,
+        "simrank": q_simrank,
+        "textrank": q_textrank,
+        "bm25": q_bm25,
+        "tri_sampled": q_tri_sampled,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
@@ -3889,6 +4057,10 @@ SELECT s AS src_host, d AS dst_host, CAST(COUNT(*) AS BIGINT) AS weight
 FROM p WHERE s <> d GROUP BY s, d
 """,
         "host_pagerank": _host_pagerank_sql(HOST_PR_ITERS),
+        "simrank": _simrank_sql(SIMRANK_ITERS, 20),
+        "textrank": _textrank_sql(TEXTRANK_ITERS, 20),
+        "bm25": _bm25_sql(10),
+        "tri_sampled": _tri_sampled_sql(),
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so
         # DISTINCT d enumerates exactly the t values the engine emits

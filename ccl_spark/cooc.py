@@ -168,3 +168,67 @@ def negative_samples(
     return draws.join(
         F.broadcast(cum), (F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi"))
     ).select("center", "context", "i", F.col("tok").alias("neg"))
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    window: int = 2,
+    n_iter: int = 4,
+    k: int = 20,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the token co-occurrence graph, top-``k`` terms.
+
+    Composition, not a new engine: the graph IS :func:`skipgram_pairs`
+    (window co-occurrence counts, symmetric by construction), and the
+    ranking IS :func:`ccl_spark.pagerank.pagerank` in fixed-iteration
+    weighted mode (``tol=0`` so an external oracle can replay the
+    identical sequence; rank splits over co-occurrence weight).
+
+    Terms are dictionary-encoded to dense longs by sorted order before
+    the iteration — integer keys shuffle cheaper than strings across
+    ``n_iter`` rounds, and the dictionary is VOCABULARY-sized (≪
+    corpus), so the single-partition ``row_number`` window that makes
+    the encoding deterministic is a vocab-bounded sort, not a corpus
+    sort.  The co-occurrence graph has no dangling vertices (pairs are
+    symmetric), so the weighted update is pure edge-join arithmetic.
+
+    Returns ``(keyword, rank)`` rounded to 6dp, deterministic
+    (rank DESC, keyword ASC) top-k.
+    """
+    from pyspark.sql import Window
+
+    from ccl_spark.pagerank import pagerank
+
+    pairs = skipgram_pairs(
+        docs, window=window, min_count=min_count, id_col=id_col, text_col=text_col
+    )
+    ids = (
+        pairs.select(F.col("center").alias("term"))
+        .distinct()
+        .withColumn("vid", F.row_number().over(Window.orderBy("term")).cast("long"))
+    )
+    e = (
+        pairs.join(ids.withColumnRenamed("term", "center"), "center")
+        .withColumnRenamed("vid", "src")
+        .join(
+            ids.select(F.col("term").alias("context"), F.col("vid").alias("dst")),
+            "context",
+        )
+        .select("src", "dst", F.col("cnt").cast("double").alias("w"))
+    )
+    # vocab-sized state: fuse every round into one materialization
+    # block (min with pagerank's fusion cap of 6) — the graph has
+    # O(vocab²) edges, so job-count latency dominates, not DAG depth
+    pr = pagerank(
+        e, tol=0.0, max_iter=n_iter, weight="w", iters_per_check=min(n_iter, 6)
+    )
+    return (
+        pr.join(ids, pr["vertex"] == ids["vid"])
+        .select(F.col("term").alias("keyword"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("keyword"))
+        .limit(k)
+    )

@@ -1,0 +1,217 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ccl_spark.cooc import textrank_keywords
+from ccl_spark.retrieval import bm25_topk
+from ccl_spark.simrank import simrank, simrank_topk
+from ccl_spark.triangles import sampled_triangle_estimate, triangle_count
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def _bm25_oracle(
+    texts: dict[int, str], queries: dict[int, list[str]], k1: float, b: float
+) -> dict[tuple[int, int], float]:
+    toks = {d: [t for t in s.split(" ") if t] for d, s in texts.items()}
+    n = float(len(texts))
+    dl = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dl.values()) / n
+    df: dict[str, int] = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    out: dict[tuple[int, int], float] = {}
+    for qid, terms in queries.items():
+        for d, ts in toks.items():
+            s = 0.0
+            for t in set(terms):
+                tf = ts.count(t)
+                if tf == 0 or t not in df:
+                    continue
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * ((1.0 - b) + b * dl[d] / avgdl)
+                )
+            if s > 0.0:
+                out[(qid, d)] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_python(spark):
+    texts = {
+        1: "spark shuffle join hash join",
+        2: "hash table scan scan scan",
+        3: "join the window sort window",
+        4: "sort merge join hash",
+    }
+    queries = {1: ["join", "hash"], 2: ["window"]}
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries.items() for t in ts],
+        "query_id long, term string",
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_topk(docs, q, k=10).collect()
+    }
+    assert got == _bm25_oracle(texts, queries, k1=1.2, b=0.75)
+
+
+def test_bm25_topk_cut_and_ties(spark):
+    # identical docs tie on score; doc_id ASC breaks the tie at k=1
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(7, "a")], "query_id long, term string")
+    rows = bm25_topk(docs, q, k=1).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1 and rows[0].query_id == 7
+
+
+# ------------------------------------------------------------ TextRank
+
+
+def _textrank_oracle(
+    texts: dict[int, str], window: int, n_iter: int, damping: float
+) -> dict[str, float]:
+    pairs: dict[tuple[str, str], int] = {}
+    for s in texts.values():
+        ts = s.split(" ")
+        for i, c in enumerate(ts):
+            for j in range(max(0, i - window), min(len(ts), i + window + 1)):
+                if j != i:
+                    pairs[(c, ts[j])] = pairs.get((c, ts[j]), 0) + 1
+    verts = sorted({a for a, _ in pairs})
+    outw = {v: 0.0 for v in verts}
+    for (a, _), w in pairs.items():
+        outw[a] += float(w)
+    r = {v: 1.0 / len(verts) for v in verts}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in verts}
+        for (a, b), w in pairs.items():
+            contrib[b] += r[a] * w / outw[a]
+        r = {
+            v: (1.0 - damping) / len(verts) + damping * contrib[v] for v in verts
+        }
+    return {v: round(s, 6) for v, s in r.items()}
+
+
+def test_textrank_matches_python(spark):
+    texts = {
+        1: "graph rank walk graph node walk",
+        2: "rank node rank edge",
+        3: "walk edge graph",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.keyword: r.rank
+        for r in textrank_keywords(docs, window=2, n_iter=4, k=100).collect()
+    }
+    exp = _textrank_oracle(texts, window=2, n_iter=4, damping=0.85)
+    assert set(got) == set(exp)
+    for kw, v in exp.items():
+        assert abs(got[kw] - v) < 2e-6, (kw, got[kw], v)
+    # ranks form a distribution (sum to 1 up to rounding)
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+# ------------------------------------------------------------- DOULION
+
+
+def test_doulion_mod1_is_exact(spark):
+    # p = 1 keeps every edge: the estimate IS the exact count
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 1)],
+        "src long, dst long",
+    )
+    row = sampled_triangle_estimate(e, sample_mod=1).first()
+    exact = triangle_count(e)
+    # triangles: {1,2,3}, {3,4,5}, {1,3,5}
+    assert row.est_triangles == row.n_triangles_sampled == exact == 3
+    assert row.n_edges_sampled == 7
+
+
+def test_doulion_deterministic_and_scaled(spark):
+    e = spark.range(0, 300).select(
+        (F.col("id") % 40).alias("src"), ((F.col("id") * 7 + 3) % 40).alias("dst")
+    )
+    r1 = sampled_triangle_estimate(e, sample_mod=2).first()
+    r2 = sampled_triangle_estimate(e, sample_mod=2).first()
+    assert r1 == r2  # md5 coin: replays identically
+    assert r1.est_triangles == r1.n_triangles_sampled * 8
+
+
+# ------------------------------------------------------------- SimRank
+
+
+def _simrank_oracle(
+    edges: list[tuple[int, int]], n_iter: int, c: float
+) -> dict[tuple[int, int], float]:
+    verts = sorted({v for e in edges for v in e})
+    inn = {v: [s for s, d in edges if d == v] for v in verts}
+    s = {(a, b): 1.0 if a == b else 0.0 for a in verts for b in verts}
+    for _ in range(n_iter):
+        ns = {}
+        for a in verts:
+            for b in verts:
+                if a == b:
+                    ns[(a, b)] = 1.0
+                elif inn[a] and inn[b]:
+                    tot = sum(s[(i, j)] for i in inn[a] for j in inn[b])
+                    ns[(a, b)] = c * tot / (len(inn[a]) * len(inn[b]))
+                else:
+                    ns[(a, b)] = 0.0
+        s = ns
+    return s
+
+
+def test_simrank_matches_python(spark):
+    # the Jeh & Widom univ example shape: two "professors" citing
+    # shared "students" plus a tail
+    edges = [(1, 3), (1, 4), (2, 3), (2, 5), (4, 6), (5, 6), (3, 7), (6, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.a, r.b): r.score for r in simrank(e, max_iter=3, c=0.5).collect()
+    }
+    exp = _simrank_oracle(edges, n_iter=3, c=0.5)
+    # sparse state: absent pairs are exact zeros
+    for (a, b), v in exp.items():
+        assert abs(got.get((a, b), 0.0) - v) < 1e-9, ((a, b), got.get((a, b)), v)
+    # symmetry + unit diagonal
+    for (a, b), v in got.items():
+        assert abs(got[(b, a)] - v) < 1e-12
+        if a == b:
+            assert v == 1.0
+
+
+def test_simrank_topk_orientation(spark):
+    edges = [(1, 3), (2, 3), (1, 4), (2, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = simrank_topk(e, max_iter=2, k=5).collect()
+    # every returned pair is u < v and scores are 6dp-rounded
+    assert all(r.u < r.v for r in rows)
+    got = {(r.u, r.v): r.score for r in rows}
+    exp = _simrank_oracle(edges, n_iter=2, c=0.5)
+    assert got[(3, 4)] == round(exp[(3, 4)], 6)
+
+
+def test_simrank_prune_drops_small_pairs(spark):
+    edges = [(1, 3), (1, 4), (2, 3), (2, 5), (4, 6), (5, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    full = simrank(e, max_iter=3, c=0.5)
+    pruned = simrank(e, max_iter=3, c=0.5, prune_below=0.3)
+    kept = {(r.a, r.b) for r in pruned.filter(F.col("a") != F.col("b")).collect()}
+    full_hi = {
+        (r.a, r.b)
+        for r in full.filter((F.col("a") != F.col("b")) & (F.col("score") >= 0.3)).collect()
+    }
+    # pruning is a sieve: everything it keeps scores >= the threshold
+    # under the exact recurrence's kept-mass (subset check)
+    assert kept <= full_hi
