@@ -3221,6 +3221,147 @@ WHERE a < b ORDER BY ROUND(sc, 6) DESC, u, v LIMIT {k}"""
     )
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine kNN graph (k=3) over the embeddings table —
+    integer-quantized dot/norm arithmetic (the emb_near_dup_exact
+    scheme), so the 6dp scores and the per-source top-k cut replay
+    bit-identically in SQL."""
+    from ccl_spark.similarity import knn_graph
+
+    return knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+def q_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN (k=2) connected components over the embeddings —
+    SNN-style density clustering; sizes of the top-10 clusters (k=2
+    keeps the mutual graph subcritical: k>=3 percolates the synthetic
+    corpus into one giant cluster). Oracle derives the identical
+    mutual edge set and closes it with a recursive min-label CTE."""
+    from ccl_spark.similarity import mutual_knn_components
+
+    comp = mutual_knn_components(_t(spark, sf_dir, "embeddings"), k=2)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+        .orderBy(F.desc("n_vertices"), F.asc("component"))
+        .limit(10)
+    )
+
+
+_KNN_SC_SQL = """
+ex AS MATERIALIZED (
+    SELECT CAST(vec_id AS BIGINT) AS id,
+           CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings),
+norms AS MATERIALIZED (SELECT id, CAST(SUM(x * x) AS BIGINT) AS n2
+                       FROM ex GROUP BY id),
+dots AS MATERIALIZED (
+    SELECT a.id AS id_a, b.id AS id_b, CAST(SUM(a.x * b.x) AS BIGINT) AS dot
+    FROM ex a JOIN ex b ON a.i = b.i AND a.id <> b.id GROUP BY 1, 2),
+sc AS (SELECT id_a, id_b,
+              ROUND(CAST(dot AS DOUBLE)
+                    / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cosine
+       FROM dots JOIN norms na ON na.id = dots.id_a
+       JOIN norms nb ON nb.id = dots.id_b),
+rk AS (SELECT id_a, id_b, cosine,
+              ROW_NUMBER() OVER (PARTITION BY id_a
+                                 ORDER BY cosine DESC, id_b) AS rn FROM sc)"""
+
+
+def _knn_graph_sql(k: int) -> str:
+    return (
+        "WITH "
+        + _KNN_SC_SQL
+        + f"""
+SELECT id_a AS src, id_b AS dst, cosine FROM rk WHERE rn <= {k}"""
+    )
+
+
+def _knn_clusters_sql(k: int, topn: int) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _KNN_SC_SQL
+        + f""",
+knn AS (SELECT id_a AS s, id_b AS d FROM rk WHERE rn <= {k}),
+mut AS MATERIALIZED (SELECT a.s AS u, a.d AS v FROM knn a
+       JOIN knn b ON b.s = a.d AND b.d = a.s),
+mverts AS (SELECT DISTINCT u AS vertex FROM mut),
+reach(vertex, l) AS (
+    SELECT vertex, vertex FROM mverts
+    UNION
+    SELECT mut.u, r.l FROM mut JOIN reach r ON mut.v = r.vertex
+    WHERE r.l < mut.u),
+comp AS (SELECT vertex, MIN(l) AS component FROM reach GROUP BY vertex)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM comp
+GROUP BY component ORDER BY n_vertices DESC, component LIMIT {topn}"""
+    )
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the 5-round LPA partition of the
+    corpus graph (top-10 communities by volume) — the oracle appends
+    the cut/volume arithmetic to the identical LPA replay chain, the
+    modularity pattern."""
+    from ccl_spark.graphstats import community_conductance
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    lab = label_propagation(e, max_iter=5)
+    return community_conductance(e, lab, k=10)
+
+
+def _conductance_sql(iters: int, k: int) -> str:
+    return (
+        _corpus_lpa_chain(iters)
+        + f""",
+clab AS (SELECT vertex, lab AS c FROM l{iters}),
+cje AS (SELECT ls.c AS cs, ld.c AS cd
+        FROM und JOIN clab ls ON und.u = ls.vertex
+        JOIN clab ld ON und.v = ld.vertex),
+cper AS (SELECT cs, CAST(COUNT(*) AS BIGINT) AS vol,
+                CAST(SUM(CASE WHEN cs <> cd THEN 1 ELSE 0 END) AS BIGINT) AS cut
+         FROM cje GROUP BY cs),
+ctot AS (SELECT CAST(SUM(vol) AS BIGINT) AS e2 FROM cper)
+SELECT cs AS label, vol, cut,
+       ROUND(CASE WHEN LEAST(vol, e2 - vol) = 0 THEN 0.0
+                  ELSE cut / LEAST(vol, e2 - vol) END, 6) AS conductance
+FROM cper, ctot ORDER BY vol DESC, cs LIMIT {k}
+"""
+    )
+
+
+def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality gate: token count, mean word
+    length, stopword ratio, and the folded keep decision per document
+    — all-JVM projections, no shuffle."""
+    from ccl_spark.textops import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+def _gopher_sql() -> str:
+    from ccl_spark.textops import EN_STOP as _TEXTOPS_STOP
+
+    stop = ", ".join(f"'{w}'" for w in _TEXTOPS_STOP)
+    return f"""
+WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+st AS (SELECT doc_id, CAST(LEN(ws) AS BIGINT) AS n_tokens,
+              ROUND(CAST(LIST_SUM(LIST_TRANSFORM(ws, x -> LEN(x))) AS DOUBLE)
+                    / LEN(ws), 6) AS mean_word_len,
+              ROUND(CAST(LEN(LIST_FILTER(ws, x -> x IN ({stop}))) AS DOUBLE)
+                    / LEN(ws), 6) AS stop_ratio
+       FROM w)
+SELECT doc_id, n_tokens, mean_word_len, stop_ratio,
+       (n_tokens >= 30 AND n_tokens <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND stop_ratio >= 0.05) AS keep
+FROM st
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -3254,6 +3395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "bm25": q_bm25,
         "tri_sampled": q_tri_sampled,
+        "knn_graph": q_knn_graph,
+        "knn_clusters": q_knn_clusters,
+        "conductance": q_conductance,
+        "gopher": q_gopher,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
@@ -4061,6 +4206,10 @@ FROM p WHERE s <> d GROUP BY s, d
         "textrank": _textrank_sql(TEXTRANK_ITERS, 20),
         "bm25": _bm25_sql(10),
         "tri_sampled": _tri_sampled_sql(),
+        "knn_graph": _knn_graph_sql(3),
+        "knn_clusters": _knn_clusters_sql(2, 10),
+        "conductance": _conductance_sql(5, 10),
+        "gopher": _gopher_sql(),
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so
         # DISTINCT d enumerates exactly the t values the engine emits

@@ -542,3 +542,52 @@ def butterflies(
         .cast("long")
         .alias("n_butterflies"),
     )
+
+
+def community_conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "vertex",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-community conductance φ(c) = cut(c) / min(vol(c), 2m−vol(c))
+    — the standard community-quality score (low φ = well-separated),
+    computed for the ``k`` largest communities of a partition.
+
+    Same one-plan shape as :func:`modularity` (it reads the identical
+    both-endpoint label join): vol(c) is the community's degree mass
+    (its count of symmetrized edge endpoints), cut(c) the rows whose
+    far endpoint carries a different label, 2m the broadcast one-row
+    total.  φ is 0 when the community is the whole graph (denominator
+    0 guard).  Returns ``(label, vol, cut, conductance)`` with a
+    (vol DESC, label ASC) ordering, 6dp-rounded.
+    """
+    und = _symmetrized(edges, src, dst)
+    lab = labels.select(
+        F.col(vertex_col).cast("long").alias("v"), F.col(label_col).alias("c")
+    )
+    je = und.join(lab.select(F.col("v").alias("s"), F.col("c").alias("cs")), "s").join(
+        lab.select(F.col("v").alias("d"), F.col("c").alias("cd")), "d"
+    )
+    per = je.groupBy("cs").agg(
+        F.count(F.lit(1)).alias("vol"),
+        F.sum(F.when(F.col("cs") != F.col("cd"), 1).otherwise(0)).alias("cut"),
+    )
+    tot = per.agg(F.sum("vol").alias("e2"))
+    den = F.least(F.col("vol"), F.col("e2") - F.col("vol"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cs").alias("label"),
+            F.col("vol").cast("long").alias("vol"),
+            F.col("cut").cast("long").alias("cut"),
+            F.round(
+                F.when(den == 0, F.lit(0.0)).otherwise(F.col("cut") / den), 6
+            ).alias("conductance"),
+        )
+        .orderBy(F.desc("vol"), F.asc("label"))
+        .limit(k)
+    )

@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .datagen import _splitmix64  # deterministic seed expansion
 
@@ -558,3 +558,99 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor graph by cosine: ``(src, dst, cosine)`` —
+    each vector's top-``k`` neighbors, deterministic (cosine DESC,
+    dst ASC) tie-break.
+
+    Arithmetic is the integer-quantized dot/norm scheme of
+    :func:`embedding_near_duplicates_exact` (round(x*1000) int64), so
+    scores are bit-identical across engines and the 6dp-rounded top-k
+    cut is stable.
+
+    Scale shape: the default scores ALL ordered pairs — the exact
+    baseline, quadratic by definition.  At corpus scale pass
+    ``candidates`` (columns ``id_a, id_b``), e.g. LSH-bucket
+    cohabitants (:func:`embedding_near_duplicates`) or IVF probe lists
+    (:func:`ivf_assign`): scoring then touches only the candidate
+    pairs — the standard candidate-generation + exact-verify ANN-graph
+    construction, never all-pairs.
+    """
+    qarr = lambda c: F.expr(  # noqa: E731
+        f"transform({c}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+    )
+    a = emb.select(F.col(id_col).cast("long").alias("id_a"), qarr(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).cast("long").alias("id_b"), qarr(vec_col).alias("vb"))
+    isum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    na = a.select("id_a", isum(F.zip_with("va", "va", lambda x, y: x * y)).alias("n2_a"))
+    nb = b.select("id_b", isum(F.zip_with("vb", "vb", lambda x, y: x * y)).alias("n2_b"))
+    if candidates is not None:
+        pairs = (
+            candidates.select(
+                F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+            .join(a, "id_a")
+            .join(b, "id_b")
+        )
+    else:
+        pairs = a.join(b, F.col("id_a") != F.col("id_b"))
+    dot = isum(F.zip_with("va", "vb", lambda x, y: x * y))
+    cos = F.round(
+        dot.cast("double")
+        / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double")),
+        6,
+    )
+    scored = (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
+        )
+    )
+
+
+def mutual_knn_components(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Shared-nearest-neighbor style clustering: connected components
+    of the MUTUAL-kNN graph (an edge survives only if each endpoint is
+    in the other's top-k) — the mutual filter is what kills hub
+    vertices' spurious star edges, so components trace density.
+
+    Returns ``(vertex, component)`` for vertices with at least one
+    mutual neighbor; component ids are min-member ids (the CC
+    convention).  Composition: :func:`knn_graph` → self-join reverse
+    orientation → :func:`ccl_spark.cc.connected_components`.
+    """
+    from ccl_spark.cc import connected_components
+
+    g = knn_graph(emb, k=k, id_col=id_col, vec_col=vec_col, candidates=candidates)
+    fwd = g.select("src", "dst")
+    mutual = fwd.join(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+    ).filter(F.col("src") < F.col("dst"))
+    return connected_components(mutual)

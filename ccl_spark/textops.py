@@ -636,3 +636,56 @@ def zipf_alpha(
         ).alias("alpha"),
         F.count(F.lit(1)).alias("n_tail"),
     )
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    max_tokens: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_ratio: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1):
+    per-document token count, mean word length, and stopword ratio,
+    each tested against the rule thresholds, folded into one ``keep``
+    decision — the pre-training corpus filter stage.
+
+    All-JVM expressions over ONE ``split``: no shuffle at all (a pure
+    projection), so the filter streams at scan speed over any corpus
+    size.  Ratios are 6dp-rounded with explicit double casts so the
+    SQL oracle reproduces them bit-for-bit.
+
+    Returns ``(doc_id, n_tokens, mean_word_len, stop_ratio, keep)``.
+    """
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOP)
+    words = f"filter(split({text_col}, ' '), x -> x <> '')"
+    out = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(f"size({words})").cast("long").alias("n_tokens"),
+        F.expr(f"aggregate({words}, 0L, (acc, x) -> acc + length(x))")
+        .cast("long")
+        .alias("n_chars"),
+        F.expr(f"size(filter({words}, x -> x IN ({stop_list})))")
+        .cast("long")
+        .alias("n_stop"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias(
+            "stop_ratio"
+        ),
+    )
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("stop_ratio") >= min_stop_ratio)
+    )
+    return out.withColumn("keep", keep)
