@@ -3362,6 +3362,155 @@ FROM st
 """
 
 
+WINNOW_N, WINNOW_W = 3, 4
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (MOSS, n=3-gram hashes, w=4
+    windows): distinct (doc_id, pos, fp) with the rightmost-minimal
+    selection rule. The md5→int64 gram hash replays exactly in SQL, so
+    the full selection is value-checked."""
+    from ccl_spark.textops import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), n=WINNOW_N, w=WINNOW_W
+    )
+
+
+_WINNOW_FPS_SQL = f"""
+gl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              {{grams}} AS gs
+       FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents)),
+wg AS (SELECT doc_id, LEN(gs) AS ng, UNNEST(gs) AS gram,
+              GENERATE_SUBSCRIPTS(gs, 1) - 1 AS pos FROM gl),
+wh AS (SELECT doc_id, ng, pos,
+              ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gh FROM wg),
+wex AS (SELECT doc_id, pos, gh,
+               UNNEST(range(GREATEST(pos - {WINNOW_W - 1}, 0),
+                            LEAST(pos, GREATEST(ng - {WINNOW_W}, 0)) + 1)) AS s
+        FROM wh),
+wrk AS (SELECT doc_id, pos, gh, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, s
+                                  ORDER BY gh, pos DESC) AS rn FROM wex),
+wfps AS (SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, gh AS fp
+         FROM wrk WHERE rn = 1)"""
+
+
+def _winnow_sql() -> str:
+    return (
+        "WITH "
+        + _WINNOW_FPS_SQL.format(grams=_grams_sql(WINNOW_N))
+        + "\nSELECT doc_id, pos, fp FROM wfps"
+    )
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints (≥2 shared,
+    hot-fingerprint cap 50) — the MOSS pair report; inverted-index
+    join, never all-pairs."""
+    from ccl_spark.textops import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=WINNOW_N,
+        w=WINNOW_W,
+        min_shared=2,
+        max_df=50,
+    )
+
+
+def _winnow_pairs_sql(min_shared: int, max_df: int) -> str:
+    return (
+        "WITH "
+        + _WINNOW_FPS_SQL.format(grams=_grams_sql(WINNOW_N))
+        + f""",
+wdfp AS (SELECT DISTINCT doc_id, fp FROM wfps),
+wkeep AS (SELECT fp FROM wdfp GROUP BY fp HAVING COUNT(*) <= {max_df}),
+wcap AS (SELECT doc_id, fp FROM wdfp JOIN wkeep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM wcap a JOIN wcap b ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"""
+    )
+
+
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of the held-out 20%
+    of the embeddings (vec_id % 5 == 0) against centroids trained on
+    the other 80% — confusion-matrix counts. Integer-quantized sums
+    keep every dot/norm exact, so the argmax is bit-stable."""
+    from ccl_spark.similarity import centroid_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = centroid_classify(
+        emb.filter(F.col("vec_id") % 5 != 0), emb.filter(F.col("vec_id") % 5 == 0)
+    )
+    truth = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+    return (
+        pred.join(truth, "vec_id")
+        .groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("label", "pred_label")
+    )
+
+
+def _centroid_classify_sql() -> str:
+    return """
+WITH qv AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS lab,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+            FROM embeddings),
+tr AS (SELECT lab, UNNEST(v) AS x, GENERATE_SUBSCRIPTS(v, 1) AS i
+       FROM qv WHERE id % 5 <> 0),
+cent AS MATERIALIZED (SELECT lab, i, CAST(SUM(x) AS BIGINT) AS sx
+                      FROM tr GROUP BY 1, 2),
+cn AS (SELECT lab, CAST(SUM(sx * sx) AS BIGINT) AS n2c FROM cent GROUP BY lab),
+te AS (SELECT id, UNNEST(v) AS x, GENERATE_SUBSCRIPTS(v, 1) AS i
+       FROM qv WHERE id % 5 = 0),
+tn AS (SELECT id, CAST(SUM(x * x) AS BIGINT) AS n2t FROM te GROUP BY id),
+dots AS (SELECT te.id, cent.lab, CAST(SUM(te.x * cent.sx) AS BIGINT) AS dot
+         FROM te JOIN cent ON cent.i = te.i GROUP BY 1, 2),
+sc AS (SELECT id, lab,
+              CAST(dot AS DOUBLE) / SQRT(CAST(n2t AS DOUBLE) * CAST(n2c AS DOUBLE)) AS cos
+       FROM dots JOIN tn USING (id) JOIN cn USING (lab)),
+pred AS (SELECT id, lab, ROW_NUMBER() OVER (PARTITION BY id
+                                            ORDER BY cos DESC, lab) AS rn FROM sc)
+SELECT t.lab AS label, p.lab AS pred_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred p JOIN qv t ON t.id = p.id
+WHERE p.rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs by TF-IDF weighted dot product — served
+    off the inverted-index join; exact integer tf/df, 6dp-rounded
+    score with (id_a, id_b) tie-break."""
+    from ccl_spark.textops import tfidf_doc_similarity
+
+    return tfidf_doc_similarity(_t(spark, sf_dir, "documents"), k=20)
+
+
+def _doc_sim_sql(k: int) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+wtf AS (SELECT doc_id, tf.term, tf, LN(n / df) AS idf
+        FROM tf JOIN dfreq ON dfreq.term = tf.term, nd),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(SUM(a.tf * b.tf * a.idf * a.idf), 6) AS score
+       FROM wtf a JOIN wtf b ON b.term = a.term AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, score
+FROM pr ORDER BY score DESC, id_a, id_b LIMIT {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -3399,6 +3548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_clusters": q_knn_clusters,
         "conductance": q_conductance,
         "gopher": q_gopher,
+        "winnow": q_winnow,
+        "winnow_pairs": q_winnow_pairs,
+        "centroid_classify": q_centroid_classify,
+        "doc_sim": q_doc_sim,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
@@ -4210,6 +4363,10 @@ FROM p WHERE s <> d GROUP BY s, d
         "knn_clusters": _knn_clusters_sql(2, 10),
         "conductance": _conductance_sql(5, 10),
         "gopher": _gopher_sql(),
+        "winnow": _winnow_sql(),
+        "winnow_pairs": _winnow_pairs_sql(2, 50),
+        "centroid_classify": _centroid_classify_sql(),
+        "doc_sim": _doc_sim_sql(20),
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so
         # DISTINCT d enumerates exactly the t values the engine emits

@@ -654,3 +654,70 @@ def mutual_knn_components(
         ["src", "dst"],
     ).filter(F.col("src") < F.col("dst"))
     return connected_components(mutual)
+
+
+def centroid_classify(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification by cosine: average
+    each training label's vectors into a centroid, assign every test
+    vector to the centroid with the highest cosine.
+
+    Exactness scheme: components are quantized to round(x*1000) int64,
+    so centroid sums, test norms, centroid norms, and all dots are
+    EXACT integers (the centroid is represented un-normalized as
+    (sum-vector, count) — cosine is scale-invariant, so dividing by
+    the count is never needed and no float enters before the final
+    division).  The argmax is therefore bit-stable across engines and
+    parallelism; ties break to the smallest label.
+
+    Shape at scale: centroids are label-count×dim rows (tiny —
+    broadcast side of the scoring join); the test side explodes once
+    and aggregates per (id, label) with map-side partials.  Returns
+    ``(vec_id, pred_label, cosine)``.
+    """
+    qx = (
+        "CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)"
+    )
+    tr = train.select(
+        F.col(label_col).cast("long").alias("lab"),
+        F.posexplode(
+            F.expr(f"transform({vec_col}, x -> {qx})")
+        ).alias("i", "x"),
+    )
+    cent = tr.groupBy("lab", "i").agg(F.sum("x").alias("sx"))
+    cnorm = cent.groupBy("lab").agg(F.sum(F.col("sx") * F.col("sx")).alias("n2_c"))
+    te = test.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.posexplode(
+            F.expr(f"transform({vec_col}, x -> {qx})")
+        ).alias("i", "x"),
+    )
+    tnorm = te.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2_t"))
+    dots = (
+        te.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "lab")
+        .agg(F.sum(F.col("x") * F.col("sx")).alias("dot"))
+    )
+    scored = dots.join(tnorm, "vec_id").join(F.broadcast(cnorm), "lab").select(
+        "vec_id",
+        "lab",
+        (
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("n2_t").cast("double") * F.col("n2_c").cast("double"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("lab"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("lab").alias("pred_label"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
