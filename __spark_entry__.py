@@ -3511,6 +3511,92 @@ FROM pr ORDER BY score DESC, id_a, id_b LIMIT {k}
 """
 
 
+CONTAM_BENCH_IDS = (7, 123, 321)
+CONTAM_N = 8
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C): overlap of every
+    training doc against a 3-item 'benchmark' built from 12-word
+    snippets of docs 7/123/321 — shared distinct 8-gram counts and the
+    covered fraction of each benchmark item."""
+    from ccl_spark.dedup import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(
+        F.col("doc_id").isin(*CONTAM_BENCH_IDS)
+    ).select(
+        F.col("doc_id").cast("long").alias("bench_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, 12), ' ')").alias("text"),
+    )
+    return contamination(docs, bench, n=CONTAM_N)
+
+
+def _contamination_sql() -> str:
+    ids = ", ".join(str(i) for i in CONTAM_BENCH_IDS)
+    return f"""
+WITH cb AS (SELECT CAST(doc_id AS BIGINT) AS bench_id,
+                   array_to_string(list_slice(STRING_SPLIT(text, ' '), 1, 12),
+                                   ' ') AS btext
+            FROM documents WHERE doc_id IN ({ids})),
+bgl AS (SELECT bench_id, {_grams_sql(CONTAM_N)} AS gs
+        FROM (SELECT bench_id, STRING_SPLIT(btext, ' ') AS l FROM cb)),
+bg AS (SELECT DISTINCT bench_id, md5(g) AS gh
+       FROM (SELECT bench_id, UNNEST(gs) AS g FROM bgl)),
+bt AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY bench_id),
+dgl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_grams_sql(CONTAM_N)} AS gs
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents)),
+dg AS (SELECT DISTINCT doc_id, md5(g) AS gh
+       FROM (SELECT doc_id, UNNEST(gs) AS g FROM dgl)),
+sh AS (SELECT doc_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM dg JOIN bg USING (gh) GROUP BY 1, 2)
+SELECT doc_id, bench_id, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / nb, 6) AS bench_frac
+FROM sh JOIN bt USING (bench_id)
+"""
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl edge churn: two overlapping snapshots of the
+    corpus graph (deterministic md5 coin % 3 — A drops residue 0, B
+    drops residue 1) diffed per source vertex: added/removed/stable
+    out-edges + neighborhood Jaccard stability."""
+    from ccl_spark.edges import snapshot_diff
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    coin = F.expr(
+        "cast(conv(substring(md5(concat(cast(src as string), ',', "
+        "cast(dst as string), ',snap')), 1, 15), 16, 10) as bigint) % 3"
+    )
+    return snapshot_diff(e.filter(coin != 0), e.filter(coin != 1))
+
+
+def _crawl_diff_sql() -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    return f"""
+WITH ce AS (SELECT src, dst,
+                   ('0x' || substring(md5(CAST(src AS VARCHAR) || ',' ||
+                                          CAST(dst AS VARCHAR) || ',snap'),
+                                      1, 15))::BIGINT % 3 AS coin
+            FROM {src}),
+sa AS (SELECT DISTINCT src, dst FROM ce WHERE coin <> 0),
+sb AS (SELECT DISTINCT src, dst FROM ce WHERE coin <> 1),
+j AS (SELECT COALESCE(sa.src, sb.src) AS src,
+             (sa.src IS NOT NULL) AS in_a, (sb.src IS NOT NULL) AS in_b
+      FROM sa FULL JOIN sb ON sa.src = sb.src AND sa.dst = sb.dst),
+per AS (SELECT src,
+               CAST(SUM(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_stable
+        FROM j GROUP BY src)
+SELECT src, n_added, n_removed, n_stable,
+       ROUND(CAST(n_stable AS DOUBLE) / (n_added + n_removed + n_stable), 6)
+       AS jaccard
+FROM per
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -3552,6 +3638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "centroid_classify": q_centroid_classify,
         "doc_sim": q_doc_sim,
+        "contamination_bench": q_contamination,
+        "crawl_diff": q_crawl_diff,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
@@ -4367,6 +4455,8 @@ FROM p WHERE s <> d GROUP BY s, d
         "winnow_pairs": _winnow_pairs_sql(2, 50),
         "centroid_classify": _centroid_classify_sql(),
         "doc_sim": _doc_sim_sql(20),
+        "contamination_bench": _contamination_sql(),
+        "crawl_diff": _crawl_diff_sql(),
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so
         # DISTINCT d enumerates exactly the t values the engine emits

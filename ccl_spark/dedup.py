@@ -446,3 +446,65 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination overlap (GPT-3 appendix C; the
+    train-test leakage check every LLM data pipeline runs before
+    training): for every (document, benchmark item) pair sharing at
+    least one word ``n``-gram, report the shared distinct-gram count
+    and the fraction of the benchmark item's grams the document
+    covers — ``bench_frac == 1.0`` means the eval item is wholly
+    embedded in the training doc.
+
+    Shape at scale: the benchmark side is tiny by definition, so its
+    distinct gram hashes broadcast; the corpus side is ONE gram
+    explode + distinct and the join touches only grams that appear in
+    the benchmark (Catalyst pushes the broadcast semi-join below the
+    corpus distinct).  Grams travel as md5 — shuffle bytes bounded by
+    the hash width.  Returns
+    ``(doc_id, bench_id, n_shared, bench_frac)``.
+    """
+    from .textops import _word_ngrams
+
+    bgrams = (
+        bench.select(
+            F.col(bench_id_col).cast("long").alias("bench_id"),
+            F.explode(_word_ngrams(bench_text_col, n)).alias("gram"),
+        )
+        .select("bench_id", F.md5(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    btotal = bgrams.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_bench_grams")
+    )
+    dgrams = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(_word_ngrams(text_col, n)).alias("gram"),
+        )
+        .select("doc_id", F.md5(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    return (
+        dgrams.join(F.broadcast(bgrams), "gh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .join(F.broadcast(btotal), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_bench_grams"), 6
+            ).alias("bench_frac"),
+        )
+    )

@@ -270,3 +270,68 @@ def csr_blocks(edges: DataFrame, n_blocks: int = 32) -> DataFrame:
         "dst",
     ).repartition(n_blocks, "block_id")
     return blocked.mapInPandas(_csr_batch, schema=CSR_SCHEMA)
+
+
+def snapshot_diff(
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Crawl-over-crawl edge churn: per source vertex, how many
+    out-edges were added, removed, and kept between two snapshots of
+    the link graph, plus the neighborhood Jaccard stability
+    (stable / union) — the page-change signal crawl schedulers and
+    freshness models feed on.
+
+    One full outer join on the canonical (src, dst) key — both sides
+    distinct first, so the join is key-unique and never multiplies —
+    then a per-src aggregate with map-side partials.  Returns
+    ``(src, n_added, n_removed, n_stable, jaccard)`` for every vertex
+    appearing in either snapshot.
+    """
+    a = (
+        edges_a.select(
+            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        )
+        .distinct()
+        .withColumn("in_a", F.lit(1))
+    )
+    b = (
+        edges_b.select(
+            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        )
+        .distinct()
+        .withColumn("in_b", F.lit(1))
+    )
+    j = a.join(b, ["src", "dst"], "full_outer")
+    per = j.groupBy("src").agg(
+        F.sum(
+            F.when(F.col("in_b").isNotNull() & F.col("in_a").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_added"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_stable"),
+    )
+    return per.select(
+        "src",
+        "n_added",
+        "n_removed",
+        "n_stable",
+        F.round(
+            F.col("n_stable").cast("double")
+            / (F.col("n_added") + F.col("n_removed") + F.col("n_stable")),
+            6,
+        ).alias("jaccard"),
+    )
