@@ -3231,15 +3231,38 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
 
 
+_KNN2_MEMO: dict[str, DataFrame] = {}
+
+
+def _knn2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized kNN(k=2) edge table over the embeddings — shared by
+    knn_clusters and khop_features (gate-budget discipline: the
+    250k-pair scoring runs once per gate process)."""
+    if sf_dir not in _KNN2_MEMO:
+        from ccl_spark.similarity import knn_graph
+
+        _KNN2_MEMO[sf_dir] = (
+            knn_graph(_t(spark, sf_dir, "embeddings"), k=2)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return _KNN2_MEMO[sf_dir]
+
+
 def q_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN (k=2) connected components over the embeddings —
     SNN-style density clustering; sizes of the top-10 clusters (k=2
     keeps the mutual graph subcritical: k>=3 percolates the synthetic
     corpus into one giant cluster). Oracle derives the identical
     mutual edge set and closes it with a recursive min-label CTE."""
-    from ccl_spark.similarity import mutual_knn_components
+    from ccl_spark.cc import connected_components
 
-    comp = mutual_knn_components(_t(spark, sf_dir, "embeddings"), k=2)
+    g = _knn2_edges(spark, sf_dir)
+    mutual = g.join(
+        g.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+    ).filter(F.col("src") < F.col("dst"))
+    comp = connected_components(mutual)
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
@@ -3597,6 +3620,97 @@ FROM per
 """
 
 
+def q_khop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGN-style 2-hop feature aggregation (A+I)²·x over the
+    mutual-kNN(2) graph of the embeddings — exact integer sums per
+    (vertex, dimension), so the whole propagation value-checks."""
+    from ccl_spark.similarity import khop_feature_sums
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = _knn2_edges(spark, sf_dir)
+    mutual = g.join(
+        g.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+    )
+    return khop_feature_sums(mutual, emb, k=2)
+
+
+def _khop_sql(hops: int) -> str:
+    steps = []
+    for t in range(1, hops + 1):
+        steps.append(
+            f""",
+f{t} AS MATERIALIZED (
+  SELECT f.vertex, f.i, f.s + COALESCE(nb.ns, 0) AS s
+  FROM f{t - 1} f LEFT JOIN (
+    SELECT mut.v AS vertex, p.i, CAST(SUM(p.s) AS BIGINT) AS ns
+    FROM f{t - 1} p JOIN mut ON mut.u = p.vertex GROUP BY 1, 2
+  ) nb ON nb.vertex = f.vertex AND nb.i = f.i)"""
+        )
+    return (
+        "WITH "
+        + _KNN_SC_SQL
+        + """,
+knn AS (SELECT id_a AS s, id_b AS d FROM rk WHERE rn <= 2),
+mut AS MATERIALIZED (SELECT a.s AS u, a.d AS v FROM knn a
+       JOIN knn b ON b.s = a.d AND b.d = a.s),
+qfv AS (SELECT CAST(vec_id AS BIGINT) AS vertex,
+               list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+        FROM embeddings),
+f0 AS (SELECT vertex, GENERATE_SUBSCRIPTS(v, 1) AS i,
+              CAST(UNNEST(v) AS BIGINT) AS s FROM qfv)"""
+        + "".join(steps)
+        + f"""
+SELECT vertex, CAST(i AS BIGINT) AS i, s FROM f{hops}"""
+    )
+
+
+def q_reciprocal_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best-match alignment between the even- and odd-id
+    halves of the embeddings (entity-alignment criterion: mutual
+    top-1 by quantized cosine)."""
+    from ccl_spark.similarity import reciprocal_matches
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return reciprocal_matches(
+        emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
+    )
+
+
+def _reciprocal_sql() -> str:
+    return """
+WITH ex AS MATERIALIZED (
+    SELECT CAST(vec_id AS BIGINT) AS id,
+           CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings),
+norms AS MATERIALIZED (SELECT id, CAST(SUM(x * x) AS BIGINT) AS n2
+                       FROM ex GROUP BY id),
+dots AS MATERIALIZED (
+    SELECT a.id AS id_a, b.id AS id_b, CAST(SUM(a.x * b.x) AS BIGINT) AS dot
+    FROM ex a JOIN ex b ON a.i = b.i AND a.id % 2 = 0 AND b.id % 2 = 1
+    GROUP BY 1, 2),
+sc AS (SELECT id_a, id_b,
+              ROUND(CAST(dot AS DOUBLE)
+                    / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cosine
+       FROM dots JOIN norms na ON na.id = dots.id_a
+       JOIN norms nb ON nb.id = dots.id_b),
+ba AS (SELECT id_a, id_b, cosine FROM (
+        SELECT id_a, id_b, cosine,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY cosine DESC, id_b) AS rn FROM sc)
+       WHERE rn = 1),
+bb AS (SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               ROW_NUMBER() OVER (PARTITION BY id_b
+                                  ORDER BY cosine DESC, id_a) AS rn FROM sc)
+       WHERE rn = 1)
+SELECT ba.id_a, ba.id_b, ba.cosine
+FROM ba JOIN bb ON bb.id_a = ba.id_a AND bb.id_b = ba.id_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -3640,6 +3754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sim": q_doc_sim,
         "contamination_bench": q_contamination,
         "crawl_diff": q_crawl_diff,
+        "khop_features": q_khop_features,
+        "reciprocal_matches": q_reciprocal_matches,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
@@ -4457,6 +4573,8 @@ FROM p WHERE s <> d GROUP BY s, d
         "doc_sim": _doc_sim_sql(20),
         "contamination_bench": _contamination_sql(),
         "crawl_diff": _crawl_diff_sql(),
+        "khop_features": _khop_sql(2),
+        "reciprocal_matches": _reciprocal_sql(),
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so
         # DISTINCT d enumerates exactly the t values the engine emits

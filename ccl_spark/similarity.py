@@ -721,3 +721,124 @@ def centroid_classify(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def khop_feature_sums(
+    edges: DataFrame,
+    features: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """SIGN-style k-hop neighborhood feature aggregation (Frasca et
+    al. 2020): ``s_k = (A + I)^k · x`` per feature dimension — the
+    graph-smoothed features GNN-free pipelines precompute and feed to
+    a plain MLP.
+
+    EXACT integer arithmetic throughout: input components are
+    quantized once (round(x*1000) int64) and each hop is
+    add-self-plus-neighbor-sums — no division, so the result after
+    any fixed ``k`` is bit-identical across engines and partitionings
+    (the normalization a consumer wants is a per-vertex rescale it
+    can do at read time).
+
+    One hop = one edge-keyed equi-join + one (vertex, dim) aggregate
+    over the dim-exploded feature table; rows are |V|·dim regardless
+    of k.  Returns ``(vertex, i, s)`` — dimension index is 1-based
+    (posexplode + 1, matching SQL GENERATE_SUBSCRIPTS).
+    """
+    f0 = features.select(
+        F.col(id_col).cast("long").alias("vertex"),
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+            )
+        ).alias("i0", "s"),
+    ).select("vertex", (F.col("i0") + 1).cast("long").alias("i"), "s")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s_v"), F.col(dst).cast("long").alias("d_v")
+        )
+        .filter(F.col("s_v") != F.col("d_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = f0.localCheckpoint(eager=True)
+    for _ in range(k):
+        nbr = (
+            state.join(e, state["vertex"] == e["s_v"])
+            .groupBy(F.col("d_v").alias("vertex"), "i")
+            .agg(F.sum("s").alias("ns"))
+        )
+        state = (
+            state.join(nbr, ["vertex", "i"], "left")
+            .select(
+                "vertex",
+                "i",
+                (F.col("s") + F.coalesce(F.col("ns"), F.lit(0))).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def reciprocal_matches(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal best-match alignment between two embedding corpora
+    (the bilingual-lexicon-induction / entity-alignment criterion): a
+    pair survives only if B is A's single nearest neighbor AND A is
+    B's — mutual top-1 kills the hub-match noise one-directional
+    nearest-neighbor linking suffers from.
+
+    Scoring is the integer-quantized cosine (bit-stable across
+    engines); ties break to the smaller candidate id on both sides.
+    Returns ``(id_a, id_b, cosine)``.  The default scores the full
+    bipartite product — the exact baseline; at corpus scale generate
+    candidates first (LSH buckets / IVF lists) exactly as in
+    :func:`knn_graph`.
+    """
+    qarr = lambda c: F.expr(  # noqa: E731
+        f"transform({c}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+    )
+    isum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    a = emb_a.select(F.col(id_col).cast("long").alias("id_a"), qarr(vec_col).alias("va"))
+    b = emb_b.select(F.col(id_col).cast("long").alias("id_b"), qarr(vec_col).alias("vb"))
+    na = a.select("id_a", isum(F.zip_with("va", "va", lambda x, y: x * y)).alias("n2_a"))
+    nb = b.select("id_b", isum(F.zip_with("vb", "vb", lambda x, y: x * y)).alias("n2_b"))
+    dot = isum(F.zip_with("va", "vb", lambda x, y: x * y))
+    scored = (
+        a.crossJoin(b)
+        .select("id_a", "id_b", dot.alias("dot"))
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wa = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    wb = Window.partitionBy("id_b").orderBy(F.desc("cosine"), F.asc("id_a"))
+    best_a = scored.withColumn("rn", F.row_number().over(wa)).filter(
+        F.col("rn") == 1
+    ).select("id_a", "id_b", "cosine")
+    best_b = scored.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") == 1
+    ).select(F.col("id_a").alias("ba"), F.col("id_b").alias("bb"))
+    return best_a.join(
+        best_b,
+        (F.col("id_a") == F.col("ba")) & (F.col("id_b") == F.col("bb")),
+    ).select("id_a", "id_b", "cosine")
