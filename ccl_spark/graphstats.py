@@ -591,3 +591,52 @@ def community_conductance(
         .orderBy(F.desc("vol"), F.asc("label"))
         .limit(k)
     )
+
+
+def attack_robustness(
+    edges: DataFrame,
+    ks: tuple[int, ...] = (0, 10, 50),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Targeted-attack robustness curve (Albert, Jeong & Barabási
+    2000): for each ``k``, remove the top-``k`` vertices by
+    symmetrized degree (ties to the smaller id — deterministic) and
+    report the surviving vertex count and the size of the largest
+    remaining connected component.  Scale-free web graphs collapse
+    fast under hub removal — this is the standard way to quantify it.
+
+    Per ``k``: one broadcast anti-join of the edge table against the
+    removed-hub set (k rows) and one CC run on the survivor graph —
+    the curve costs len(ks) CC fixpoints, each on a shrinking graph.
+    Returns ``(k, n_vertices, giant_size)``.
+    """
+    from functools import reduce
+
+    from .cc import connected_components
+
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = deg.orderBy(F.desc("deg"), F.asc("s")).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    out = []
+    for k in ks:
+        top = ranked.limit(k).select(F.col("s").alias("hub"))
+        surv = (
+            und.join(F.broadcast(top), und.s == top.hub, "left_anti")
+            .join(
+                F.broadcast(top.select(F.col("hub").alias("hub_d"))),
+                und.d == F.col("hub_d"),
+                "left_anti",
+            )
+        )
+        comp = connected_components(surv, src="s", dst="d")
+        row = comp.agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        ).crossJoin(
+            comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cs"))
+            .agg(F.coalesce(F.max("cs"), F.lit(0)).cast("long").alias("giant_size"))
+        )
+        out.append(row.select(F.lit(k).cast("long").alias("k"), "n_vertices", "giant_size"))
+    return reduce(lambda a, b: a.unionByName(b), out)

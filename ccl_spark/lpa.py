@@ -180,3 +180,74 @@ def label_spreading(
             top.join(sd.select("vertex"), "vertex", "left_anti")
         ).localCheckpoint(eager=True)
     return state
+
+
+def weighted_label_propagation(
+    edges: DataFrame,
+    weight: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 5,
+    colocate: bool = False,
+) -> DataFrame:
+    """Synchronous WEIGHTED label propagation: each round a vertex
+    adopts the label with the largest summed incident edge weight
+    (weight-sum DESC, label ASC tie-break) — the variant used when
+    link multiplicity or anchor quality should count, not just link
+    existence.
+
+    Multi-edges collapse by summing weights per undirected pair, and
+    weights are cast to long — INTEGER weights make every per-label
+    sum exact, so the synchronous sequence replays bit-identically in
+    the chained-CTE oracle at any parallelism (the SSSP/louvain
+    integer-exactness discipline).  Same per-round shape as
+    :func:`label_propagation`: one join onto the pinned neighbor
+    table + one aggregate + one window.  Stops early at a fixpoint
+    (further rounds are identity, so a fixed-iteration oracle
+    agrees).
+    """
+    from .edges import cache_partitioned
+
+    pairs = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    sym = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    nbrs = cache_partitioned(sym, "v", colocate=colocate)
+    verts = (
+        pairs.select(F.col("u").alias("vertex"))
+        .unionByName(pairs.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = verts.select("vertex", F.col("vertex").alias("label"))
+    w_rank = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(max_iter):
+        msgs = nbrs.join(labels, nbrs.v == labels.vertex).select("u", "label", "w")
+        counts = msgs.groupBy("u", "label").agg(F.sum("w").alias("cnt"))
+        best = (
+            counts.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("vertex"), F.col("label").alias("new_label"))
+        )
+        nxt = labels.join(best, "vertex", "left").select(
+            "vertex",
+            F.coalesce("new_label", "label").alias("label"),
+            (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
+        ).localCheckpoint(eager=False)
+        changed = nxt.filter("chg").count()
+        labels = nxt.select("vertex", "label")
+        if changed == 0:
+            break
+    nbrs.unpersist()
+    return labels
