@@ -3835,6 +3835,92 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM comp{k}) AS n_vertices,
     return " UNION ALL ".join(blocks)
 
 
+def q_winnow_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup fold: docs with doc_id % 4 == 0 arrive as a
+    new crawl batch against the persisted winnow index of the rest.
+    The oracle is the FROM-SCRATCH winnow_pairs SQL over the full
+    corpus restricted to pairs touching the batch — so the gate pins
+    the incremental == from-scratch equivalence contract itself."""
+    from ccl_spark.textops import winnow_fingerprints, winnow_pairs_fold
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    index = (
+        winnow_fingerprints(old, n=WINNOW_N, w=WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    pairs, _ = winnow_pairs_fold(
+        index, new, n=WINNOW_N, w=WINNOW_W, min_shared=2, max_df=50
+    )
+    return pairs
+
+
+def _winnow_fold_sql(min_shared: int, max_df: int) -> str:
+    return (
+        "WITH "
+        + _WINNOW_FPS_SQL.format(grams=_grams_sql(WINNOW_N))
+        + f""",
+wdfp AS (SELECT DISTINCT doc_id, fp FROM wfps),
+wkeep AS (SELECT fp FROM wdfp GROUP BY fp HAVING COUNT(*) <= {max_df}),
+wcap AS (SELECT doc_id, fp FROM wdfp JOIN wkeep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM wcap a JOIN wcap b ON b.fp = a.fp AND a.doc_id < b.doc_id
+WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"""
+    )
+
+
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structural features over messy synthesized URLs (mixed-case
+    schemes/hosts, explicit ports, repeated path segments, 0-2 query
+    params, fragments). The oracle derives every feature DIRECTLY from
+    the doc_id arithmetic — an independent derivation, no shared
+    parsing."""
+    from ccl_spark.edges import url_features
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    scheme = F.when(i % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    scheme = F.when(i % 3 == 0, F.upper(scheme)).otherwise(scheme)
+    urls = docs.select(
+        i.cast("long").alias("doc_id"),
+        F.concat(
+            scheme,
+            F.lit("://Host"),
+            (i % 10).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(i % 4 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.expr("repeat('/p', pmod(doc_id, 4))"),
+            F.when(
+                i % 5 == 0,
+                F.concat(
+                    F.lit("?a=1"),
+                    F.when(i % 10 == 0, F.lit("&b=2")).otherwise(F.lit("")),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(i % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_features(urls, id_col="doc_id")
+
+
+def _url_features_sql() -> str:
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'host' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS host,
+       (doc_id % 2 <> 0) AS is_https,
+       CAST(doc_id % 4 AS BIGINT) AS path_depth,
+       CAST(CASE WHEN doc_id % 5 = 0
+                 THEN CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END
+                 ELSE 0 END AS BIGINT) AS n_params,
+       'com' AS tld
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -3882,6 +3968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocal_matches": q_reciprocal_matches,
         "lpa_weighted": q_lpa_weighted,
         "robustness": q_robustness,
+        "winnow_fold": q_winnow_fold,
+        "url_features": q_url_features,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
@@ -4703,6 +4791,8 @@ FROM p WHERE s <> d GROUP BY s, d
         "reciprocal_matches": _reciprocal_sql(),
         "lpa_weighted": _wlpa_sql(WLPA_ITERS, 5),
         "robustness": _robustness_sql(),
+        "winnow_fold": _winnow_fold_sql(2, 50),
+        "url_features": _url_features_sql(),
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so
         # DISTINCT d enumerates exactly the t values the engine emits

@@ -335,3 +335,37 @@ def snapshot_diff(
             6,
         ).alias("jaccard"),
     )
+
+
+def url_features(
+    urls: DataFrame, url_col: str = "url", id_col: str | None = None
+) -> DataFrame:
+    """Per-URL structural features, all JVM-side regexp (the crawl
+    prioritization / spam-heuristic signal set): lowercased host with
+    the port stripped, HTTPS flag, path depth (non-empty ``/``
+    segments), query-parameter count, and the final host label (tld).
+
+    Patterns are conservative (no backrefs/lookaround) so the same
+    expressions evaluate identically under Java regex and RE2 — the
+    PII_PATTERNS discipline.  Pure projection: zero shuffle.
+    """
+    u = F.col(url_col)
+    after = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hostport = F.regexp_extract(after, "^([^/?#]+)", 1)
+    host = F.lower(F.regexp_replace(hostport, ":[0-9]+$", ""))
+    path = F.regexp_extract(after, "^[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    cols = [F.col(id_col).cast("long").alias(id_col)] if id_col else [u.alias("url")]
+    return urls.select(
+        *cols,
+        host.alias("host"),
+        u.rlike("^(?i)https:").cast("boolean").alias("is_https"),
+        F.size(F.filter(F.split(path, "/"), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("path_depth"),
+        F.when(query == "", F.lit(0))
+        .otherwise(F.size(F.split(query, "&")))
+        .cast("long")
+        .alias("n_params"),
+        F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1).alias("tld"),
+    )

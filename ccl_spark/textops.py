@@ -855,3 +855,68 @@ def tfidf_doc_similarity(
         .orderBy(F.desc("score"), F.asc("id_a"), F.asc("id_b"))
         .limit(k)
     )
+
+
+def winnow_pairs_fold(
+    index: DataFrame,
+    new_docs: DataFrame,
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL near-dup maintenance (the crawl-batch shape): fold
+    a batch of new documents into a persisted winnowing fingerprint
+    index WITHOUT re-fingerprinting the existing corpus.
+
+    ``index`` is the stored ``(doc_id, fp)`` table (distinct — exactly
+    what :func:`winnow_fingerprints` selected for the corpus so far).
+    Returns ``(pairs, new_index)``: near-dup pairs touching the batch
+    (new-new and new-old, ``id_a < id_b``, same ``min_shared`` /
+    ``max_df`` semantics as :func:`winnow_pairs` with the df cap
+    computed over the COMBINED index), and the updated index to
+    persist for the next batch.
+
+    Equivalence contract (pinned by tests): ``pairs`` equals a
+    from-scratch :func:`winnow_pairs` over old∪new restricted to pairs
+    with at least one new id — the per-document fingerprint set is
+    batch-independent (winnowing is per-document), and the df cap sees
+    the identical combined fingerprint population.  Cost per batch is
+    fingerprinting the BATCH plus one inverted-index join whose probe
+    side is batch-sized — never a corpus re-scan.
+    """
+    new_fps = (
+        winnow_fingerprints(new_docs, n=n, w=w, id_col=id_col, text_col=text_col)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_fps = index.select("doc_id", "fp").unionByName(new_fps)
+    if max_df is not None:
+        keep = (
+            all_fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp")
+        )
+        capped_new = new_fps.join(keep, "fp")
+        capped_all = all_fps.join(keep, "fp")
+    else:
+        capped_new, capped_all = new_fps, all_fps
+    raw = (
+        capped_new.select(F.col("doc_id").alias("id_n"), "fp")
+        .join(capped_all.select(F.col("doc_id").alias("id_o"), "fp"), "fp")
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+            "fp",
+        )
+        .distinct()  # new-new pairs arrive once per orientation
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return raw, all_fps
