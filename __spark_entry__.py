@@ -2747,6 +2747,80 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: docs with doc_id % 4 == 0 fold
+    into the persisted index of the rest; the oracle is the EXACT
+    all-pairs Jaccard over raw doc ids restricted to batch-touching
+    pairs (same full-recall argument as the near_dup_minhash gate) —
+    so incremental == from-scratch is itself the gate contract."""
+    from ccl_spark.dedup import minhash_index, near_duplicates_fold
+
+    docs = _t(spark, sf_dir, "documents")
+    sh, banded = minhash_index(docs.filter(F.col("doc_id") % 4 != 0))
+    pairs, _, _ = near_duplicates_fold(
+        sh, banded, docs.filter(F.col("doc_id") % 4 == 0), threshold=0.8
+    )
+    return pairs
+
+
+_NEAR_DUP_RAW_CTES = """
+rawdocs AS MATERIALIZED (
+    SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+),
+rtk AS MATERIALIZED (
+    SELECT id, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS i
+    FROM rawdocs
+),
+rg3 AS (
+    SELECT a.id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+    FROM rtk a JOIN rtk b ON b.id = a.id AND b.i = a.i + 1
+               JOIN rtk c ON c.id = a.id AND c.i = a.i + 2
+),
+rgshort AS (
+    SELECT id, ARRAY_TO_STRING(STRING_SPLIT(text, ' '), ' ') AS g
+    FROM rawdocs WHERE LEN(STRING_SPLIT(text, ' ')) < 3
+),
+rgrams AS MATERIALIZED (
+    SELECT DISTINCT id, g FROM (SELECT * FROM rg3 UNION ALL SELECT * FROM rgshort)
+),
+rsizes AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM rgrams GROUP BY id),
+rinter AS MATERIALIZED (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+    FROM rgrams a JOIN rgrams b ON a.g = b.g AND a.id < b.id
+    WHERE a.id % 4 = 0 OR b.id % 4 = 0
+    GROUP BY 1, 2
+)"""
+
+
+def _minhash_fold_sql(threshold: float) -> str:
+    return f"""
+WITH {_NEAR_DUP_RAW_CTES}
+SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM rinter JOIN rsizes sa ON sa.id = rinter.id_a
+            JOIN rsizes sb ON sb.id = rinter.id_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= {threshold}
+"""
+
+
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode end-to-end: synth emits valid GIF89a payloads
+    (64-color palette, LZW), the Arrow stage LZW-decodes them back to
+    pixels. GIF is LOSSLESS, so the pinned oracle's independent
+    numpy replay of the synth pixels must match f0 EXACTLY (unlike
+    the JPEG bound), and width/height come from the decoded image
+    descriptor."""
+    from ccl_spark.multimodal import decode_features, synth_gif_media
+
+    feats = decode_features(synth_gif_media(spark, 120, seed=42), dim=8, real_decode=True)
+    return feats.select(
+        "media_id", "n_bytes", "width", "height",
+        F.round(F.element_at("feature", 1), 5).alias("f0"),
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling on an every-500ms grid: parse each synth
     AVI (4 fps -> 250 ms/frame -> every 2nd frame), emit one row per
@@ -3970,6 +4044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustness": q_robustness,
         "winnow_fold": q_winnow_fold,
         "url_features": q_url_features,
+        "minhash_fold": q_minhash_fold,
+        "multimodal_gif": q_multimodal_gif,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
@@ -4793,6 +4869,8 @@ FROM p WHERE s <> d GROUP BY s, d
         "robustness": _robustness_sql(),
         "winnow_fold": _winnow_fold_sql(2, 50),
         "url_features": _url_features_sql(),
+        "minhash_fold": _minhash_fold_sql(0.8),
+        "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so
         # DISTINCT d enumerates exactly the t values the engine emits

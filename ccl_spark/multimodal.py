@@ -846,6 +846,8 @@ def _image_decode(payload: bytes) -> np.ndarray:
         return png_decode(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return jpeg_decode(payload)
+    if payload[:4] == b"GIF8":
+        return gif_decode(payload)
     raise ValueError(f"not a supported still-image container: {payload[:8]!r}")
 
 
@@ -855,6 +857,8 @@ def _image_encode(pixels: np.ndarray, like: bytes) -> bytes:
         return png_encode(pixels)
     if like[:3] == b"\xff\xd8\xff":
         return jpeg_encode(pixels)
+    if like[:4] == b"GIF8":
+        return gif_encode(pixels)
     return bmp_encode(pixels)
 
 
@@ -865,6 +869,7 @@ def _real_decode_row(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
         payload[:2] == b"BM"
         or payload[:8] == b"\x89PNG\r\n\x1a\n"
         or payload[:3] == b"\xff\xd8\xff"
+        or payload[:4] == b"GIF8"
     ):
         pix = _image_decode(payload)
         return pix.shape[1], pix.shape[0], _fold(pix / 255.0, dim)
@@ -987,3 +992,224 @@ def sample_frames(
                 )
 
     return media.mapInPandas(batch, schema=FRAMES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a): palette + LZW — the remaining common web image format
+# (public spec: GIF89a, CompuServe 1990; LZW variant per Appendix F)
+# --------------------------------------------------------------------------
+
+class _LzwBits:
+    """LSB-first variable-width code packer (GIF Appendix F)."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable width starting min_code_size+1,
+    CLEAR = 2^mcs, EOI = CLEAR+1, late width change (width grows when
+    the next free slot passes 2^width), table reset at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = _LzwBits()
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, free, width = reset()
+    bits.put(clear, width)
+    w = indices[:1]
+    for i in range(1, len(indices)):
+        c = indices[i : i + 1]
+        if w + c in table:
+            w = w + c
+            continue
+        bits.put(table[w], width)
+        table[w + c] = free
+        free += 1
+        if free == (1 << width) + 1 and width < 12:
+            width += 1
+        elif free == 4097:
+            bits.put(clear, width)
+            table, free, width = reset()
+        w = c
+    bits.put(table[w], width)
+    bits.put(eoi, width)
+    return bits.flush()
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated stream: emit what we have
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    raise AssertionError("unreachable")
+
+
+def gif_encode(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> GIF89a bytes. The palette is the image's
+    unique colors (sorted — deterministic), padded to a power of two;
+    refuses > 256 distinct colors (a real writer would quantize — out
+    of scope, synth controls its palette)."""
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(-1, 3).astype(np.uint8)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"gif_encode: {len(colors)} colors > 256 (quantize first)")
+    depth = max(1, int(np.ceil(np.log2(max(len(colors), 2)))))
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    mcs = max(2, depth)
+    lzw = _lzw_encode(inv.astype(np.uint8).tobytes(), mcs)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF0 | (depth - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([mcs])
+        + blocks
+        + b"\x00\x3b"
+    )
+
+
+def gif_decode(payload: bytes) -> np.ndarray:
+    """GIF bytes -> (h, w, 3) uint8 RGB of the FIRST image frame —
+    pure-python LZW + numpy palette lookup. Handles 87a/89a, global
+    and local color tables, and skips extension blocks; refuses
+    interlaced images (the variant a synth pipeline never emits)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF: {payload[:6]!r}")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decode(bytes(lzw), mcs)[: w * h], dtype=np.uint8
+            )
+            return pal[idx.reshape(h, w)]
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def gif_synth_pixels(i: int, seed: int = 42) -> np.ndarray:
+    """The deterministic source pixels of synth_gif_media item ``i`` —
+    shared with tools/pin_oracles so the pin crosscheck can assert the
+    LOSSLESS round-trip feature exactly (GIF decode must recover these
+    very pixels)."""
+    rng = np.random.default_rng(seed * 2_000_003 + i)
+    w, h = int(16 + (i % 48)), int(16 + (i % 32))
+    pal = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+    idx = (
+        np.add.outer(np.arange(h) * (1 + i % 5), np.arange(w) * (2 + i % 7)) % 64
+    ).astype(np.uint8)
+    return pal[idx]
+
+
+def synth_gif_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic image-only media table of VALID GIF89a payloads
+    (64-color seeded palette + diagonal index pattern — LZW-friendly
+    and lossless, so decode must reproduce the source pixels
+    bit-exactly). Same schema as synth_media."""
+
+    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for i in pdf["id"].tolist():
+                pix = gif_synth_pixels(int(i), seed)
+                h, w = pix.shape[:2]
+                rows.append((int(i), "image", gif_encode(pix), w, h, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
