@@ -341,3 +341,93 @@ def streaming_hll(
         hll_fold_batch(batch_df, batch_id, root, value_col, b)
 
     return value_stream.writeStream.foreachBatch(fold)
+
+
+def latest_dedup_index(spark, root: str, before: int | None = None):
+    """(version, shingles DF, banded DF) of the newest COMPLETE
+    MinHash index snapshot under ``root`` written by
+    streaming_dedup_index, or None.  Complete = _SUCCESS present in
+    BOTH parquet directories of the version (the banded table is
+    written last, so its marker is the commit point); ``before``
+    gives the same replay-idempotence contract as latest_cc_labels."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    rootp = jvm_path(root)
+    fs = rootp.getFileSystem(conf)
+    if not fs.exists(rootp):
+        return None
+    versions = []
+    for status in fs.listStatus(rootp):
+        name = status.getPath().getName()
+        if name.startswith("index_v"):
+            v = int(name[len("index_v"):])
+            if before is not None and v >= before:
+                continue
+            if fs.exists(jvm_path(f"{root}/index_v{v}/shingles/_SUCCESS")) and fs.exists(
+                jvm_path(f"{root}/index_v{v}/banded/_SUCCESS")
+            ):
+                versions.append(v)
+    if not versions:
+        return None
+    best = max(versions)
+    return (
+        best,
+        spark.read.parquet(f"{root}/index_v{best}/shingles"),
+        spark.read.parquet(f"{root}/index_v{best}/banded"),
+    )
+
+
+def dedup_fold_batch(
+    batch_df,
+    batch_id: int,
+    root: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One streaming dedup-index microbatch: fold the batch into the
+    newest complete index snapshot (versions strictly below batch_id —
+    replay-idempotent like cc_fold_batch), persist the updated
+    shingle/banded index under ``index_v{batch_id}`` and the pairs the
+    batch surfaced under ``pairs_v{batch_id}``."""
+    from .dedup import near_duplicates_fold
+
+    spark = batch_df.sparkSession
+    latest = latest_dedup_index(spark, root, before=batch_id)
+    if latest is None:
+        sh_prev = spark.createDataFrame([], "id long, shingle string")
+        b_prev = spark.createDataFrame([], "id long, band int, bucket long")
+    else:
+        _, sh_prev, b_prev = latest
+    pairs, all_sh, all_banded = near_duplicates_fold(
+        sh_prev, b_prev, batch_df, id_col=id_col, text_col=text_col,
+        threshold=threshold,
+    )
+    pairs.write.mode("overwrite").parquet(f"{root}/pairs_v{batch_id}")
+    all_sh.write.mode("overwrite").parquet(f"{root}/index_v{batch_id}/shingles")
+    all_banded.write.mode("overwrite").parquet(f"{root}/index_v{batch_id}/banded")
+
+
+def streaming_dedup_index(
+    doc_stream,
+    root: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous dedup-index maintenance: each microbatch of crawled
+    documents folds into the persisted MinHash-LSH index via
+    dedup.near_duplicates_fold — batch-sized shingling + one probe
+    join per batch, never a corpus re-scan — and emits the near-dup
+    pairs the batch introduced.  The final index equals a from-scratch
+    minhash_index over every doc seen, and the union of per-batch
+    pair snapshots equals from-scratch near_duplicates
+    (pre_collapse=False) over the whole corpus, in ANY batch split
+    (pinned by tests/test_streaming.py::test_streaming_dedup_index_parity).
+
+    Returns the DataStreamWriter — caller sets checkpointLocation /
+    trigger and calls .start()."""
+    def fold(batch_df, batch_id: int) -> None:
+        dedup_fold_batch(batch_df, batch_id, root, threshold, id_col, text_col)
+
+    return doc_stream.writeStream.foreachBatch(fold)

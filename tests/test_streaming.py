@@ -276,3 +276,69 @@ def test_streaming_hll_parity(spark, tmp_path):
         hll_estimate(regs).first()["estimate"]
         == hll_estimate(direct).first()["estimate"]
     )
+
+
+def test_streaming_dedup_index_parity(spark, tmp_path):
+    """Continuous dedup-index maintenance: stream a corpus in 3
+    file-batches; the final index snapshot must equal a from-scratch
+    minhash_index over all docs, and the union of per-batch pair
+    snapshots must equal from-scratch near_duplicates
+    (pre_collapse=False) over the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from ccl_spark.dedup import minhash_index, near_duplicates
+    from ccl_spark.streaming import latest_dedup_index, streaming_dedup_index
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    texts = {
+        1: base + " a b",
+        2: base + " c d",
+        3: "p q r s t u v w x y z",
+        4: base + " e f",
+        5: base,
+        6: "k l m n o p q r s",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(
+            str(src_dir / f"b{b}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    root = str(tmp_path / "dedup_snapshots")
+    q = (
+        streaming_dedup_index(stream, root, threshold=0.5)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    latest = latest_dedup_index(spark, root)
+    assert latest is not None
+    _, sh_final, banded_final = latest
+    sh_scratch, banded_scratch = minhash_index(docs)
+    assert sh_final.count() == sh_scratch.count()
+    assert sh_final.exceptAll(sh_scratch).count() == 0
+    assert banded_final.count() == banded_scratch.count()
+    assert banded_final.exceptAll(banded_scratch).count() == 0
+
+    streamed_pairs = (
+        spark.read.parquet(f"{root}/pairs_v*")
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in streamed_pairs}
+    assert len(got) == len(streamed_pairs)  # no pair reported twice
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_duplicates(docs, threshold=0.5, pre_collapse=False).collect()
+    }
+    assert got == full and got
