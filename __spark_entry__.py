@@ -2747,6 +2747,80 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dir_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic vs transitive directed-triangle counts on the corpus
+    graph — the triad-census core; two 3-way equi-joins, integer
+    exact."""
+    from ccl_spark.triangles import directed_triangle_census
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return directed_triangle_census(e)
+
+
+def _dir_triangles_sql() -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    return f"""
+WITH de AS (SELECT DISTINCT src AS s, dst AS d FROM {src} WHERE src <> dst),
+cyc AS (SELECT CAST(COUNT(*) / 3 AS BIGINT) AS n_cyclic
+        FROM de ab JOIN de bc ON bc.s = ab.d
+        JOIN de ca ON ca.s = bc.d AND ca.d = ab.s),
+tra AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_transitive
+        FROM de ab JOIN de bc ON bc.s = ab.d AND bc.d <> ab.s
+        JOIN de ac ON ac.s = ab.s AND ac.d = bc.d)
+SELECT n_cyclic, n_transitive FROM cyc, tra
+"""
+
+
+PCA_ITERS = 4
+
+
+def q_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embeddings by one-pass integer
+    Gram + 4 sup-normalized power iterations — per-dimension direction
+    entries plus the Rayleigh quotient, 6dp. The Gram matrix is exact
+    int64 (quantized components), so only the dim-sized matvecs are
+    float."""
+    from ccl_spark.similarity import pca_power_top
+
+    return pca_power_top(_t(spark, sf_dir, "embeddings"), n_iter=PCA_ITERS)
+
+
+def _pca_sql(iters: int) -> str:
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(
+            f""",
+gv{t} AS (SELECT gi AS i, SUM(g * v) AS nv
+          FROM gram JOIN pv{t - 1} ON pv{t - 1}.i = gram.gj GROUP BY gi),
+mx{t} AS (SELECT MAX(ABS(nv)) AS m FROM gv{t}),
+pv{t} AS MATERIALIZED (SELECT i, nv / (SELECT m FROM mx{t}) AS v FROM gv{t})"""
+        )
+    return (
+        """
+WITH exq AS MATERIALIZED (
+    SELECT CAST(vec_id AS BIGINT) AS id, GENERATE_SUBSCRIPTS(v, 1) AS i,
+           CAST(UNNEST(v) AS BIGINT) AS x
+    FROM (SELECT vec_id, list_transform(embedding,
+              x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+          FROM embeddings)),
+gram AS MATERIALIZED (
+    SELECT a.i AS gi, b.i AS gj, CAST(SUM(a.x * b.x) AS DOUBLE) AS g
+    FROM exq a JOIN exq b USING (id) GROUP BY 1, 2),
+pv0 AS (SELECT DISTINCT gi AS i, CAST(1.0 AS DOUBLE) AS v FROM gram)"""
+        + "".join(steps)
+        + f""",
+fgv AS (SELECT gi AS i, SUM(g * v) AS gv
+        FROM gram JOIN pv{iters} ON pv{iters}.i = gram.gj GROUP BY gi),
+ray AS (SELECT (SELECT SUM(fgv.gv * p.v) FROM fgv JOIN pv{iters} p USING (i))
+              / (SELECT SUM(v * v) FROM pv{iters}) AS rayleigh)
+SELECT CAST(p.i AS BIGINT) AS i, ROUND(p.v, 6) AS v,
+       ROUND(ray.rayleigh, 6) AS rayleigh
+FROM pv{iters} p, ray
+"""
+    )
+
+
 def q_minhash_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash-LSH dedup: docs with doc_id % 4 == 0 fold
     into the persisted index of the rest; the oracle is the EXACT
@@ -4045,6 +4119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fold": q_winnow_fold,
         "url_features": q_url_features,
         "minhash_fold": q_minhash_fold,
+        "dir_triangles": q_dir_triangles,
+        "pca_top": q_pca_top,
         "multimodal_gif": q_multimodal_gif,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
@@ -4870,6 +4946,8 @@ FROM p WHERE s <> d GROUP BY s, d
         "winnow_fold": _winnow_fold_sql(2, 50),
         "url_features": _url_features_sql(),
         "minhash_fold": _minhash_fold_sql(0.8),
+        "dir_triangles": _dir_triangles_sql(),
+        "pca_top": _pca_sql(PCA_ITERS),
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so

@@ -842,3 +842,72 @@ def reciprocal_matches(
         best_b,
         (F.col("id_a") == F.col("ba")) & (F.col("id_b") == F.col("bb")),
     ).select("id_a", "id_b", "cosine")
+
+
+def pca_power_top(
+    emb: DataFrame,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of an embedding corpus by one-pass Gram
+    accumulation + fixed-iteration power method — the distributed-PCA
+    shape: the corpus is touched ONCE to build the dim×dim Gram matrix
+    ``G = Σ x xᵀ`` (exact int64 from quantized components — dim² rows,
+    tiny), and the power iterations are dim-sized matvec joins that
+    never see the corpus again.  No centering (direction of maximal
+    raw second moment); callers wanting covariance subtract the mean
+    first.
+
+    Each iteration normalizes by the vector's max |entry| (sup-norm —
+    one scalar broadcast) to keep doubles bounded; the start vector is
+    all-ones.  Returns ``(i, v, rayleigh)``: the sup-normalized
+    direction entry per dimension (1-based) and the Rayleigh quotient
+    vᵀGv / vᵀv (the top eigenvalue estimate), both 6dp-rounded.
+    """
+    ex = emb.select(
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+            )
+        ).alias("i0", "x"),
+        F.col(id_col).cast("long").alias("id"),
+    ).select("id", (F.col("i0") + 1).cast("long").alias("i"), "x")
+    gram = (
+        ex.select(F.col("i").alias("gi"), F.col("x").alias("xi"), "id")
+        .join(ex.select(F.col("i").alias("gj"), F.col("x").alias("xj"), "id"), "id")
+        .groupBy("gi", "gj")
+        .agg(F.sum(F.col("xi") * F.col("xj")).cast("double").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    dims = gram.select(F.col("gi").alias("i")).distinct()
+    v = dims.select("i", F.lit(1.0).alias("v")).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        gv = (
+            gram.join(v.select(F.col("i").alias("gj"), "v"), "gj")
+            .groupBy("gi")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("nv"))
+            .select(F.col("gi").alias("i"), "nv")
+        )
+        mx = gv.agg(F.max(F.abs(F.col("nv"))).alias("m"))
+        v = (
+            gv.crossJoin(F.broadcast(mx))
+            .select("i", (F.col("nv") / F.col("m")).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    gv = (
+        gram.join(v.select(F.col("i").alias("gj"), "v"), "gj")
+        .groupBy("gi")
+        .agg(F.sum(F.col("g") * F.col("v")).alias("gv"))
+        .select(F.col("gi").alias("i"), "gv")
+    )
+    num = (
+        gv.join(v, "i")
+        .agg(F.sum(F.col("gv") * F.col("v")).alias("n"))
+    )
+    den = v.agg(F.sum(F.col("v") * F.col("v")).alias("d"))
+    ray = num.crossJoin(den).select((F.col("n") / F.col("d")).alias("rayleigh"))
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .select("i", F.round("v", 6).alias("v"), F.round("rayleigh", 6).alias("rayleigh"))
+    )
