@@ -2747,6 +2747,98 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WL_ITERS = 3
+
+
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement (3 rounds) on the corpus graph — top-20
+    color classes by size. The md5-derived colors and long-sorted
+    neighbor encodings replay exactly in the chained-CTE oracle."""
+    from ccl_spark.graphstats import wl_refinement
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return (
+        wl_refinement(e, n_iter=WL_ITERS)
+        .groupBy("color")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+        .orderBy(F.desc("n_vertices"), F.asc("color"))
+        .limit(20)
+    )
+
+
+def _wl_sql(iters: int, k: int) -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+wle AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM {src}
+    UNION ALL SELECT dst, src FROM {src}) WHERE u <> v),
+wlv AS MATERIALIZED (SELECT DISTINCT u AS vertex FROM wle),
+wc0 AS (SELECT vertex, CAST(0 AS BIGINT) AS color FROM wlv)"""
+    ]
+    for t in range(1, iters + 1):
+        p = f"wc{t - 1}"
+        parts.append(
+            f"""
+wn{t} AS (SELECT wle.u AS vertex,
+                 array_to_string(list_transform(list_sort(list(p.color)),
+                                                x -> CAST(x AS VARCHAR)), ',') AS ncs
+          FROM wle JOIN {p} p ON p.vertex = wle.v GROUP BY wle.u),
+wc{t} AS MATERIALIZED (
+    SELECT c.vertex,
+           ('0x' || substring(md5(CAST(c.color AS VARCHAR) || '|' ||
+                                  COALESCE(n.ncs, '')), 1, 15))::BIGINT AS color
+    FROM {p} c LEFT JOIN wn{t} n ON n.vertex = c.vertex)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT color, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM wc{iters}
+GROUP BY color ORDER BY n_vertices DESC, color LIMIT {k}"""
+    )
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of every document (4-gram md5 coin,
+    boundary at % 8 == 0): full (doc, chunk) table with chunk hashes —
+    the storage-dedup unit. Every row value-checks against the SQL
+    replay of the identical boundary rule."""
+    from ccl_spark.dedup import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"), n=4, boundary_mod=8)
+
+
+def _cdc_sql(n: int, mod: int) -> str:
+    return f"""
+WITH ctk AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) - 1 AS pos,
+           UNNEST(STRING_SPLIT(text, ' ')) AS tok
+    FROM documents),
+cgl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_grams_sql(n)} AS gs
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents)),
+cgr AS (SELECT doc_id, GENERATE_SUBSCRIPTS(gs, 1) - 1 AS pos,
+               UNNEST(gs) AS gram FROM cgl),
+cb AS (SELECT DISTINCT doc_id, pos + {n - 1} AS pos, 1 AS b
+       FROM cgr
+       WHERE ('0x' || substring(md5(gram), 1, 15))::BIGINT % {mod} = 0),
+cseq AS (SELECT t.doc_id, t.pos, t.tok, COALESCE(cb.b, 0) AS b
+         FROM ctk t LEFT JOIN cb ON cb.doc_id = t.doc_id AND cb.pos = t.pos
+         WHERE t.tok <> ''),
+cchunk AS (SELECT doc_id, pos, tok,
+                  CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS chunk_idx
+           FROM cseq)
+SELECT doc_id, chunk_idx,
+       md5(STRING_AGG(tok, ' ' ORDER BY pos)) AS chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM cchunk GROUP BY doc_id, chunk_idx
+"""
+
+
 def q_dir_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cyclic vs transitive directed-triangle counts on the corpus
     graph — the triad-census core; two 3-way equi-joins, integer
@@ -4121,6 +4213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_fold": q_minhash_fold,
         "dir_triangles": q_dir_triangles,
         "pca_top": q_pca_top,
+        "wl_colors": q_wl_colors,
+        "cdc_chunks": q_cdc_chunks,
         "multimodal_gif": q_multimodal_gif,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
@@ -4948,6 +5042,8 @@ FROM p WHERE s <> d GROUP BY s, d
         "minhash_fold": _minhash_fold_sql(0.8),
         "dir_triangles": _dir_triangles_sql(),
         "pca_top": _pca_sql(PCA_ITERS),
+        "wl_colors": _wl_sql(WL_ITERS, 20),
+        "cdc_chunks": _cdc_sql(4, 8),
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so

@@ -597,3 +597,80 @@ def near_duplicates_fold(
     all_sh = index_shingles.unionByName(shn)
     pairs = jaccard_pairs(all_sh, cands).filter(F.col("jaccard") >= threshold)
     return pairs, all_sh, all_banded
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    n: int = 4,
+    boundary_mod: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the rabin/rolling-hash storage-dedup
+    discipline, here over word streams): a chunk boundary falls AFTER
+    token position p whenever the md5 draw of the ``n``-gram ending at
+    p hits ``% boundary_mod == 0`` — boundaries move with content, not
+    offsets, so an insertion early in a document only rewrites the
+    chunk it lands in (the property fixed-size chunking lacks).
+
+    One gram explode + the md5 coin + a per-doc running boundary count
+    (window cumulative sum keyed by the document — partition bounded
+    by one doc's grams) + a (doc, chunk) string rollup.  Returns
+    ``(doc_id, chunk_idx, chunk_hash, n_tokens)`` where ``chunk_hash``
+    is the md5 of the chunk's token run — join on it across documents
+    for chunk-level dedup.
+    """
+    from pyspark.sql import Window
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    from .textops import _word_ngrams
+
+    grams = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(_word_ngrams(text_col, n)).alias("pos", "gram"),
+    )
+    # a gram at pos covers tokens [pos, pos+n-1]; boundary AFTER its
+    # last token when the draw hits
+    bdry = grams.select(
+        "doc_id",
+        (F.col("pos") + F.lit(n - 1)).alias("bpos"),
+        (
+            F.expr(
+                "cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)"
+            )
+            % boundary_mod
+            == 0
+        ).alias("hit"),
+    )
+    bmark = (
+        bdry.filter("hit")
+        .select("doc_id", F.col("bpos").alias("pos"), F.lit(1).alias("b"))
+        .distinct()
+    )
+    # chunk index of a token = number of boundaries strictly before it
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = (
+        toks.join(bmark, ["doc_id", "pos"], "left")
+        .select("doc_id", "pos", "tok", F.coalesce("b", F.lit(0)).alias("b"))
+        .withColumn(
+            "chunk_idx", F.coalesce(F.sum("b").over(w), F.lit(0)).cast("long")
+        )
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("pt"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.md5(
+                F.array_join(F.expr("transform(pt, x -> x.tok)"), " ")
+            ).alias("chunk_hash"),
+            F.size("pt").cast("long").alias("n_tokens"),
+        )
+    )

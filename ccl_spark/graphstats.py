@@ -640,3 +640,57 @@ def attack_robustness(
         )
         out.append(row.select(F.lit(k).cast("long").alias("k"), "n_vertices", "giant_size"))
     return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def wl_refinement(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement (the canonical
+    graph-fingerprinting / GNN-expressiveness iteration): every vertex
+    starts with one color; each round a vertex's new color is the hash
+    of (its color, the SORTED multiset of its neighbors' colors).
+    Vertices end in the same color class iff 1-WL cannot distinguish
+    their rooted neighborhoods to depth ``n_iter``.
+
+    Each round is the LPA shuffle shape — one join of colors onto the
+    symmetrized neighbor table + a per-vertex sort_array collect + one
+    md5 — and the color is the md5→int64 draw over the deterministic
+    sorted encoding, so the refinement replays bit-identically in SQL
+    and at any parallelism.  The per-vertex collect is bounded by the
+    vertex degree (the same bound every neighborhood aggregate here
+    lives with; hub lists are one vertex's adjacency, not a shuffle
+    hot key).
+
+    Returns ``(vertex, color)`` — color ids are the md5-derived
+    int64s; use ``groupBy("color")`` for the class histogram.
+    """
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    verts = und.select(F.col("s").alias("vertex")).distinct()
+    colors = verts.select("vertex", F.lit(0).cast("long").alias("color"))
+    for _ in range(n_iter):
+        nbr = (
+            und.join(
+                colors.select(F.col("vertex").alias("d_v"), F.col("color").alias("nc")),
+                und.d == F.col("d_v"),
+            )
+            .groupBy("s")
+            .agg(F.array_sort(F.collect_list("nc")).alias("ncs"))
+        )
+        colors = (
+            colors.join(nbr, colors.vertex == nbr.s, "left")
+            .select(
+                "vertex",
+                # sort as longs FIRST, stringify after — a string sort
+                # of numeric colors would disagree with the SQL twin
+                F.expr(
+                    "cast(conv(substring(md5(concat(cast(color as string), '|', "
+                    "coalesce(array_join(transform(ncs, x -> cast(x as string)), "
+                    "','), ''))), 1, 15), 16, 10) as bigint)"
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return colors
