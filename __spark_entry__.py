@@ -2747,6 +2747,58 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DENSEST_ROUNDS = 12
+
+
+def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy densest-subgraph peel curve (Bahmani ε=1/2 rounds) on
+    the corpus graph — per-round survivor counts and density. The
+    peel test is integer-exact (deg·n < 3m), so the round sequence
+    replays bit-identically in the unrolled-CTE oracle."""
+    from ccl_spark.graphstats import densest_subgraph_peel
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return densest_subgraph_peel(e, max_rounds=DENSEST_ROUNDS)
+
+
+def _densest_sql(rounds: int) -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    parts = [
+        f"""
+pe0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+                     FROM {src} WHERE src <> dst)"""
+    ]
+    selects = []
+    for t in range(rounds):
+        parts.append(
+            f"""
+pst{t} AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pe{t}) AS m,
+                  (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM (
+                      SELECT s AS v FROM pe{t} UNION ALL SELECT d FROM pe{t})) AS n),
+pdeg{t} AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+               SELECT s AS v FROM pe{t} UNION ALL SELECT d FROM pe{t}) GROUP BY v),
+pkeep{t} AS (SELECT v FROM pdeg{t}, pst{t} WHERE deg * n >= 3 * m),
+pe{t + 1} AS MATERIALIZED (SELECT s, d FROM pe{t}
+    WHERE s IN (SELECT v FROM pkeep{t}) AND d IN (SELECT v FROM pkeep{t}))"""
+        )
+        selects.append(
+            f"""SELECT CAST({t} AS BIGINT) AS round, n AS n_vertices, m AS n_edges,
+       ROUND(CAST(m AS DOUBLE) / n, 6) AS density FROM pst{t} WHERE n > 0"""
+        )
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (repetitiveness signal),
+    Arrow-batched. Oracle is pinned rows; the pin crosscheck
+    recomputes every ratio with zlib directly over the parquet text —
+    independently of the Spark path."""
+    from ccl_spark.textops import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 WL_ITERS = 3
 
 
@@ -4215,6 +4267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top": q_pca_top,
         "wl_colors": q_wl_colors,
         "cdc_chunks": q_cdc_chunks,
+        "densest": q_densest,
+        "compression": q_compression,
         "multimodal_gif": q_multimodal_gif,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
@@ -5044,6 +5098,8 @@ FROM p WHERE s <> d GROUP BY s, d
         "pca_top": _pca_sql(PCA_ITERS),
         "wl_colors": _wl_sql(WL_ITERS, 20),
         "cdc_chunks": _cdc_sql(4, 8),
+        "densest": _densest_sql(DENSEST_ROUNDS),
+        "compression": f"SELECT * FROM '{_ORACLE_DIR}/pinned_compression_sf001.parquet'",
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so

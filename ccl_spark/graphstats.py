@@ -694,3 +694,64 @@ def wl_refinement(
             .localCheckpoint(eager=True)
         )
     return colors
+
+
+def densest_subgraph_peel(
+    edges: DataFrame,
+    max_rounds: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Greedy densest-subgraph peeling (Charikar 2000 via the
+    MapReduce rounds of Bahmani, Kumar & Vassilvitskii, VLDB 2012,
+    ε = 1/2): each round removes EVERY vertex whose degree is below
+    1.5× the current average degree, so the loop terminates in
+    O(log n) rounds and the densest prefix is a 2(1+ε)-approximation
+    of the maximum-density subgraph — the web-graph spam/core
+    detector.
+
+    The removal test is INTEGER-EXACT: avg = 2m/n, so
+    ``deg < 1.5 · 2m/n  ⇔  deg · n < 3m`` — no float ever enters the
+    peel decision, making the round sequence bit-identical across
+    engines (the SSSP/louvain discipline).  Returns the per-round
+    survivor curve ``(round, n_vertices, n_edges, density)`` (density
+    = m/n, 6dp) for every non-empty round; the caller's argmax row IS
+    the approximate densest subgraph's size/density.
+    """
+    und = (
+        _symmetrized(edges, src, dst)
+        .filter(F.col("s") < F.col("d"))
+        .localCheckpoint(eager=True)
+    )  # one row per undirected edge
+    spark = edges.sparkSession
+    out_rows = []
+    cur = und
+    for t in range(max_rounds):
+        stats = cur.agg(
+            F.count(F.lit(1)).cast("long").alias("m")
+        ).crossJoin(
+            cur.select(F.col("s").alias("v"))
+            .unionByName(cur.select(F.col("d").alias("v")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        ).first()
+        m, n = stats["m"], stats["n"]
+        if not n:
+            break
+        out_rows.append((t, n, m, round(m / n, 6)))
+        deg = (
+            cur.select(F.col("s").alias("v"))
+            .unionByName(cur.select(F.col("d").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") * F.lit(n) >= F.lit(3 * m)).select("v")
+        cur = (
+            cur.join(keep.select(F.col("v").alias("s")), "s")
+            .join(keep.select(F.col("v").alias("d")), "d")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        out_rows, "round long, n_vertices long, n_edges long, density double"
+    )

@@ -920,3 +920,43 @@ def winnow_pairs_fold(
         .filter(F.col("n_shared") >= min_shared)
     )
     return raw, all_fps
+
+
+def compression_ratio(
+    docs: DataFrame,
+    level: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic
+    repetitiveness/boilerplate quality signal (highly compressible
+    text is template or repeated content; filters drop the extremes).
+
+    Arrow-batched ``mapInPandas`` (compression is the one per-doc op
+    with no JVM expression form); one pass, no shuffle.  Returns
+    ``(doc_id, raw_bytes, zlib_bytes, ratio)`` with
+    ``ratio = zlib_bytes / raw_bytes`` 6dp-rounded (lower = more
+    repetitive).  Deterministic for a fixed zlib level.
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            raw = pdf[text_col].str.encode("utf-8")
+            rb = raw.str.len().astype("int64")
+            zb = raw.map(lambda b: len(zlib.compress(b, level))).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "raw_bytes": rb,
+                    "zlib_bytes": zb,
+                    "ratio": (zb / rb.clip(lower=1)).round(6),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batch, schema="doc_id long, raw_bytes long, zlib_bytes long, ratio double"
+    )
