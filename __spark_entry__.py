@@ -73,6 +73,15 @@ def _pagerank_sql(iters: int, seeds: list[int] | None = None) -> str:
     """Fixed-iteration PageRank as chained CTEs (matches the engine's
     deterministic sequence; floats agree to ~1e-14, rounded to 6dp).
     With ``seeds``: personalized teleport/dangling to the seed set."""
+    return (
+        _pagerank_ctes(iters, seeds)
+        + f"\nSELECT vertex, ROUND(r, 6) AS rank FROM pr{iters}"
+    )
+
+
+def _pagerank_ctes(iters: int, seeds: list[int] | None = None) -> str:
+    """The WITH-body of _pagerank_sql (final state in pr{iters}) —
+    shared with the ppr_sweep oracle."""
     if seeds is None:
         tele_cte = "tele AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) AS t FROM verts)"
     else:
@@ -119,11 +128,7 @@ pr{k} AS MATERIALIZED (SELECT v.vertex, {update(k)} AS r
           FROM verts v JOIN tele tl USING (vertex)
           LEFT JOIN contrib{k} c USING (vertex))"""
         )
-    return (
-        pre
-        + "".join(steps)
-        + f"\nSELECT vertex, ROUND(r, 6) AS rank FROM pr{iters}"
-    )
+    return pre + "".join(steps)
 
 
 def _hits_sql(iters: int) -> str:
@@ -2747,6 +2752,60 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SWEEP_KMAX = 20
+
+
+def q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering by PPR sweep cut (Andersen-Chung-Lang): the
+    conductance curve of the first 20 prefixes of the
+    round(ppr/deg)-ordered sweep from seed 0 on the small graph —
+    integer-exact cut/volume via the interval diff array."""
+    from ccl_spark.graphstats import ppr_sweep_cut
+
+    return ppr_sweep_cut(
+        _edges_small(spark, sf_dir), seed=0, n_iter=PPR_ITERS, k_max=SWEEP_KMAX
+    )
+
+
+def _ppr_sweep_sql(iters: int, kmax: int) -> str:
+    big = kmax + 1
+    return (
+        _pagerank_ctes(iters, seeds=[0])
+        + f""",
+swund AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)
+    WHERE u <> v),
+swdeg AS (SELECT u AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM swund GROUP BY u),
+sw2m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM swund),
+swsc AS (SELECT p.vertex, d.deg, ROUND(p.r / d.deg, 6) AS score
+         FROM pr{iters} p JOIN swdeg d ON d.v = p.vertex
+         WHERE ROUND(p.r / d.deg, 6) > 0),
+swrk AS MATERIALIZED (SELECT vertex, deg, rk FROM (
+    SELECT vertex, deg,
+           ROW_NUMBER() OVER (ORDER BY score DESC, vertex) AS rk FROM swsc)
+    WHERE rk <= {kmax}),
+sweu AS (SELECT u, v FROM swund WHERE u < v),
+swj AS (SELECT LEAST(COALESCE(ra.rk, {big}), COALESCE(rb.rk, {big})) AS lo,
+               GREATEST(COALESCE(ra.rk, {big}), COALESCE(rb.rk, {big})) AS hi
+        FROM sweu LEFT JOIN swrk ra ON ra.vertex = sweu.u
+                  LEFT JOIN swrk rb ON rb.vertex = sweu.v),
+swnet AS (SELECT rk, CAST(SUM(dlt) AS BIGINT) AS net FROM (
+    SELECT lo AS rk, 1 AS dlt FROM swj WHERE lo <= {kmax}
+    UNION ALL SELECT hi, -1 FROM swj WHERE hi <= {kmax}) GROUP BY rk),
+swcum AS (SELECT r.rk, r.vertex,
+    CAST(SUM(COALESCE(n.net, 0)) OVER (ORDER BY r.rk
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cut,
+    CAST(SUM(r.deg) OVER (ORDER BY r.rk
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vol
+    FROM swrk r LEFT JOIN swnet n ON n.rk = r.rk)
+SELECT CAST(rk AS BIGINT) AS rank, vertex, cut, vol,
+       ROUND(CASE WHEN LEAST(vol, (SELECT m2 FROM sw2m) - vol) = 0 THEN 0.0
+             ELSE cut / LEAST(vol, (SELECT m2 FROM sw2m) - vol) END, 6)
+       AS conductance
+FROM swcum"""
+    )
+
+
 DENSEST_ROUNDS = 12
 
 
@@ -4269,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "densest": q_densest,
         "compression": q_compression,
+        "ppr_sweep": q_ppr_sweep,
         "multimodal_gif": q_multimodal_gif,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
@@ -5099,6 +5159,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "wl_colors": _wl_sql(WL_ITERS, 20),
         "cdc_chunks": _cdc_sql(4, 8),
         "densest": _densest_sql(DENSEST_ROUNDS),
+        "ppr_sweep": _ppr_sweep_sql(PPR_ITERS, SWEEP_KMAX),
         "compression": f"SELECT * FROM '{_ORACLE_DIR}/pinned_compression_sf001.parquet'",
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         # exact BFS by recursive CTE; distances are contiguous 0..max

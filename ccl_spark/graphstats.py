@@ -755,3 +755,106 @@ def densest_subgraph_peel(
     return spark.createDataFrame(
         out_rows, "round long, n_vertices long, n_edges long, density double"
     )
+
+
+def ppr_sweep_cut(
+    edges: DataFrame,
+    seed: int,
+    n_iter: int = 10,
+    k_max: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Local clustering by PPR sweep cut (the Andersen-Chung-Lang /
+    PageRank-Nibble shape): run personalized PageRank from ``seed``
+    (fixed iterations), order vertices by ``round(ppr/deg, 6)`` DESC
+    (vertex-id tie-break — the rounded key makes the order
+    engine-identical), and report the conductance of every prefix of
+    the first ``k_max`` vertices.  The argmin prefix IS the local
+    community around the seed.
+
+    The sweep arithmetic is EXACT: each undirected edge (canonical
+    u<v row) contributes +1 to the cut at the earlier endpoint's rank
+    and −1 at the later endpoint's rank (∞ when unranked) — an
+    interval-stabbing diff array whose running sum is the prefix cut,
+    all integers; prefix volume is the running degree sum.  One ppr
+    run + two windowed cumulative sums — no per-prefix recomputation.
+
+    Returns ``(rank, vertex, cut, vol, conductance)`` for prefixes
+    1..k_max (conductance 6dp, 0 when the denominator is 0).
+    """
+    from pyspark.sql import Window
+
+    from .pagerank import pagerank as _pr
+
+    und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("s").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    two_m = und.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    ppr = _pr(edges, src=src, dst=dst, tol=0.0, max_iter=n_iter, seeds=[seed])
+    scored = (
+        ppr.join(deg, ppr.vertex == deg.v)
+        .select(
+            "vertex",
+            "deg",
+            F.round(F.col("rank") / F.col("deg"), 6).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("vertex"))
+    ranked = (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= k_max)
+        .select("vertex", "deg", "rk")
+        .localCheckpoint(eager=True)
+    )
+    big = k_max + 1
+    eu = und.filter(F.col("s") < F.col("d"))
+    j = (
+        eu.join(
+            ranked.select(F.col("vertex").alias("s"), F.col("rk").alias("ra")),
+            "s",
+            "left",
+        )
+        .join(
+            ranked.select(F.col("vertex").alias("d"), F.col("rk").alias("rb")),
+            "d",
+            "left",
+        )
+        .select(
+            F.least(
+                F.coalesce("ra", F.lit(big)), F.coalesce("rb", F.lit(big))
+            ).alias("lo"),
+            F.greatest(
+                F.coalesce("ra", F.lit(big)), F.coalesce("rb", F.lit(big))
+            ).alias("hi"),
+        )
+    )
+    deltas = (
+        j.filter(F.col("lo") <= k_max)
+        .select(F.col("lo").alias("rk"), F.lit(1).alias("dlt"))
+        .unionByName(
+            j.filter(F.col("hi") <= k_max).select(
+                F.col("hi").alias("rk"), F.lit(-1).alias("dlt")
+            )
+        )
+        .groupBy("rk")
+        .agg(F.sum("dlt").alias("net"))
+    )
+    w_cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        ranked.join(deltas, "rk", "left")
+        .select("rk", "vertex", "deg", F.coalesce("net", F.lit(0)).alias("net"))
+        .withColumn("cut", F.sum("net").over(w_cum).cast("long"))
+        .withColumn("vol", F.sum("deg").over(w_cum).cast("long"))
+        .crossJoin(F.broadcast(two_m))
+    )
+    den = F.least(F.col("vol"), F.col("m2") - F.col("vol"))
+    return curve.select(
+        F.col("rk").cast("long").alias("rank"),
+        "vertex",
+        "cut",
+        "vol",
+        F.round(
+            F.when(den == 0, F.lit(0.0)).otherwise(F.col("cut") / den), 6
+        ).alias("conductance"),
+    )

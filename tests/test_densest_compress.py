@@ -69,3 +69,29 @@ def test_compression_ratio_matches_zlib(spark):
         assert rows[d].zlib_bytes == zb
         assert rows[d].ratio == round(zb / len(raw), 6)
     assert rows[1].ratio < rows[2].ratio  # repetition compresses better
+
+
+def test_ppr_sweep_finds_local_cluster(spark):
+    from ccl_spark.graphstats import ppr_sweep_cut
+
+    # two 4-cliques joined by a single bridge; sweep from a vertex in
+    # clique A must hit its conductance minimum exactly at |A| = 4
+    # with cut 1 (the bridge)
+    a = [(i, j) for i in range(4) for j in range(4) if i < j]
+    b = [(i, j) for i in range(10, 14) for j in range(10, 14) if i < j]
+    und = a + b + [(0, 10)]
+    # PPR walks the DIRECTED edge table: feed both orientations so the
+    # random walk sees the undirected community structure
+    e = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src long, dst long"
+    )
+    rows = {r.rank: r for r in ppr_sweep_cut(e, seed=1, n_iter=20, k_max=8).collect()}
+    # exclude the trivial whole-graph prefix (vol == 2m -> guard 0.0)
+    proper = [r for r in rows.values() if r.vol < 26]
+    best = min(proper, key=lambda r: (r.conductance, r.rank))
+    assert best.rank == 4 and best.cut == 1
+    # prefix of size 4 = clique A (vertices 0..3), vol = 3*3 + 4 = 13
+    assert best.vol == 13
+    assert best.conductance == round(1 / 13, 6)
+    prefix = {rows[k].vertex for k in range(1, 5)}
+    assert prefix == {0, 1, 2, 3}
