@@ -1716,8 +1716,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _corpus_edges(spark, 1000)
     _dump_edges(spark, 1000)
-    lab = label_propagation(e, max_iter=5)
-    return modularity(e, lab)
+    return modularity(e, _corpus_lpa_labels(spark))
 
 
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2562,12 +2561,26 @@ def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_LPA_MEMO: dict[int, DataFrame] = {}
+
+
+def _corpus_lpa_labels(spark: SparkSession) -> DataFrame:
+    """Memoized 5-round LPA labels of the corpus-1000 graph — shared
+    by corpus_lpa / modularity / conductance / partition_cut (four
+    gate queries otherwise re-run the identical fixpoint)."""
+    key = id(spark)
+    if key not in _CORPUS_LPA_MEMO:
+        _CORPUS_LPA_MEMO[key] = label_propagation(
+            _corpus_edges(spark, 1000), max_iter=5
+        ).localCheckpoint(eager=True)
+    return _CORPUS_LPA_MEMO[key]
+
+
 def q_corpus_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 synchronous LPA rounds, oracle-checked against the same rounds
     as chained CTEs in DuckDB (deterministic mode/min tie-break)."""
-    e = _corpus_edges(spark, 1000)
     _dump_edges(spark, 1000)
-    lab = label_propagation(e, max_iter=5)
+    lab = _corpus_lpa_labels(spark)
     return (
         lab.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_vertices"))
@@ -2749,6 +2762,133 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "n_bytes", "width", "height",
         F.round(F.element_at("feature", 1), 5).alias("f0"),
+    )
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-preparation funnel in one row: raw →
+    Gopher-keep → exact-collapse → near-dup-dedup survivor counts plus
+    the final token total. The oracle replays every stage (gopher
+    rules, min-id text collapse, exact all-pairs Jaccard ≥ 0.8 +
+    recursive closure) in one SQL chain."""
+    from ccl_spark.pipeline import corpus_funnel_stats
+
+    return corpus_funnel_stats(_t(spark, sf_dir, "documents"))
+
+
+def _corpus_funnel_sql() -> str:
+    gopher = _gopher_sql()
+    return f"""
+WITH RECURSIVE
+fkeep AS MATERIALIZED (SELECT doc_id FROM ({gopher}) WHERE keep),
+fkd AS MATERIALIZED (
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text
+    FROM documents d JOIN fkeep k ON k.doc_id = CAST(d.doc_id AS BIGINT)),
+freps AS MATERIALIZED (SELECT MIN(doc_id) AS id, text FROM fkd GROUP BY text),
+ftk AS MATERIALIZED (
+    SELECT id, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS i
+    FROM freps),
+fg3 AS (
+    SELECT a.id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+    FROM ftk a JOIN ftk b ON b.id = a.id AND b.i = a.i + 1
+               JOIN ftk c ON c.id = a.id AND c.i = a.i + 2),
+fgshort AS (
+    SELECT id, ARRAY_TO_STRING(STRING_SPLIT(text, ' '), ' ') AS g
+    FROM freps WHERE LEN(STRING_SPLIT(text, ' ')) < 3),
+fgrams AS MATERIALIZED (
+    SELECT DISTINCT id, g FROM (SELECT * FROM fg3 UNION ALL SELECT * FROM fgshort)),
+fsizes AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM fgrams GROUP BY id),
+finter AS MATERIALIZED (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+    FROM fgrams a JOIN fgrams b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2),
+fpairs AS MATERIALIZED (
+    SELECT id_a, id_b FROM finter
+    JOIN fsizes sa ON sa.id = finter.id_a JOIN fsizes sb ON sb.id = finter.id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.8),
+fund AS (SELECT id_a AS u, id_b AS v FROM fpairs UNION SELECT id_b, id_a FROM fpairs),
+fverts AS (SELECT DISTINCT u AS vertex FROM fund),
+freach(vertex, l) AS (
+    SELECT vertex, vertex FROM fverts
+    UNION
+    SELECT fund.u, r.l FROM fund JOIN freach r ON fund.v = r.vertex
+    WHERE r.l < fund.u),
+fdrop AS MATERIALIZED (
+    SELECT vertex AS id FROM (SELECT vertex, MIN(l) AS cl FROM freach GROUP BY vertex)
+    WHERE vertex <> cl),
+ffinal AS MATERIALIZED (
+    SELECT id, text FROM freps WHERE id NOT IN (SELECT id FROM fdrop))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM fkd) AS n_quality,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM freps) AS n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ffinal) AS n_final,
+       (SELECT CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) FROM ffinal)
+       AS total_tokens
+"""
+
+
+PART_K = 8
+
+
+def q_partition_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioner quality A/B on the corpus graph: edge-cut and
+    balance of (a) a hash partitioner (md5 coin % 8) and (b) an
+    LPA-community-aligned assignment (community label hashed % 8) —
+    the co-location story made measurable. Two rows."""
+    from ccl_spark.graphstats import partition_cut
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    coin = (
+        "cast(conv(substring(md5(concat(cast({c} as string), ',part')), 1, 15),"
+        " 16, 10) as bigint) % " + str(PART_K)
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    hash_asg = verts.select("vertex", F.expr(coin.format(c="vertex")).alias("part"))
+    lpa_asg = _corpus_lpa_labels(spark).select(
+        "vertex", F.expr(coin.format(c="label")).alias("part")
+    )
+    return partition_cut(e, hash_asg, "hash").unionByName(
+        partition_cut(e, lpa_asg, "lpa")
+    )
+
+
+def _partition_cut_sql(k: int) -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    coin = (
+        "('0x' || substring(md5(CAST({c} AS VARCHAR) || ',part'), 1, 15))::BIGINT"
+        f" % {k}"
+    )
+    block = """
+SELECT '{scheme}' AS scheme,
+       (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM {asg}) AS n_parts,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM peu) AS n_edges,
+       (SELECT CAST(SUM(CASE WHEN pa.p <> pb.p THEN 1 ELSE 0 END) AS BIGINT)
+        FROM peu JOIN {asg} pa ON pa.v = peu.u
+                 JOIN {asg} pb ON pb.v = peu.v) AS cut_edges,
+       ROUND((SELECT SUM(CASE WHEN pa.p <> pb.p THEN 1 ELSE 0 END)
+              FROM peu JOIN {asg} pa ON pa.v = peu.u
+                       JOIN {asg} pb ON pb.v = peu.v)
+             / (SELECT COUNT(*) FROM peu), 6) AS cut_frac,
+       ROUND((SELECT MAX(sz) FROM (SELECT COUNT(*) AS sz FROM {asg} GROUP BY p))
+             * 1.0 / (SELECT COUNT(*) FROM {asg}), 6) AS max_part_frac"""
+    return (
+        _corpus_lpa_chain(5)
+        + f""",
+peu AS MATERIALIZED (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+                     FROM und),
+pverts AS (SELECT DISTINCT u AS vertex FROM und),
+hasg AS MATERIALIZED (SELECT vertex AS v, {coin.format(c='vertex')} AS p
+                      FROM pverts),
+lasg AS MATERIALIZED (SELECT vertex AS v, {coin.format(c='lab')} AS p FROM l5)
+"""
+        + block.format(scheme="hash", asg="hasg")
+        + "\nUNION ALL"
+        + block.format(scheme="lpa", asg="lasg")
     )
 
 
@@ -3681,8 +3821,7 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _corpus_edges(spark, 1000)
     _dump_edges(spark, 1000)
-    lab = label_propagation(e, max_iter=5)
-    return community_conductance(e, lab, k=10)
+    return community_conductance(e, _corpus_lpa_labels(spark), k=10)
 
 
 def _conductance_sql(iters: int, k: int) -> str:
@@ -4329,6 +4468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest": q_densest,
         "compression": q_compression,
         "ppr_sweep": q_ppr_sweep,
+        "corpus_funnel": q_corpus_funnel,
+        "partition_cut": q_partition_cut,
         "multimodal_gif": q_multimodal_gif,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
@@ -5160,6 +5301,8 @@ FROM p WHERE s <> d GROUP BY s, d
         "cdc_chunks": _cdc_sql(4, 8),
         "densest": _densest_sql(DENSEST_ROUNDS),
         "ppr_sweep": _ppr_sweep_sql(PPR_ITERS, SWEEP_KMAX),
+        "corpus_funnel": _corpus_funnel_sql(),
+        "partition_cut": _partition_cut_sql(PART_K),
         "compression": f"SELECT * FROM '{_ORACLE_DIR}/pinned_compression_sf001.parquet'",
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         # exact BFS by recursive CTE; distances are contiguous 0..max

@@ -858,3 +858,50 @@ def ppr_sweep_cut(
             F.when(den == 0, F.lit(0.0)).otherwise(F.col("cut") / den), 6
         ).alias("conductance"),
     )
+
+
+def partition_cut(
+    edges: DataFrame,
+    assignment: DataFrame,
+    scheme: str = "hash",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Partitioner quality audit — the metric that decides a 100-TB
+    layout: given a vertex→part ``assignment``, report the edge-cut
+    (undirected edges whose endpoints land in different parts), the
+    cut fraction, the number of parts, and the largest part's vertex
+    share (balance).  A hash partitioner cuts ≈ (1 − 1/k) of the
+    edges of ANY graph; a community-aligned assignment shows exactly
+    how much co-location a smarter layout buys.
+
+    Returns one row
+    ``(scheme, n_parts, n_edges, cut_edges, cut_frac, max_part_frac)``.
+    """
+    eu = _symmetrized(edges, src, dst).filter(F.col("s") < F.col("d"))
+    a = assignment.select(
+        F.col("vertex").cast("long").alias("v"), F.col("part").cast("long").alias("p")
+    )
+    j = eu.join(a.select(F.col("v").alias("s"), F.col("p").alias("ps")), "s").join(
+        a.select(F.col("v").alias("d"), F.col("p").alias("pd")), "d"
+    )
+    cut = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("ps") != F.col("pd"), 1).otherwise(0))
+        .cast("long")
+        .alias("cut_edges"),
+    )
+    parts = a.groupBy("p").agg(F.count(F.lit(1)).alias("sz"))
+    bal = parts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.max("sz").cast("long").alias("max_sz"),
+        F.sum("sz").cast("long").alias("n_verts"),
+    )
+    return cut.crossJoin(bal).select(
+        F.lit(scheme).alias("scheme"),
+        "n_parts",
+        "n_edges",
+        "cut_edges",
+        F.round(F.col("cut_edges") / F.col("n_edges"), 6).alias("cut_frac"),
+        F.round(F.col("max_sz") / F.col("n_verts"), 6).alias("max_part_frac"),
+    )

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+from ccl_spark.graphstats import partition_cut
+from ccl_spark.pipeline import corpus_funnel_stats, prepare_corpus
+
+
+def _docs(spark):
+    good = " ".join(["alpha", "beta", "gamma", "the", "of"] * 8)  # keeps
+    texts = {
+        1: good,
+        2: good,                      # exact dup of 1
+        3: good + " tail tail",       # near-dup of 1
+        4: "too short",               # quality-dropped
+        5: " ".join(["delta", "kappa", "sigma", "the", "a"] * 8),  # keeps
+    }
+    return spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    ), texts
+
+
+def test_funnel_counts(spark):
+    docs, texts = _docs(spark)
+    r = corpus_funnel_stats(docs, near_dup_threshold=0.5).first()
+    assert r.n_raw == 5
+    assert r.n_quality == 4          # doc 4 dropped by the gate
+    assert r.n_exact == 3            # {1,2} collapse -> reps {1,3,5}
+    assert r.n_final == 2            # 3 near-dups into 1; survivors {1,5}
+    assert r.total_tokens == len(texts[1].split()) + len(texts[5].split())
+
+
+def test_prepare_corpus_survivors(spark):
+    docs, _ = _docs(spark)
+    final = {r.doc_id for r in prepare_corpus(docs, near_dup_threshold=0.5).collect()}
+    assert final == {1, 5}
+
+
+def test_partition_cut_metrics(spark):
+    # two components of 3 vertices each; a perfect assignment cuts 0,
+    # splitting one component cuts its internal edges
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12)], "src long, dst long"
+    )
+    perfect = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (10, 1), (11, 1), (12, 1)], "vertex long, part long"
+    )
+    split = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0), (10, 1), (11, 1), (12, 1)], "vertex long, part long"
+    )
+    p = partition_cut(e, perfect, "perfect").first()
+    assert p.cut_edges == 0 and p.cut_frac == 0.0 and p.n_parts == 2
+    assert p.max_part_frac == 0.5
+    s = partition_cut(e, split, "split").first()
+    assert s.cut_edges == 2  # both edges at vertex 2 cross
+    assert s.n_edges == 4
