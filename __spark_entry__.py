@@ -2827,6 +2827,55 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
 """
 
 
+SA_DOCS = 20
+SA_ROUNDS = 12
+
+
+def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix array of the concatenated token stream of docs 0..19
+    (prefix doubling, Manber-Myers): every (rank, pos) row
+    value-checks against the identical dense-rank chain in SQL —
+    exact substring dedup's foundation."""
+    from ccl_spark.suffix import corpus_token_stream, suffix_array
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < SA_DOCS)
+    return suffix_array(corpus_token_stream(docs), max_rounds=SA_ROUNDS)
+
+
+def _suffix_array_sql(rounds: int) -> str:
+    parts = [
+        f"""
+satk AS MATERIALIZED (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY did, tp) - 1 AS BIGINT) AS pos, tok
+    FROM (
+        SELECT CAST(doc_id AS BIGINT) AS did,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS tp,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        FROM documents WHERE doc_id < {SA_DOCS}
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), 2000000000,
+               '!sep' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id < {SA_DOCS}
+    ) WHERE tok <> ''),
+sar0 AS MATERIALIZED (
+    SELECT pos, CAST(DENSE_RANK() OVER (ORDER BY tok) AS BIGINT) AS r FROM satk)"""
+    ]
+    for t in range(1, rounds + 1):
+        k = 1 << (t - 1)
+        parts.append(
+            f"""
+sar{t} AS MATERIALIZED (
+    SELECT a.pos,
+           CAST(DENSE_RANK() OVER (ORDER BY a.r, COALESCE(b.r, 0)) AS BIGINT) AS r
+    FROM sar{t - 1} a LEFT JOIN sar{t - 1} b ON b.pos = a.pos + {k})"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT r AS rank, pos FROM sar{rounds}"
+    )
+
+
 PART_K = 8
 
 
@@ -4470,6 +4519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep": q_ppr_sweep,
         "corpus_funnel": q_corpus_funnel,
         "partition_cut": q_partition_cut,
+        "suffix_array": q_suffix_array,
         "multimodal_gif": q_multimodal_gif,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
@@ -5303,6 +5353,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "ppr_sweep": _ppr_sweep_sql(PPR_ITERS, SWEEP_KMAX),
         "corpus_funnel": _corpus_funnel_sql(),
         "partition_cut": _partition_cut_sql(PART_K),
+        "suffix_array": _suffix_array_sql(SA_ROUNDS),
         "compression": f"SELECT * FROM '{_ORACLE_DIR}/pinned_compression_sf001.parquet'",
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         # exact BFS by recursive CTE; distances are contiguous 0..max

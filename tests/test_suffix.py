@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+from ccl_spark.suffix import corpus_token_stream, suffix_array
+
+
+def _sa_oracle(tokens: list[str]) -> list[int]:
+    return sorted(range(len(tokens)), key=lambda i: tokens[i:])
+
+
+def test_suffix_array_banana(spark):
+    toks = spark.createDataFrame(
+        list(enumerate("banana")), "pos long, tok string"
+    )
+    got = {r.rank: r.pos for r in suffix_array(toks).collect()}
+    assert [got[r] for r in sorted(got)] == [5, 3, 1, 0, 4, 2]
+
+
+def test_suffix_array_matches_python_tokens(spark):
+    words = [f"w{(i * 13) % 7}" for i in range(40)]  # heavy repeats
+    toks = spark.createDataFrame(
+        list(enumerate(words)), "pos long, tok string"
+    )
+    got = {r.rank: r.pos for r in suffix_array(toks).collect()}
+    assert [got[r] for r in sorted(got)] == _sa_oracle(words)
+
+
+def test_corpus_stream_separators_block_cross_doc_runs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    stream = corpus_token_stream(docs)
+    rows = sorted((r.pos, r.tok) for r in stream.collect())
+    toks = [t for _, t in rows]
+    # layout: a b c !sep1 a b c !sep2
+    assert toks == ["a", "b", "c", "!sep1", "a", "b", "c", "!sep2"]
+    got = {r.rank: r.pos for r in suffix_array(stream).collect()}
+    assert [got[r] for r in sorted(got)] == _sa_oracle(toks)
+    # the two identical "a b c" runs are ADJACENT in the suffix array
+    # (that adjacency is what exact-substring dedup scans for)
+    order = [got[r] for r in sorted(got)]
+    ia, ib = order.index(0), order.index(4)
+    assert abs(ia - ib) == 1
