@@ -2876,6 +2876,56 @@ sar{t} AS MATERIALIZED (
     )
 
 
+def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest verbatim repeats in the docs 0..19 token stream: top-10
+    adjacent suffix-array pairs by LCP (binary descent over the
+    prefix-doubling rank tables — integer-exact, SQL-replayed). The
+    exact-substring-dedup scan itself."""
+    from ccl_spark.suffix import adjacent_lcp, corpus_token_stream
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < SA_DOCS)
+    return (
+        adjacent_lcp(corpus_token_stream(docs), max_rounds=SA_ROUNDS)
+        .orderBy(F.desc("lcp"), F.asc("rank"))
+        .limit(10)
+    )
+
+
+def _longest_repeat_sql(rounds: int, k: int) -> str:
+    base = _suffix_array_sql(rounds)
+    body = base[: base.rindex("\nSELECT")]  # keep the WITH chain only
+    parts = [
+        f""",
+lcpp0 AS (SELECT a.r AS rank, a.pos, b.pos AS next_pos,
+                 a.pos AS di, b.pos AS dj, CAST(0 AS BIGINT) AS lcp
+          FROM sar{rounds} a JOIN sar{rounds} b ON b.r = a.r + 1)"""
+    ]
+    i = 0
+    for t in range(rounds, -1, -1):
+        length = 1 << t
+        parts.append(
+            f"""
+lcpp{i + 1} AS MATERIALIZED (
+    SELECT p.rank, p.pos, p.next_pos,
+           CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL AND ra.r = rb.r
+                THEN p.di + {length} ELSE p.di END AS di,
+           CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL AND ra.r = rb.r
+                THEN p.dj + {length} ELSE p.dj END AS dj,
+           CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL AND ra.r = rb.r
+                THEN p.lcp + {length} ELSE p.lcp END AS lcp
+    FROM lcpp{i} p LEFT JOIN sar{t} ra ON ra.pos = p.di
+                   LEFT JOIN sar{t} rb ON rb.pos = p.dj)"""
+        )
+        i += 1
+    return (
+        body
+        + ",".join(parts)
+        + f"""
+SELECT rank, pos, next_pos, lcp FROM lcpp{i}
+ORDER BY lcp DESC, rank LIMIT {k}"""
+    )
+
+
 PART_K = 8
 
 
@@ -4520,6 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_funnel": q_corpus_funnel,
         "partition_cut": q_partition_cut,
         "suffix_array": q_suffix_array,
+        "longest_repeat": q_longest_repeat,
         "multimodal_gif": q_multimodal_gif,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
@@ -5354,6 +5405,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "corpus_funnel": _corpus_funnel_sql(),
         "partition_cut": _partition_cut_sql(PART_K),
         "suffix_array": _suffix_array_sql(SA_ROUNDS),
+        "longest_repeat": _longest_repeat_sql(SA_ROUNDS, 10),
         "compression": f"SELECT * FROM '{_ORACLE_DIR}/pinned_compression_sf001.parquet'",
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         # exact BFS by recursive CTE; distances are contiguous 0..max

@@ -88,3 +88,78 @@ def suffix_array(
         ).localCheckpoint(eager=True)
         k *= 2
     return ranks.select(F.col("r").alias("rank"), "pos")
+
+
+def adjacent_lcp(
+    tokens: DataFrame,
+    max_rounds: int = 12,
+    pos_col: str = "pos",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Longest-common-prefix of every ADJACENT suffix-array pair — the
+    scan exact-substring dedup runs: a long verbatim repeat anywhere
+    in the corpus appears as adjacent suffixes with a large LCP.
+
+    Builds the prefix-doubling rank tables (prefix lengths 1, 2, 4,
+    …), then computes each adjacent pair's LCP by BINARY DESCENT over
+    the levels: at level length L, if the two suffixes' rank_L agree,
+    their first L tokens agree — add L and advance both cursors.
+    O(log n) levels × one two-sided hash join each; all integer ranks,
+    so the SQL oracle replays the identical descent.
+
+    Returns ``(rank, pos, next_pos, lcp)`` for ranks 1..n-1 (pair =
+    suffix at ``rank`` vs ``rank+1``).  Separator tokens are unique,
+    so LCP runs never cross documents.
+    """
+    n_row = tokens.count()
+    base = tokens.select(
+        F.col(pos_col).cast("long").alias("pos"), F.col(tok_col).alias("tok")
+    )
+    ranks = base.select(
+        "pos", F.dense_rank().over(Window.orderBy("tok")).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    levels = [(1, ranks)]
+    k = 1
+    for _ in range(max_rounds):
+        if ranks.agg(F.countDistinct("r").alias("d")).first()["d"] >= n_row:
+            break
+        nxt = ranks.select((F.col("pos") - k).alias("pos"), F.col("r").alias("r2"))
+        paired = ranks.join(nxt, "pos", "left").select(
+            "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2")
+        )
+        k *= 2
+        ranks = paired.select(
+            "pos",
+            F.dense_rank().over(Window.orderBy("r", "r2")).cast("long").alias("r"),
+        ).localCheckpoint(eager=True)
+        levels.append((k, ranks))
+    final = ranks
+    nxt_rank = final.select((F.col("r") - 1).alias("r"), F.col("pos").alias("next_pos"))
+    state = (
+        final.join(nxt_rank, "r")
+        .select(
+            F.col("r").alias("rank"),
+            "pos",
+            "next_pos",
+            F.col("pos").alias("di"),
+            F.col("next_pos").alias("dj"),
+            F.lit(0).cast("long").alias("lcp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for length, lvl in sorted(levels, key=lambda t: -t[0]):
+        ra = lvl.select(F.col("pos").alias("di"), F.col("r").alias("ra"))
+        rb = lvl.select(F.col("pos").alias("dj"), F.col("r").alias("rb"))
+        j = state.join(ra, "di", "left").join(rb, "dj", "left")
+        eq = F.col("ra").isNotNull() & F.col("rb").isNotNull() & (
+            F.col("ra") == F.col("rb")
+        )
+        state = j.select(
+            "rank",
+            "pos",
+            "next_pos",
+            F.when(eq, F.col("di") + length).otherwise(F.col("di")).alias("di"),
+            F.when(eq, F.col("dj") + length).otherwise(F.col("dj")).alias("dj"),
+            F.when(eq, F.col("lcp") + length).otherwise(F.col("lcp")).alias("lcp"),
+        ).localCheckpoint(eager=True)
+    return state.select("rank", "pos", "next_pos", "lcp")

@@ -40,3 +40,29 @@ def test_corpus_stream_separators_block_cross_doc_runs(spark):
     order = [got[r] for r in sorted(got)]
     ia, ib = order.index(0), order.index(4)
     assert abs(ia - ib) == 1
+
+
+def test_adjacent_lcp_banana(spark):
+    from ccl_spark.suffix import adjacent_lcp
+
+    toks = spark.createDataFrame(
+        list(enumerate("banana")), "pos long, tok string"
+    )
+    got = {r.rank: r.lcp for r in adjacent_lcp(toks).collect()}
+    # SA order a, ana, anana, banana, na, nana -> LCPs 1, 3, 0, 0, 2
+    assert got == {1: 1, 2: 3, 3: 0, 4: 0, 5: 2}
+
+
+def test_adjacent_lcp_matches_python(spark):
+    from ccl_spark.suffix import adjacent_lcp
+
+    words = [f"w{(i * 13) % 5}" for i in range(30)]
+    sa = sorted(range(len(words)), key=lambda i: words[i:])
+    def lcp(a, b):
+        n = 0
+        while a + n < len(words) and b + n < len(words) and words[a + n] == words[b + n]:
+            n += 1
+        return n
+    toks = spark.createDataFrame(list(enumerate(words)), "pos long, tok string")
+    got = {r.rank: r.lcp for r in adjacent_lcp(toks).collect()}
+    assert got == {k: lcp(sa[k - 1], sa[k]) for k in range(1, len(words))}
