@@ -23,14 +23,21 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``neighborhood`` exact neighborhood function, effective diameter, HyperBall
 - ``graphstats`` reciprocity, assortativity, link prediction (AA/RA/Jaccard,
                  co-citation, coupling), modularity + greedy Louvain moves,
+                 conductance, PPR sweep cut, attack robustness, WL
+                 refinement, densest-subgraph peel, partition-cut audit,
                  degree power law
 - ``walks``      deterministic DeepWalk / node2vec walk corpora
 - ``mis``        Luby maximal independent set
 - ``chains``     redirect-chain resolution (pointer doubling), Bellman-Ford SSSP
-- ``dedup``      exact / MinHash-LSH / SimHash / containment dedup + clusters
-- ``similarity`` brute / LSH / IVF / PQ / IVF-PQ ANN, embedding near-dup
-- ``textops``    tokenization, BPE train/encode, quality, TF-IDF, inverted
-                 index, PII scrub, char-bigram LM scoring
+- ``dedup``      exact / MinHash-LSH / SimHash / containment dedup + clusters,
+                 incremental index fold, CDC chunking, decontamination
+- ``similarity`` brute / LSH / IVF / PQ / IVF-PQ ANN, embedding near-dup,
+                 kNN graph + mutual-kNN clustering, centroid classify,
+                 k-hop features, reciprocal matches, power-iteration PCA
+- ``textops``    tokenization, BPE train/encode, quality (Gopher gate,
+                 compression ratio), TF-IDF + doc similarity, inverted
+                 index, PII scrub, char-bigram LM scoring, winnowing
+                 fingerprints + incremental fold
 - ``sampling``   hash sampling, train/valid/test splits, token packing
 - ``sketch``     count-min sketch, Bloom filter
 - ``boilerplate`` CCNet-style per-host line dedup
@@ -38,11 +45,19 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``frontier``   politeness-scheduled crawl rounds
 - ``analytics``  funnels, retention cohorts, JSON props, percentiles
 - ``asof``       as-of and banded range joins
-- ``streaming``  watermarked windows, stateful ages, stream dedup, CC fold-in
-- ``multimodal`` pure-numpy BMP/PNG/JPEG/WAV/AVI decode + features
+- ``streaming``  watermarked windows, stateful ages, stream dedup, CC
+                 fold-in, streaming HLL, streaming dedup-index upkeep
+- ``multimodal`` pure-numpy BMP/PNG/JPEG/GIF/WAV/AVI decode + features
 - ``sources``    parquet/Iceberg-seam table IO
 - ``components`` component sizes, ages, EOL, dust filtering, incremental CC
 - ``golden``     reference golden-fixture adapters
+- ``retrieval``  BM25 ranked retrieval over query batches
+- ``simrank``    SimRank structural similarity (sparse pair state)
+- ``cooc``       skipgram pairs, PMI, negative sampling, TextRank
+- ``pipeline``   the end-to-end corpus-preparation funnel
+- ``suffix``     prefix-doubling suffix arrays + adjacent-LCP repeats
+- ``coloring``   Jones-Plassmann greedy coloring
+- ``mst``        Borůvka spanning forest + single-linkage clustering
 
 Everything is DataFrame-first: Catalyst handles pushdown/pruning/joins;
 iteration state is checkpointed DataFrames; the only Python on the hot
