@@ -480,6 +480,54 @@ def q_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("vertex", F.round("rank", 6).alias("rank"))
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (Gyöngyi et al., TrustRank): uniform
+    PageRank vs trust-seeded PageRank at the same fixed 10 iterations,
+    mass = (pr - tr)/pr on the unrounded ranks (both engines' chains
+    agree to ~1e-14), every output column rounded to 6dp."""
+    from ccl_spark.pagerank import spam_mass
+
+    return spam_mass(
+        _edges_small(spark, sf_dir), trusted=PPR_SEEDS, n_iter=PPR_ITERS
+    )
+
+
+def _spam_mass_sql(iters: int, seeds: list[int]) -> str:
+    """Uniform chain (pr0..prN, from _pagerank_ctes) + a t-prefixed
+    seeded chain sharing e/verts/nn/outdeg, joined into the spam-mass
+    ratio — both replays identical to their green single-chain gates."""
+    in_list = ", ".join(str(int(s)) for s in seeds)
+    steps = [
+        f""",
+ttele AS MATERIALIZED (SELECT vertex, CASE WHEN vertex IN ({in_list})
+    THEN 1.0 / {len(seeds)} ELSE 0.0 END AS t FROM verts),
+tpr0 AS MATERIALIZED (SELECT vertex, t AS r FROM ttele)"""
+    ]
+    for k in range(1, iters + 1):
+        p = f"tpr{k - 1}"
+        steps.append(
+            f""",
+tdang{k} AS (SELECT COALESCE(SUM(r), 0) AS d FROM {p}
+             LEFT JOIN outdeg USING (vertex) WHERE deg IS NULL),
+tcontrib{k} AS (SELECT e.dst AS vertex, SUM(p.r / o.deg) AS c
+                FROM {p} p JOIN outdeg o USING (vertex)
+                JOIN e ON e.src = p.vertex GROUP BY e.dst),
+tpr{k} AS MATERIALIZED (SELECT v.vertex,
+    (1 - {DAMPING}) * tl.t
+    + {DAMPING} * (COALESCE(c.c, 0) + (SELECT d FROM tdang{k}) * tl.t) AS r
+    FROM verts v JOIN ttele tl USING (vertex)
+    LEFT JOIN tcontrib{k} c USING (vertex))"""
+        )
+    return (
+        _pagerank_ctes(iters)
+        + "".join(steps)
+        + f"""
+SELECT u.vertex, ROUND(u.r, 6) AS pr, ROUND(t.r, 6) AS tr,
+       ROUND((u.r - t.r) / u.r, 6) AS spam_mass
+FROM pr{iters} u JOIN tpr{iters} t USING (vertex)"""
+    )
+
+
 def q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch personalized PageRank: top-5 per seed for 3 seeds in one
     job over sparse (seed, vertex) state — the related-pages serving
@@ -1785,6 +1833,59 @@ def _landmarks_sql(n_pivots: int, max_depth: int) -> str:
     return "WITH " + ",".join(parts) + f"\nSELECT p, v, dist FROM ({union}) t"
 
 
+LM_STRIDE = 101
+
+
+def q_landmark_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-lookup landmark distance estimates (Potamias et al. 2009)
+    — the SERVING half of the landmarks precompute: for a
+    deterministic query set (every vertex id divisible by 101, 13 of
+    them -> 78 pairs), est(u,v) = min over landmarks of
+    d(p,u) + d(p,v); pairs with no common covering landmark are
+    omitted (inner-join semantics on both sides)."""
+    from ccl_spark.betweenness import landmark_distances, landmark_pair_estimates
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    lm = landmark_distances(
+        e.select("src", "dst"), n_pivots=4, max_depth=5, early_stop=False
+    )
+    ee = e.filter(F.col("src") != F.col("dst"))
+    verts = (
+        ee.select(F.col("src").alias("q"))
+        .unionByName(ee.select(F.col("dst").alias("q")))
+        .distinct()
+        .filter(F.col("q") % LM_STRIDE == 0)
+    )
+    pairs = (
+        verts.alias("a")
+        .join(verts.alias("b"), F.col("a.q") < F.col("b.q"))
+        .select(F.col("a.q").alias("u"), F.col("b.q").alias("v"))
+    )
+    est = landmark_pair_estimates(lm, pairs)
+    return est.select("u", "v", F.col("est").cast("long").alias("est"))
+
+
+def _landmark_est_sql(n_pivots: int, max_depth: int, stride: int) -> str:
+    parts = _pivot_bfs_sql_parts(n_pivots, max_depth)
+    union = " UNION ALL ".join(
+        ["SELECT p, v, 0 AS dist FROM f0"]
+        + [f"SELECT p, v, {r} AS dist FROM f{r}" for r in range(1, max_depth + 1)]
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+lmt AS MATERIALIZED (SELECT p, v, dist FROM ({union}) t),
+qs AS (SELECT DISTINCT s AS q FROM und WHERE s % {stride} = 0),
+qpairs AS (SELECT a.q AS u, b.q AS v FROM qs a JOIN qs b ON a.q < b.q)
+SELECT p.u, p.v, CAST(MIN(la.dist + lb.dist) AS BIGINT) AS est
+FROM qpairs p JOIN lmt la ON la.v = p.u
+              JOIN lmt lb ON lb.v = p.v AND lb.p = la.p
+GROUP BY p.u, p.v"""
+    )
+
+
 def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pivot eccentricity (max BFS distance within the depth
     bound) from the 4 hub pivots — max(ecc) is the standard diameter
@@ -2846,7 +2947,8 @@ def _suffix_array_sql(rounds: int) -> str:
     parts = [
         f"""
 satk AS MATERIALIZED (
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY did, tp) - 1 AS BIGINT) AS pos, tok
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY did, tp) - 1 AS BIGINT) AS pos, tok,
+           did
     FROM (
         SELECT CAST(doc_id AS BIGINT) AS did,
                GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS tp,
@@ -2891,7 +2993,9 @@ def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _longest_repeat_sql(rounds: int, k: int) -> str:
+def _lcp_chain_sql(rounds: int) -> tuple[str, int]:
+    """The shared WITH-chain of the adjacent-LCP binary descent
+    (suffix-array CTEs + lcpp0..lcppN); returns (body, last_index)."""
     base = _suffix_array_sql(rounds)
     body = base[: base.rindex("\nSELECT")]  # keep the WITH chain only
     parts = [
@@ -2917,12 +3021,42 @@ lcpp{i + 1} AS MATERIALIZED (
                    LEFT JOIN sar{t} rb ON rb.pos = p.dj)"""
         )
         i += 1
+    return body + ",".join(parts), i
+
+
+def _longest_repeat_sql(rounds: int, k: int) -> str:
+    body, i = _lcp_chain_sql(rounds)
     return (
         body
-        + ",".join(parts)
         + f"""
 SELECT rank, pos, next_pos, lcp FROM lcpp{i}
 ORDER BY lcp DESC, rank LIMIT {k}"""
+    )
+
+
+def q_verbatim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim-repeat pairs over docs 0..19: document
+    pairs holding adjacent suffix-array occurrences of a shared run of
+    >= 2 tokens, with the longest run per pair — the document-level
+    output of exact substring dedup (Lee et al. 2022), mapped back
+    from the same integer-exact LCP descent the oracle replays."""
+    from ccl_spark.suffix import verbatim_doc_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < SA_DOCS)
+    return verbatim_doc_pairs(docs, min_len=2, max_rounds=SA_ROUNDS)
+
+
+def _verbatim_pairs_sql(rounds: int, min_len: int) -> str:
+    body, i = _lcp_chain_sql(rounds)
+    return (
+        body
+        + f"""
+SELECT LEAST(a.did, b.did) AS doc_a, GREATEST(a.did, b.did) AS doc_b,
+       CAST(MAX(l.lcp) AS BIGINT) AS max_lcp
+FROM lcpp{i} l JOIN satk a ON a.pos = l.pos
+               JOIN satk b ON b.pos = l.next_pos
+WHERE l.lcp >= {min_len} AND a.did <> b.did
+GROUP BY LEAST(a.did, b.did), GREATEST(a.did, b.did)"""
     )
 
 
@@ -4571,6 +4705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_cut": q_partition_cut,
         "suffix_array": q_suffix_array,
         "longest_repeat": q_longest_repeat,
+        "verbatim_pairs": q_verbatim_pairs,
         "multimodal_gif": q_multimodal_gif,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
@@ -4579,6 +4714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_min_size": q_cc_min_size,
         "pagerank": q_pagerank,
         "pagerank_seeded": q_pagerank_seeded,
+        "spam_mass": q_spam_mass,
         "hits": q_hits,
         "degrees_topk": q_degrees_topk,
         "salted_degrees": q_salted_degrees,
@@ -4642,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "harmonic": q_harmonic,
         "landmarks": q_landmarks,
+        "landmark_est": q_landmark_est,
         "katz": q_katz,
         "skipgram": q_skipgram,
         "pmi": q_pmi,
@@ -4711,6 +4848,7 @@ HAVING COUNT(*) >= 3
 """,
         "pagerank": _pagerank_sql(PR_ITERS),
         "pagerank_seeded": _pagerank_sql(PPR_ITERS, seeds=PPR_SEEDS),
+        "spam_mass": _spam_mass_sql(PPR_ITERS, PPR_SEEDS),
         "ppr_batch": _ppr_batch_sql(8, PPR_SEEDS, 5),
         "hits": _hits_sql(6),
         "salted_degrees": f"""
@@ -5145,6 +5283,7 @@ FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
         "betweenness": _betweenness_sql(4, 5, 20),
         "harmonic": _harmonic_sql(4, 5, 20),
         "landmarks": _landmarks_sql(4, 5),
+        "landmark_est": _landmark_est_sql(4, 5, LM_STRIDE),
         "eccentricity": _ecc_sql(4, 5),
         "katz": _katz_sql(4, 20),
         "core_numbers": _core_numbers_sql(12),
@@ -5406,6 +5545,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "partition_cut": _partition_cut_sql(PART_K),
         "suffix_array": _suffix_array_sql(SA_ROUNDS),
         "longest_repeat": _longest_repeat_sql(SA_ROUNDS, 10),
+        "verbatim_pairs": _verbatim_pairs_sql(SA_ROUNDS, 2),
         "compression": f"SELECT * FROM '{_ORACLE_DIR}/pinned_compression_sf001.parquet'",
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         # exact BFS by recursive CTE; distances are contiguous 0..max

@@ -5,7 +5,8 @@ reference implementation at /root/reference, michaelleerilee/CCL) to
 web-scale link graphs, built on the Spark DataFrame API:
 
 - ``cc``         connected components (large-star / small-star union-find)
-- ``pagerank``   power-iteration PageRank with dangling-mass handling
+- ``pagerank``   power-iteration PageRank with dangling-mass handling,
+                 TrustRank spam mass
 - ``lpa``        synchronous label propagation
 - ``triangles``  degree-ordered triangle counting
 - ``grids``      2-D slice-stack fixtures -> graph adapter (8-connectivity,
@@ -55,7 +56,8 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``simrank``    SimRank structural similarity (sparse pair state)
 - ``cooc``       skipgram pairs, PMI, negative sampling, TextRank
 - ``pipeline``   the end-to-end corpus-preparation funnel
-- ``suffix``     prefix-doubling suffix arrays + adjacent-LCP repeats
+- ``suffix``     prefix-doubling suffix arrays, adjacent-LCP repeats,
+                 cross-document verbatim-repeat pairs
 - ``coloring``   Jones-Plassmann greedy coloring
 - ``mst``        Borůvka spanning forest + single-linkage clustering
 

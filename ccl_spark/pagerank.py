@@ -656,3 +656,58 @@ def ppr_batch(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    trusted: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB
+    2004 "Combating Web Spam with TrustRank"; spam-mass form per
+    Gyöngyi et al. 2006): run uniform PageRank and TrustRank —
+    personalized PageRank teleporting to the ``trusted`` seed set —
+    then score every page by how much of its rank is NOT accounted
+    for by trust flow::
+
+        spam_mass(v) = (pr(v) - tr(v)) / pr(v)
+
+    Both vectors sum to 1 (the engine normalizes dangling mass into
+    the teleport), so they are directly comparable.  Near 0 ⇒ rank
+    reachable from the trusted core; near 1 ⇒ rank manufactured
+    outside it (link-farm shape); negative ⇒ trust flow exceeds
+    uniform rank (the trusted core itself).  ``pr`` is strictly positive
+    (uniform teleport floor), so the division is total.
+
+    Two independent fixed-iteration power runs over the SAME cached
+    out-degree/edge tables — at cluster scale the second run reuses
+    the first's shuffled edge partitioning (no extra edge exchange,
+    only the |V|-sized state differs).  The ratio is taken on the
+    UNROUNDED ranks (a 6dp pre-round would zero out small ranks on
+    big graphs and 0/0 the ratio); reported columns round to 6dp.
+
+    Returns ``(vertex long, pr double, tr double, spam_mass double)``.
+    """
+    pr = pagerank(edges, src=src, dst=dst, damping=damping, tol=0.0, max_iter=n_iter)
+    tr = pagerank(
+        edges,
+        src=src,
+        dst=dst,
+        damping=damping,
+        tol=0.0,
+        max_iter=n_iter,
+        seeds=list(trusted),
+    )
+    prr = pr.select("vertex", F.col("rank").alias("pr_raw"))
+    trr = tr.select("vertex", F.col("rank").alias("tr_raw"))
+    return prr.join(trr, "vertex").select(
+        "vertex",
+        F.round("pr_raw", 6).alias("pr"),
+        F.round("tr_raw", 6).alias("tr"),
+        F.round(
+            (F.col("pr_raw") - F.col("tr_raw")) / F.col("pr_raw"), 6
+        ).alias("spam_mass"),
+    )

@@ -34,10 +34,12 @@ def corpus_token_stream(
     text_col: str = "text",
 ) -> DataFrame:
     """Concatenate documents (ordered by id) into one token stream
-    ``(pos, tok)`` with a unique per-document separator token
+    ``(pos, tok, did)`` with a unique per-document separator token
     ("!sepN" — "!" sorts below alphanumerics under the binary
     collation BOTH engines use) between documents, so no suffix
-    comparison ever crosses a document boundary ambiguously."""
+    comparison ever crosses a document boundary ambiguously.  ``did``
+    (the owning document) rides along so repeat scans can map stream
+    positions back to documents; suffix_array/adjacent_lcp ignore it."""
     toks = docs.select(
         F.col(id_col).cast("long").alias("did"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("tp", "tok"),
@@ -51,7 +53,7 @@ def corpus_token_stream(
     return (
         toks.unionByName(seps)
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
-        .select("pos", "tok")
+        .select("pos", "tok", "did")
     )
 
 
@@ -163,3 +165,51 @@ def adjacent_lcp(
             F.when(eq, F.col("lcp") + length).otherwise(F.col("lcp")).alias("lcp"),
         ).localCheckpoint(eager=True)
     return state.select("rank", "pos", "next_pos", "lcp")
+
+
+def verbatim_doc_pairs(
+    docs: DataFrame,
+    min_len: int = 2,
+    max_rounds: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document verbatim-repeat pairs — the document-level
+    output of exact substring dedup (Lee et al. 2022 run their edit
+    pass from exactly this scan): pairs of distinct documents holding
+    lexicographically-ADJACENT occurrences of a shared verbatim run of
+    at least ``min_len`` tokens, with the longest such run per pair.
+
+    All occurrences of a repeated run sit in one contiguous
+    suffix-array block, so a run shared by m documents surfaces as a
+    CHAIN of adjacent pairs covering all m — every affected document
+    appears, but the pair table is the chain, not the clique (same
+    contract as the MinHash pair table: feed it to ``dedup
+    .dup_clusters`` for the connected closure).  Two hash joins map
+    stream positions back to owning documents; only the pair table
+    (not the corpus) shuffles.
+
+    Returns ``(doc_a, doc_b, max_lcp)`` with ``doc_a < doc_b``.
+    """
+    stream = corpus_token_stream(docs, id_col=id_col, text_col=text_col)
+    stream = stream.localCheckpoint(eager=True)
+    docmap = stream.select("pos", "did")
+    lcp = adjacent_lcp(stream, max_rounds=max_rounds)
+    paired = (
+        lcp.filter(F.col("lcp") >= int(min_len))
+        .join(docmap.select("pos", F.col("did").alias("da")), "pos")
+        .join(
+            docmap.select(
+                F.col("pos").alias("next_pos"), F.col("did").alias("db")
+            ),
+            "next_pos",
+        )
+        .filter(F.col("da") != F.col("db"))
+    )
+    return (
+        paired.groupBy(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+        .agg(F.max("lcp").cast("long").alias("max_lcp"))
+    )

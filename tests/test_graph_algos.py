@@ -532,3 +532,62 @@ def test_ppr_batch_matches_single_seed_pagerank(spark):
         )
         exp = {(r.vertex, r.rank) for r in single.collect()}
         assert got[s] == exp, (s, got[s], exp)
+
+
+def test_spam_mass_link_farm(spark):
+    """A farm of pages pointing at a boosted target, unreachable from
+    the trusted seed, earns spam mass ~1; the trusted cluster stays
+    low. Values check against an independent numpy replay of BOTH
+    fixed-iteration recurrences."""
+    from ccl_spark.pagerank import spam_mass
+
+    edges = [
+        # trusted cluster around seed 0
+        (0, 1), (1, 0), (0, 2), (2, 0), (1, 2),
+        # link farm 10..13 boosting 15, plus 15's backlinks to the farm
+        (10, 15), (11, 15), (12, 15), (13, 15),
+        (15, 10), (15, 11),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n_iter = 80
+    got = {
+        r.vertex: (r.pr, r.tr, r.spam_mass)
+        for r in spam_mass(e, trusted=[0], n_iter=n_iter).collect()
+    }
+    assert got[15][2] > 0.999  # farm target: rank without trust
+    assert got[0][2] < 0.01  # the trusted seed itself
+
+    # independent numpy replay of both recurrences
+    import numpy as np
+
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    d = 0.85
+    for seeded in (False, True):
+        t = (
+            np.eye(n)[idx[0]]
+            if seeded
+            else np.full(n, 1.0 / n)
+        )
+        r = t.copy()
+        for _ in range(n_iter):
+            contrib = np.zeros(n)
+            for u, v in edges:
+                contrib[idx[v]] += r[idx[u]] / out[idx[u]]
+            dang = r[out == 0].sum()
+            r = (1 - d) * t + d * (contrib + dang * t)
+        if seeded:
+            tr_np = r
+        else:
+            pr_np = r
+    for v in verts:
+        pr, tr, sm = got[v]
+        assert pr == pytest.approx(pr_np[idx[v]], abs=2e-6)
+        assert tr == pytest.approx(tr_np[idx[v]], abs=2e-6)
+        assert sm == pytest.approx(
+            (pr_np[idx[v]] - tr_np[idx[v]]) / pr_np[idx[v]], abs=2e-6
+        )

@@ -66,3 +66,56 @@ def test_adjacent_lcp_matches_python(spark):
     toks = spark.createDataFrame(list(enumerate(words)), "pos long, tok string")
     got = {r.rank: r.lcp for r in adjacent_lcp(toks).collect()}
     assert got == {k: lcp(sa[k - 1], sa[k]) for k in range(1, len(words))}
+
+
+def test_verbatim_doc_pairs_finds_long_shared_passage(spark):
+    from ccl_spark.suffix import verbatim_doc_pairs
+
+    passage = " ".join(f"p{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta " + passage + " gamma"),
+            (1, "unrelated words only here entirely"),
+            (2, "delta " + passage + " epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.max_lcp
+        for r in verbatim_doc_pairs(docs, min_len=5, max_rounds=10).collect()
+    }
+    assert (0, 2) in got and got[(0, 2)] >= 30
+    assert all(1 not in pair for pair in got)
+
+
+def test_verbatim_doc_pairs_chain_covers_all_holders(spark):
+    # a run shared by THREE docs surfaces as a chain of adjacent pairs
+    # touching every holder (closure via dup_clusters, like MinHash)
+    from ccl_spark.suffix import verbatim_doc_pairs
+
+    run = " ".join(f"r{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(i, f"u{i} " + run + f" t{i}") for i in range(3)]
+        + [(9, "nothing shared at all")],
+        "doc_id long, text string",
+    )
+    pairs = verbatim_doc_pairs(docs, min_len=12, max_rounds=10).collect()
+    touched = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert touched == {0, 1, 2}
+    assert all(r.max_lcp >= 12 for r in pairs)
+    assert len(pairs) >= 2  # chain over 3 occurrences
+
+
+def test_verbatim_doc_pairs_min_len_filters(spark):
+    from ccl_spark.suffix import verbatim_doc_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "x y shared pair here"), (1, "shared pair elsewhere z")],
+        "doc_id long, text string",
+    )
+    two = {
+        (r.doc_a, r.doc_b): r.max_lcp
+        for r in verbatim_doc_pairs(docs, min_len=2, max_rounds=8).collect()
+    }
+    assert two == {(0, 1): 2}  # "shared pair" is the longest shared run
+    assert verbatim_doc_pairs(docs, min_len=3, max_rounds=8).count() == 0
