@@ -3348,6 +3348,92 @@ SELECT n_cyclic, n_transitive FROM cyc, tra
 """
 
 
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 16-type Holland-Leinhardt triad census of the corpus graph
+    (Batagelj-Mrvar subtraction scheme: only >=2-dyad triads are
+    enumerated; 012/102/003 come from exact degree/common-neighbor
+    closed forms)."""
+    from ccl_spark.triangles import triad_census
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return triad_census(e)
+
+
+def _triad_census_sql() -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    return f"""
+WITH de AS (SELECT DISTINCT src AS s, dst AS d FROM {src} WHERE src <> dst),
+tcdy AS (SELECT LEAST(s, d) AS u, GREATEST(s, d) AS v,
+                MAX(CASE WHEN s < d THEN 1 ELSE 0 END) AS f,
+                MAX(CASE WHEN s > d THEN 1 ELSE 0 END) AS b
+         FROM de GROUP BY 1, 2),
+tcadj AS (SELECT u AS w, v AS x, CASE WHEN f + b = 2 THEN 2 ELSE f END AS rel FROM tcdy
+          UNION ALL
+          SELECT v, u, CASE WHEN f + b = 2 THEN 2 ELSE b END FROM tcdy),
+tcnv AS (SELECT COUNT(DISTINCT w) AS nv FROM tcadj),
+tcwed AS (SELECT a1.x AS x1, a2.x AS x2,
+                 LEAST(a1.rel, a2.rel) AS lo, GREATEST(a1.rel, a2.rel) AS hi
+          FROM tcadj a1 JOIN tcadj a2 ON a1.w = a2.w AND a1.x < a2.x),
+tcopen AS (SELECT lo, hi FROM tcwed w
+           WHERE NOT EXISTS (SELECT 1 FROM tcdy WHERE tcdy.u = w.x1 AND tcdy.v = w.x2)),
+tcwc AS (SELECT CASE WHEN lo = 1 AND hi = 1 THEN '021D'
+                     WHEN lo = 0 AND hi = 0 THEN '021U'
+                     WHEN lo = 0 AND hi = 1 THEN '021C'
+                     WHEN lo = 0 AND hi = 2 THEN '111D'
+                     WHEN lo = 1 AND hi = 2 THEN '111U'
+                     ELSE '201' END AS triad_type,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM tcopen GROUP BY 1),
+tctri AS (SELECT d1.f AS f1, d1.b AS b1, d2.f AS f2, d2.b AS b2,
+                 d3.f AS f3, d3.b AS b3,
+                 (CASE WHEN d1.f + d1.b = 2 THEN 1 ELSE 0 END) AS m1,
+                 (CASE WHEN d2.f + d2.b = 2 THEN 1 ELSE 0 END) AS m2,
+                 (CASE WHEN d3.f + d3.b = 2 THEN 1 ELSE 0 END) AS m3
+          FROM tcdy d1 JOIN tcdy d2 ON d2.u = d1.v
+          JOIN tcdy d3 ON d3.u = d1.u AND d3.v = d2.v),
+tctc AS (SELECT CASE
+             WHEN m1 + m2 + m3 = 3 THEN '300'
+             WHEN m1 + m2 + m3 = 2 THEN '210'
+             WHEN m1 + m2 + m3 = 1 THEN
+               CASE (CASE WHEN m1 = 1 THEN b2 + b3
+                          WHEN m2 = 1 THEN f1 + f3
+                          ELSE b1 + f2 END)
+                 WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END
+             WHEN (f1 = 1 AND f2 = 1 AND b3 = 1) OR (b1 = 1 AND b2 = 1 AND f3 = 1)
+               THEN '030C'
+             ELSE '030T' END AS triad_type,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM tctri GROUP BY 1),
+tcdeg AS (SELECT w, COUNT(*) AS deg FROM tcadj GROUP BY 1),
+tccn AS (SELECT w.x1 AS u, w.x2 AS v, COUNT(*) AS common
+         FROM tcwed w
+         WHERE EXISTS (SELECT 1 FROM tcdy WHERE tcdy.u = w.x1 AND tcdy.v = w.x2)
+         GROUP BY 1, 2),
+tconly AS (SELECT CASE WHEN d.f + d.b = 2 THEN '102' ELSE '012' END AS triad_type,
+                  CAST(SUM((SELECT nv FROM tcnv) - 2 - (du.deg - 1) - (dv.deg - 1)
+                           + COALESCE(c.common, 0)) AS BIGINT) AS n
+           FROM tcdy d
+           JOIN tcdeg du ON du.w = d.u
+           JOIN tcdeg dv ON dv.w = d.v
+           LEFT JOIN tccn c ON c.u = d.u AND c.v = d.v
+           GROUP BY 1),
+tcall AS (SELECT * FROM tcwc UNION ALL SELECT * FROM tctc UNION ALL SELECT * FROM tconly),
+tcspine(ord, triad_type) AS (VALUES
+  (0, '003'), (1, '012'), (2, '102'), (3, '021D'), (4, '021U'), (5, '021C'),
+  (6, '111D'), (7, '111U'), (8, '030T'), (9, '030C'), (10, '201'),
+  (11, '120D'), (12, '120U'), (13, '120C'), (14, '210'), (15, '300')),
+tctot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM tcall)
+SELECT s.triad_type,
+       CAST(CASE WHEN s.triad_type = '003'
+                 THEN (SELECT nv FROM tcnv) * ((SELECT nv FROM tcnv) - 1)
+                      * ((SELECT nv FROM tcnv) - 2) // 6 - (SELECT tot FROM tctot)
+                 ELSE COALESCE(a.n, 0) END AS BIGINT) AS n
+FROM tcspine s LEFT JOIN tcall a ON a.triad_type = s.triad_type
+ORDER BY s.ord
+"""
+
+
 PCA_ITERS = 4
 
 
@@ -4695,6 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": q_url_features,
         "minhash_fold": q_minhash_fold,
         "dir_triangles": q_dir_triangles,
+        "triad_census": q_triad_census,
         "pca_top": q_pca_top,
         "wl_colors": q_wl_colors,
         "cdc_chunks": q_cdc_chunks,
@@ -5536,6 +5623,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "url_features": _url_features_sql(),
         "minhash_fold": _minhash_fold_sql(0.8),
         "dir_triangles": _dir_triangles_sql(),
+        "triad_census": _triad_census_sql(),
         "pca_top": _pca_sql(PCA_ITERS),
         "wl_colors": _wl_sql(WL_ITERS, 20),
         "cdc_chunks": _cdc_sql(4, 8),

@@ -8,7 +8,7 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``pagerank``   power-iteration PageRank with dangling-mass handling,
                  TrustRank spam mass
 - ``lpa``        synchronous label propagation
-- ``triangles``  degree-ordered triangle counting
+- ``triangles``  degree-ordered triangle counting, directed census, 16-type triad census
 - ``grids``      2-D slice-stack fixtures -> graph adapter (8-connectivity,
                  polar and dateline boundary rules, temporal overlap)
 - ``replay``     deterministic label-numbering replay reproducing the

@@ -79,3 +79,106 @@ def test_pca_top_matches_numpy(spark):
     # the sup-normalized direction is proportional to the top
     # eigenvector: dominant axis carries the maximal |entry| of 1
     assert abs(v[0]) == 1.0 and abs(v[1]) < 1.0
+
+
+def _brute_triad_census(n, edges):
+    """Independent O(n^3) triad classifier (Holland-Leinhardt MAN)."""
+    import itertools
+    from collections import Counter
+
+    es = set(edges)
+
+    def code(a, b):
+        f, r = (a, b) in es, (b, a) in es
+        return 2 if (f and r) else (1 if f else (-1 if r else 0))
+
+    def relto(center, other):
+        c = code(center, other)
+        return 2 if c == 2 else (1 if c == 1 else 0)
+
+    wmap = {
+        (1, 1): "021D", (0, 0): "021U", (0, 1): "021C",
+        (0, 2): "111D", (1, 2): "111U", (2, 2): "201",
+    }
+    out = Counter()
+    for u, v, t in itertools.combinations(range(n), 3):
+        c1, c2, c3 = code(u, v), code(v, t), code(u, t)
+        nm = sum(1 for x in (c1, c2, c3) if x == 2)
+        nn = sum(1 for x in (c1, c2, c3) if x == 0)
+        if nn == 3:
+            tt = "003"
+        elif nn == 2:
+            tt = "102" if nm == 1 else "012"
+        elif nn == 1:
+            if c1 == 0:
+                rs = sorted((relto(t, u), relto(t, v)))
+            elif c2 == 0:
+                rs = sorted((relto(u, v), relto(u, t)))
+            else:
+                rs = sorted((relto(v, u), relto(v, t)))
+            tt = wmap[tuple(rs)]
+        elif nm == 3:
+            tt = "300"
+        elif nm == 2:
+            tt = "210"
+        elif nm == 1:
+            if c1 == 2:
+                outb = ((t, v) in es) + ((t, u) in es)
+            elif c2 == 2:
+                outb = ((u, v) in es) + ((u, t) in es)
+            else:
+                outb = ((v, u) in es) + ((v, t) in es)
+            tt = {2: "120D", 0: "120U", 1: "120C"}[outb]
+        else:
+            cyc = ((u, v) in es and (v, t) in es and (t, u) in es) or (
+                (v, u) in es and (t, v) in es and (u, t) in es
+            )
+            tt = "030C" if cyc else "030T"
+        out[tt] += 1
+    return out
+
+
+def test_triad_census_vs_bruteforce(spark):
+    import random
+
+    from ccl_spark.triangles import TRIAD_TYPES, triad_census
+
+    rng = random.Random(7)
+    for n, p in [(12, 0.25), (9, 0.5)]:
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(n)
+            if a != b and rng.random() < p
+        ]
+        assert {x for e in edges for x in e} == set(range(n))
+        exp = _brute_triad_census(n, edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["triad_type"]: r["n"] for r in triad_census(df).collect()}
+        assert set(got) == set(TRIAD_TYPES)
+        for tt in TRIAD_TYPES:
+            assert got[tt] == exp.get(tt, 0), (n, p, tt, got[tt], exp.get(tt, 0))
+        assert sum(got.values()) == n * (n - 1) * (n - 2) // 6
+
+
+def test_triad_census_matches_directed_census(spark):
+    # on a mutual-free digraph, 030C == n_cyclic and 030T == n_transitive
+    # (each transitive triad has exactly one closing shortcut path)
+    import random
+
+    from ccl_spark.triangles import triad_census
+
+    rng = random.Random(11)
+    edges = []
+    for a in range(15):
+        for b in range(a + 1, 15):
+            r = rng.random()
+            if r < 0.2:
+                edges.append((a, b))
+            elif r < 0.4:
+                edges.append((b, a))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["triad_type"]: r["n"] for r in triad_census(df).collect()}
+    dc = directed_triangle_census(df).first()
+    assert got["030C"] == dc.n_cyclic
+    assert got["030T"] == dc.n_transitive
