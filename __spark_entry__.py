@@ -3434,6 +3434,95 @@ ORDER BY s.ord
 """
 
 
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-host LM-quality terciles over the corpus texts:
+    per-doc char-bigram logprob -> per-host mean -> exact-percentile
+    head/middle/tail buckets (keep = head+middle)."""
+    from ccl_spark.extract import extract_text
+    from ccl_spark.textops import host_quality_buckets
+
+    _dump_texts(1000)
+    docs = extract_text(generate_pages(spark, 1000, seed=42)).select(
+        "url",
+        F.regexp_extract("url", r"https://(h\d+)\.", 1).alias("host"),
+        "text",
+    )
+    return host_quality_buckets(docs, host_col="host", id_col="url")
+
+
+def _host_quality_sql() -> str:
+    src = f"'{_ORACLE_DIR}/corpus_texts_1000.parquet'"
+    return f"""
+WITH hqdocs AS (SELECT url, host, text FROM {src}),
+hqpairs AS (
+    SELECT url, host, UNNEST(list_transform(range(1, len(text)),
+        i -> substring(text, CAST(i AS INT), 2))) AS ab
+    FROM hqdocs),
+hqcab AS (SELECT ab, COUNT(*) AS cab FROM hqpairs GROUP BY ab),
+hqca AS (SELECT substring(ab, 1, 1) AS a, SUM(cab) AS ca FROM hqcab GROUP BY 1),
+hqv AS (SELECT COUNT(DISTINCT ch) AS v FROM (
+    SELECT substring(ab, 1, 1) AS ch FROM hqpairs
+    UNION SELECT substring(ab, 2, 1) FROM hqpairs)),
+hqmodel AS (SELECT ab, LN((cab + 1) / (ca + v)) AS lp
+            FROM hqcab JOIN hqca ON hqca.a = substring(hqcab.ab, 1, 1), hqv),
+hqdoc AS (SELECT url, host, ROUND(SUM(lp) / COUNT(*), 6) AS logprob
+          FROM hqpairs JOIN hqmodel ON hqmodel.ab = hqpairs.ab
+          GROUP BY url, host),
+hqhost AS (SELECT host, COUNT(*) AS n_docs,
+                  ROUND(SUM(logprob) / COUNT(*), 6) AS mean_logprob
+           FROM hqdoc GROUP BY host),
+hqcuts AS (SELECT quantile_cont(mean_logprob, CAST({1.0 / 3.0!r} AS DOUBLE)) AS cut_lo,
+                  quantile_cont(mean_logprob, CAST({2.0 / 3.0!r} AS DOUBLE)) AS cut_hi
+           FROM hqhost)
+SELECT host, CAST(n_docs AS BIGINT) AS n_docs, mean_logprob,
+       CASE WHEN mean_logprob >= cut_hi THEN 1
+            WHEN mean_logprob >= cut_lo THEN 2 ELSE 3 END AS bucket,
+       (CASE WHEN mean_logprob >= cut_hi THEN 1
+             WHEN mean_logprob >= cut_lo THEN 2 ELSE 3 END) <= 2 AS keep
+FROM hqhost, hqcuts
+"""
+
+
+EV_ITERS = 4
+
+
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated eigenvector centrality (integer-exact 4-step walk
+    counts, one final sup-norm division) — top-20 on the corpus
+    graph."""
+    from ccl_spark.pagerank import eigenvector_centrality
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return eigenvector_centrality(e, n_iter=EV_ITERS, k=20)
+
+
+def _eigenvector_sql() -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    steps = []
+    prev = "evx0"
+    for i in range(1, EV_ITERS + 1):
+        steps.append(
+            f"evx{i} AS (SELECT v.vertex, CAST(COALESCE(SUM(x.x), 0) AS BIGINT) AS x\n"
+            f"  FROM evverts v LEFT JOIN evde e ON e.d = v.vertex\n"
+            f"  LEFT JOIN {prev} x ON x.vertex = e.s\n"
+            f"  GROUP BY v.vertex)"
+        )
+        prev = f"evx{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH evde AS (SELECT DISTINCT src AS s, dst AS d FROM {src} WHERE src <> dst),
+evverts AS (SELECT s AS vertex FROM evde UNION SELECT d FROM evde),
+evx0 AS (SELECT vertex, CAST(1 AS BIGINT) AS x FROM evverts),
+{chain},
+evmx AS (SELECT GREATEST(MAX(x), 1) AS mx FROM {prev})
+SELECT vertex, x AS walks, ROUND(CAST(x AS DOUBLE) / mx, 6) AS score
+FROM {prev}, evmx
+ORDER BY score DESC, vertex ASC
+LIMIT 20
+"""
+
+
 PCA_ITERS = 4
 
 
@@ -4782,6 +4871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_fold": q_minhash_fold,
         "dir_triangles": q_dir_triangles,
         "triad_census": q_triad_census,
+        "host_quality": q_host_quality,
+        "eigenvector": q_eigenvector,
         "pca_top": q_pca_top,
         "wl_colors": q_wl_colors,
         "cdc_chunks": q_cdc_chunks,
@@ -5624,6 +5715,8 @@ FROM p WHERE s <> d GROUP BY s, d
         "minhash_fold": _minhash_fold_sql(0.8),
         "dir_triangles": _dir_triangles_sql(),
         "triad_census": _triad_census_sql(),
+        "host_quality": _host_quality_sql(),
+        "eigenvector": _eigenvector_sql(),
         "pca_top": _pca_sql(PCA_ITERS),
         "wl_colors": _wl_sql(WL_ITERS, 20),
         "cdc_chunks": _cdc_sql(4, 8),

@@ -6,7 +6,7 @@ web-scale link graphs, built on the Spark DataFrame API:
 
 - ``cc``         connected components (large-star / small-star union-find)
 - ``pagerank``   power-iteration PageRank with dangling-mass handling,
-                 TrustRank spam mass
+                 TrustRank spam mass, Katz + eigenvector centrality
 - ``lpa``        synchronous label propagation
 - ``triangles``  degree-ordered triangle counting, directed census, 16-type triad census
 - ``grids``      2-D slice-stack fixtures -> graph adapter (8-connectivity,
@@ -37,7 +37,7 @@ web-scale link graphs, built on the Spark DataFrame API:
                  k-hop features, reciprocal matches, power-iteration PCA
 - ``textops``    tokenization, BPE train/encode, quality (Gopher gate,
                  compression ratio), TF-IDF + doc similarity, inverted
-                 index, PII scrub, char-bigram LM scoring, winnowing
+                 index, PII scrub, char-bigram LM scoring, CCNet host buckets, winnowing
                  fingerprints + incremental fold
 - ``sampling``   hash sampling, train/valid/test splits, token packing
 - ``sketch``     count-min sketch, Bloom filter

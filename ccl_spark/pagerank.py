@@ -711,3 +711,67 @@ def spam_mass(
             (F.col("pr_raw") - F.col("tr_raw")) / F.col("pr_raw"), 6
         ).alias("spam_mass"),
     )
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    n_iter: int = 4,
+    k: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Top-k vertices by truncated eigenvector centrality via
+    integer-exact power iteration: x₀ = 1, x_{t+1}(v) = Σ_{u→v}
+    x_t(u), so after n_iter rounds x(v) is the exact **count of
+    n_iter-step walks ending at v** (a long, no float anywhere in the
+    iteration); the centrality score is the single sup-norm
+    normalization x / max(x) applied once at the end — one division
+    and a round(6), so Spark's unordered partial sums and a SQL
+    oracle's sequential sums agree bit-for-bit (the katz/node2vec
+    exactness trick applied to the un-damped recurrence).
+
+    Walk counts grow like λ₁^n_iter: int64 holds n·d_max^n_iter, which
+    at web scale bounds n_iter ≈ 4-6 for hub degrees in the 10³-10⁴
+    range — past that, switch the accumulator to decimal(38,0) or
+    rescale by a power of two between rounds (both keep exactness).
+
+    Execution shape per round: one edge-keyed equi-join against the
+    O(|V|) count table and one groupBy sum with map-side partials —
+    identical to the PageRank inner loop minus teleport bookkeeping;
+    each round localCheckpoint-ed so plan depth stays O(1).
+    Returns ``(vertex, walks, score)``, top-k by (score DESC, vertex).
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("s").alias("vertex"))
+        .unionByName(e.select(F.col("d").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = verts.withColumn("x", F.lit(1).cast("long"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(x.withColumnRenamed("vertex", "s"), "s")
+            .groupBy(F.col("d").alias("vertex"))
+            .agg(F.sum("x").cast("long").alias("m"))
+        )
+        x = (
+            verts.join(contrib, "vertex", "left")
+            .select("vertex", F.coalesce("m", F.lit(0)).cast("long").alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    mx = x.agg(F.greatest(F.max("x"), F.lit(1)).alias("mx"))
+    return (
+        x.crossJoin(F.broadcast(mx))
+        .select(
+            "vertex",
+            F.col("x").alias("walks"),
+            F.round(F.col("x") / F.col("mx"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vertex"))
+        .limit(k)
+    )

@@ -532,7 +532,10 @@ def bpe_encode_docs(
 
 
 def char_bigram_logprob(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_cast: str | None = "long",
 ) -> DataFrame:
     """Per-document mean log-probability under an add-one-smoothed
     character-bigram model trained on the corpus itself — the
@@ -558,7 +561,10 @@ def char_bigram_logprob(
         f" i -> substring({text_col}, i, 2)) END"
     )
     pairs = docs.select(
-        F.col(id_col).cast("long").alias(id_col), F.explode(bg).alias("ab")
+        (
+            F.col(id_col).cast(id_cast) if id_cast else F.col(id_col)
+        ).alias(id_col),
+        F.explode(bg).alias("ab"),
     )
     cab = pairs.groupBy("ab").agg(F.count(F.lit(1)).alias("cab"))
     ca = cab.groupBy(F.substring("ab", 1, 1).alias("a")).agg(
@@ -959,4 +965,58 @@ def compression_ratio(
 
     return docs.select(id_col, text_col).mapInPandas(
         batch, schema="doc_id long, raw_bytes long, zlib_bytes long, ratio double"
+    )
+
+
+def host_quality_buckets(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style per-host language-model quality terciles: score
+    every document with the corpus-trained char-bigram logprob
+    (:func:`char_bigram_logprob`), average per host, and split hosts
+    into head / middle / tail buckets at the exact 1/3 and 2/3
+    percentiles of the per-host mean — the standard perplexity
+    bucketing a pretraining pipeline uses to keep head+middle and
+    drop the tail.
+
+    Scale design: no global NTILE window (a single-task sort at 10^8
+    hosts) — the two cut points come from one exact-percentile
+    aggregate over the host table (already |hosts|-sized, tiny next
+    to the corpus) and the bucket is a map-side comparison, so the
+    whole op is the logprob pipeline plus two small aggregates.
+    Hosts tied exactly at a cut share the better bucket, which keeps
+    the assignment a pure function of the score (deterministic and
+    engine-independent), unlike NTILE's count-balanced split.
+
+    Returns ``(host, n_docs, mean_logprob, bucket, keep)`` with
+    bucket 1 = head (most fluent), 3 = tail, keep = bucket <= 2.
+    """
+    lp = char_bigram_logprob(docs, id_col=id_col, text_col=text_col, id_cast=None)
+    hosts = (
+        docs.select(F.col(id_col), F.col(host_col).alias("host"))
+        .join(lp, id_col)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("logprob") / F.count(F.lit(1)), 6).alias("mean_logprob"),
+        )
+    )
+    cuts = hosts.agg(
+        F.percentile("mean_logprob", F.lit(1.0 / 3.0)).alias("cut_lo"),
+        F.percentile("mean_logprob", F.lit(2.0 / 3.0)).alias("cut_hi"),
+    )
+    bucket = (
+        F.when(F.col("mean_logprob") >= F.col("cut_hi"), 1)
+        .when(F.col("mean_logprob") >= F.col("cut_lo"), 2)
+        .otherwise(3)
+    )
+    return hosts.crossJoin(F.broadcast(cuts)).select(
+        "host",
+        "n_docs",
+        "mean_logprob",
+        bucket.alias("bucket"),
+        (bucket <= 2).alias("keep"),
     )

@@ -591,3 +591,44 @@ def test_spam_mass_link_farm(spark):
         assert sm == pytest.approx(
             (pr_np[idx[v]] - tr_np[idx[v]]) / pr_np[idx[v]], abs=2e-6
         )
+
+
+def test_eigenvector_centrality_vs_numpy(spark):
+    import random
+
+    import numpy as np
+
+    from ccl_spark.pagerank import eigenvector_centrality
+
+    rng = random.Random(13)
+    n = 25
+    edges = [
+        (a, b) for a in range(n) for b in range(n) if a != b and rng.random() < 0.15
+    ]
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in edges:
+        A[a, b] = 1
+    x = np.ones(n, dtype=np.int64)
+    for _ in range(4):
+        x = A.T @ x
+    exp_score = np.round(x / max(x.max(), 1), 6)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = eigenvector_centrality(df, n_iter=4, k=n).collect()
+    for r in got:
+        assert r["walks"] == int(x[r["vertex"]])
+        assert abs(r["score"] - float(exp_score[r["vertex"]])) < 1e-12
+    # ordering: score desc then vertex asc
+    keys = [(-r["score"], r["vertex"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_eigenvector_centrality_star(spark):
+    # hub receiving from 4 spokes: after k steps all walk mass is on
+    # the hub (spokes have no in-edges)
+    from ccl_spark.pagerank import eigenvector_centrality
+
+    e = spark.createDataFrame([(i, 99) for i in range(1, 5)], "src long, dst long")
+    rows = eigenvector_centrality(e, n_iter=1, k=10).collect()
+    by_v = {r["vertex"]: r for r in rows}
+    assert by_v[99]["walks"] == 4 and by_v[99]["score"] == 1.0
+    assert all(by_v[v]["walks"] == 0 for v in range(1, 5))

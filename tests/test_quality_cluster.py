@@ -134,3 +134,28 @@ def test_gopher_threshold_overrides(spark):
     strict = gopher_quality_flags(docs, min_tokens=10).collect()[0]
     loose = gopher_quality_flags(docs, min_tokens=2).collect()[0]
     assert strict.keep is False and loose.keep is True
+
+
+def test_host_quality_buckets_invariants(spark):
+    from ccl_spark.textops import host_quality_buckets
+
+    # 9 hosts x 3 docs with host-dependent fluency: hosts with low h
+    # get natural-ish english, high h get symbol-heavy gibberish, so
+    # the tercile split must be monotone in the gibberish level
+    rows = []
+    for h in range(9):
+        for d in range(3):
+            base = "the cat sat on the mat and the dog ran " * 4
+            noise = "".join(chr(33 + ((h * 7 + d + i) % 14)) for i in range(h * 12))
+            rows.append((f"doc{h}_{d}", f"h{h}", base + noise))
+    docs = spark.createDataFrame(rows, "doc_id string, host string, text string")
+    out = host_quality_buckets(docs, id_col="doc_id").collect()
+    assert len(out) == 9
+    assert all(r["n_docs"] == 3 for r in out)
+    assert {r["bucket"] for r in out} == {1, 2, 3}
+    for r in out:
+        assert r["keep"] == (r["bucket"] <= 2)
+    # bucket boundaries respect the score ordering: every head host
+    # mean >= every middle mean >= every tail mean
+    by_bucket = {b: [r["mean_logprob"] for r in out if r["bucket"] == b] for b in (1, 2, 3)}
+    assert min(by_bucket[1]) >= max(by_bucket[2]) >= min(by_bucket[2]) >= max(by_bucket[3])
