@@ -3294,6 +3294,56 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(_t(spark, sf_dir, "documents"), n=4, boundary_mod=8)
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document CDC chunk dedup with reassembly: global first
+    occurrence of each content-defined chunk wins; documents rebuilt
+    from surviving chunks (RefinedWeb-style sub-document dedup)."""
+    from ccl_spark.dedup import chunk_dedup_corpus
+
+    return chunk_dedup_corpus(_t(spark, sf_dir, "documents"), n=4, boundary_mod=8)
+
+
+def _chunk_dedup_sql(n: int, mod: int) -> str:
+    return f"""
+WITH ctk AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) - 1 AS pos,
+           UNNEST(STRING_SPLIT(text, ' ')) AS tok
+    FROM documents),
+cgl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_grams_sql(n)} AS gs
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents)),
+cgr AS (SELECT doc_id, GENERATE_SUBSCRIPTS(gs, 1) - 1 AS pos,
+               UNNEST(gs) AS gram FROM cgl),
+cb AS (SELECT DISTINCT doc_id, pos + {n - 1} AS pos, 1 AS b
+       FROM cgr
+       WHERE ('0x' || substring(md5(gram), 1, 15))::BIGINT % {mod} = 0),
+cseq AS (SELECT t.doc_id, t.pos, t.tok, COALESCE(cb.b, 0) AS b
+         FROM ctk t LEFT JOIN cb ON cb.doc_id = t.doc_id AND cb.pos = t.pos
+         WHERE t.tok <> ''),
+cchunk AS (SELECT doc_id, pos, tok,
+                  CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS chunk_idx
+           FROM cseq),
+cagg AS (SELECT doc_id, chunk_idx,
+                STRING_AGG(tok, ' ' ORDER BY pos) AS chunk_text,
+                CAST(COUNT(*) AS BIGINT) AS n_tokens
+         FROM cchunk GROUP BY doc_id, chunk_idx),
+ckept AS (SELECT *,
+                 CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                      ORDER BY doc_id, chunk_idx) = 1 THEN 1 ELSE 0 END AS kept
+          FROM cagg)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept * n_tokens) AS BIGINT) AS n_tokens_kept,
+       COALESCE(STRING_AGG(CASE WHEN kept = 1 THEN chunk_text END, ' '
+                           ORDER BY chunk_idx) FILTER (WHERE kept = 1),
+                '') AS deduped_text
+FROM ckept GROUP BY doc_id
+"""
+
+
 def _cdc_sql(n: int, mod: int) -> str:
     return f"""
 WITH ctk AS (
@@ -4876,6 +4926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top": q_pca_top,
         "wl_colors": q_wl_colors,
         "cdc_chunks": q_cdc_chunks,
+        "chunk_dedup": q_chunk_dedup,
         "densest": q_densest,
         "compression": q_compression,
         "ppr_sweep": q_ppr_sweep,
@@ -5720,6 +5771,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "pca_top": _pca_sql(PCA_ITERS),
         "wl_colors": _wl_sql(WL_ITERS, 20),
         "cdc_chunks": _cdc_sql(4, 8),
+        "chunk_dedup": _chunk_dedup_sql(4, 8),
         "densest": _densest_sql(DENSEST_ROUNDS),
         "ppr_sweep": _ppr_sweep_sql(PPR_ITERS, SWEEP_KMAX),
         "corpus_funnel": _corpus_funnel_sql(),

@@ -31,6 +31,7 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``mis``        Luby maximal independent set
 - ``chains``     redirect-chain resolution (pointer doubling), Bellman-Ford SSSP
 - ``dedup``      exact / MinHash-LSH / SimHash / containment dedup + clusters,
+                 CDC chunking + cross-doc chunk dedup with reassembly,
                  incremental index fold, CDC chunking, decontamination
 - ``similarity`` brute / LSH / IVF / PQ / IVF-PQ ANN, embedding near-dup,
                  kNN graph + mutual-kNN clustering, centroid classify,
@@ -47,7 +48,8 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``analytics``  funnels, retention cohorts, JSON props, percentiles
 - ``asof``       as-of and banded range joins
 - ``streaming``  watermarked windows, stateful ages, stream dedup, CC
-                 fold-in, streaming HLL, streaming dedup-index upkeep
+                 fold-in, streaming HLL, streaming dedup-index upkeep,
+                 warm-started streaming PageRank
 - ``multimodal`` pure-numpy BMP/PNG/JPEG/GIF/WAV/AVI decode + features
 - ``sources``    parquet/Iceberg-seam table IO
 - ``components`` component sizes, ages, EOL, dust filtering, incremental CC

@@ -599,7 +599,7 @@ def near_duplicates_fold(
     return pairs, all_sh, all_banded
 
 
-def cdc_chunks(
+def _cdc_chunks_text(
     docs: DataFrame,
     n: int = 4,
     boundary_mod: int = 8,
@@ -668,9 +668,96 @@ def cdc_chunks(
         .select(
             "doc_id",
             "chunk_idx",
-            F.md5(
-                F.array_join(F.expr("transform(pt, x -> x.tok)"), " ")
-            ).alias("chunk_hash"),
+            F.array_join(F.expr("transform(pt, x -> x.tok)"), " ").alias(
+                "chunk_text"
+            ),
             F.size("pt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.md5("chunk_text").alias("chunk_hash"),
+            "n_tokens",
+            "chunk_text",
+        )
+    )
+
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    n: int = 4,
+    boundary_mod: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Public CDC chunk table ``(doc_id, chunk_idx, chunk_hash,
+    n_tokens)`` — see :func:`_cdc_chunks_text` for the full chain
+    documentation (this drops the reassembly-only text column)."""
+    return _cdc_chunks_text(
+        docs, n=n, boundary_mod=boundary_mod, id_col=id_col, text_col=text_col
+    ).drop("chunk_text")
+
+
+def chunk_dedup_corpus(
+    docs: DataFrame,
+    n: int = 4,
+    boundary_mod: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document sub-document dedup at content-defined-chunk
+    granularity (the RefinedWeb/storage-dedup move): chunk every
+    document with :func:`cdc_chunks` boundaries, keep only the global
+    FIRST occurrence of each chunk (ordered by ``(doc_id,
+    chunk_idx)``), and reassemble each document from its surviving
+    chunks — shared boilerplate, quoted passages, and syndicated
+    blocks are excised once per corpus while unique prose survives,
+    at a granularity exact-doc dedup can't reach and without the
+    pair-explosion of near-dup matching.
+
+    Scale shape: the CDC chain (gram explode + md5 coin + per-doc
+    boundary cumsum), then ONE shuffle keyed by chunk_hash for the
+    first-occurrence row_number (md5 keys are uniform — no skew; a
+    pathological mega-duplicate chunk is one hot hash, cap it with
+    the same max-df trick as containment if it ever appears) and one
+    per-doc rollup.  Insertion-locality is inherited from CDC: an
+    edit only rewrites the chunk it lands in, so incremental runs
+    re-decide only touched chunks.
+
+    Returns ``(doc_id, n_chunks, n_kept, n_tokens_kept,
+    deduped_text)`` — fully-duplicated documents survive as rows with
+    ``n_kept = 0`` and empty text (the pipeline's drop signal).
+    """
+    from pyspark.sql import Window
+
+    chunks = _cdc_chunks_text(
+        docs, n=n, boundary_mod=boundary_mod, id_col=id_col, text_col=text_col
+    )
+    # first global occurrence wins; hash-keyed shuffle, deterministic
+    # (doc_id, chunk_idx) order within each hash
+    wk = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    kept = chunks.withColumn("kept", (F.row_number().over(wk) == 1).cast("int"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_tokens")).cast("long").alias(
+                "n_tokens_kept"
+            ),
+            F.array_sort(
+                F.collect_list(F.struct("chunk_idx", "kept", "chunk_text"))
+            ).alias("ck"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            "n_tokens_kept",
+            F.array_join(
+                F.expr("transform(filter(ck, x -> x.kept = 1), x -> x.chunk_text)"),
+                " ",
+            ).alias("deduped_text"),
         )
     )

@@ -192,6 +192,39 @@ def streaming_dedup(
     )
 
 
+def _complete_versions(
+    spark, root: str, prefix: str, before: int | None = None,
+    subpaths: tuple[str, ...] = ("",),
+) -> list[int]:
+    """Versions of ``root/{prefix}{v}`` snapshots whose _SUCCESS
+    markers are all present (one per entry in ``subpaths``; "" = the
+    directory itself), optionally restricted strictly below ``before``
+    — the shared replay-idempotence contract of every streaming fold
+    here (a replayed microbatch must never read the snapshot it is
+    about to overwrite)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    rootp = jvm_path(root)
+    fs = rootp.getFileSystem(conf)
+    if not fs.exists(rootp):
+        return []
+    versions = []
+    for status in fs.listStatus(rootp):
+        name = status.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        v = int(name[len(prefix):])
+        if before is not None and v >= before:
+            continue
+        base = f"{root}/{prefix}{v}"
+        if all(
+            fs.exists(jvm_path(f"{base}/{sp}/_SUCCESS" if sp else f"{base}/_SUCCESS"))
+            for sp in subpaths
+        ):
+            versions.append(v)
+    return sorted(versions)
+
+
 def latest_cc_labels(spark, root: str, before: int | None = None):
     """(version, labels DataFrame) of the newest COMPLETE snapshot under
     ``root`` written by streaming_cc, or None. Completeness is judged by
@@ -201,24 +234,10 @@ def latest_cc_labels(spark, root: str, before: int | None = None):
     parquet write and the stream-checkpoint commit) never reads the
     snapshot it is about to overwrite (ADVICE r4: the overwrite would
     otherwise consume its own input plan and fail or corrupt)."""
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    rootp = jvm_path(root)
-    fs = rootp.getFileSystem(conf)
-    if not fs.exists(rootp):
-        return None
-    versions = []
-    for status in fs.listStatus(rootp):
-        name = status.getPath().getName()
-        if name.startswith("labels_v"):
-            v = int(name[len("labels_v"):])
-            if before is not None and v >= before:
-                continue
-            if fs.exists(jvm_path(f"{root}/labels_v{v}/_SUCCESS")):
-                versions.append(v)
+    versions = _complete_versions(spark, root, "labels_v", before)
     if not versions:
         return None
-    best = max(versions)
+    best = versions[-1]
     return best, spark.read.parquet(f"{root}/labels_v{best}")
 
 
@@ -285,24 +304,10 @@ def latest_hll_registers(spark, root: str, before: int | None = None):
     """(version, registers DataFrame) of the newest COMPLETE HLL
     register snapshot under ``root`` written by streaming_hll, or None
     — the same _SUCCESS/before contract as latest_cc_labels."""
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    rootp = jvm_path(root)
-    fs = rootp.getFileSystem(conf)
-    if not fs.exists(rootp):
-        return None
-    versions = []
-    for status in fs.listStatus(rootp):
-        name = status.getPath().getName()
-        if name.startswith("registers_v"):
-            v = int(name[len("registers_v"):])
-            if before is not None and v >= before:
-                continue
-            if fs.exists(jvm_path(f"{root}/registers_v{v}/_SUCCESS")):
-                versions.append(v)
+    versions = _complete_versions(spark, root, "registers_v", before)
     if not versions:
         return None
-    best = max(versions)
+    best = versions[-1]
     return best, spark.read.parquet(f"{root}/registers_v{best}")
 
 
@@ -350,26 +355,12 @@ def latest_dedup_index(spark, root: str, before: int | None = None):
     BOTH parquet directories of the version (the banded table is
     written last, so its marker is the commit point); ``before``
     gives the same replay-idempotence contract as latest_cc_labels."""
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    rootp = jvm_path(root)
-    fs = rootp.getFileSystem(conf)
-    if not fs.exists(rootp):
-        return None
-    versions = []
-    for status in fs.listStatus(rootp):
-        name = status.getPath().getName()
-        if name.startswith("index_v"):
-            v = int(name[len("index_v"):])
-            if before is not None and v >= before:
-                continue
-            if fs.exists(jvm_path(f"{root}/index_v{v}/shingles/_SUCCESS")) and fs.exists(
-                jvm_path(f"{root}/index_v{v}/banded/_SUCCESS")
-            ):
-                versions.append(v)
+    versions = _complete_versions(
+        spark, root, "index_v", before, subpaths=("shingles", "banded")
+    )
     if not versions:
         return None
-    best = max(versions)
+    best = versions[-1]
     return (
         best,
         spark.read.parquet(f"{root}/index_v{best}/shingles"),
@@ -431,3 +422,81 @@ def streaming_dedup_index(
         dedup_fold_batch(batch_df, batch_id, root, threshold, id_col, text_col)
 
     return doc_stream.writeStream.foreachBatch(fold)
+
+
+def latest_pagerank(spark, root: str, before: int | None = None):
+    """(version, ranks DataFrame) of the newest COMPLETE PageRank
+    snapshot under ``root`` written by streaming_pagerank, or None —
+    same _SUCCESS/before contract as latest_cc_labels."""
+    versions = _complete_versions(spark, root, "ranks_v", before)
+    if not versions:
+        return None
+    best = versions[-1]
+    return best, spark.read.parquet(f"{root}/ranks_v{best}")
+
+
+def pr_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    tol: float = 1e-9,
+) -> None:
+    """One streaming_pagerank microbatch: persist the batch's edges
+    under ``edges_v{batch_id}``, re-solve PageRank over ALL edge
+    batches seen so far WARM-STARTED from the previous snapshot's
+    ranks (the measured 1.9x fold-in win — a 1% edge delta needs a
+    handful of refresh iterations, not a cold converge), and write
+    ``ranks_v{batch_id}``.
+
+    REPLAY-IDEMPOTENT like cc_fold_batch: only snapshots strictly
+    below batch_id are read (edges and ranks both), so a crash
+    between the two writes replays into a clean identical recompute.
+    Unlike CC's label fold-in, rank mass redistributes globally, so
+    the edge history must be retained — per-batch parquet keeps the
+    retention append-only and the re-read is a multi-path scan, not
+    a growing union plan.
+    """
+    from .pagerank import pagerank
+
+    spark = batch_df.sparkSession
+    batch_df.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).write.mode("overwrite").parquet(f"{root}/edges_v{batch_id}")
+    evs = _complete_versions(spark, root, "edges_v", before=batch_id)
+    paths = [f"{root}/edges_v{v}" for v in evs] + [f"{root}/edges_v{batch_id}"]
+    all_edges = spark.read.parquet(*paths)
+    latest = latest_pagerank(spark, root, before=batch_id)
+    ranks = pagerank(
+        all_edges,
+        damping=damping,
+        tol=tol,
+        warm_start=latest[1] if latest is not None else None,
+    )
+    ranks.write.mode("overwrite").parquet(f"{root}/ranks_v{batch_id}")
+
+
+def streaming_pagerank(
+    edge_stream: DataFrame,
+    root: str,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    tol: float = 1e-9,
+):
+    """Continuous PageRank maintenance over an edge stream: every
+    microbatch folds into the persisted ranks via warm-started
+    re-solve over the retained edge history — each snapshot agrees
+    with a from-scratch solve over all edges seen to within the
+    convergence tolerance (pinned by
+    tests/test_streaming.py::test_streaming_pagerank_parity), and
+    replayed batches recompute identical snapshots.  Returns the
+    DataStreamWriter — caller sets checkpointLocation / trigger and
+    calls .start(); trigger(availableNow=True) folds a backlog and
+    stops."""
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        pr_fold_batch(batch_df, batch_id, root, src, dst, damping, tol)
+
+    return edge_stream.writeStream.foreachBatch(fold)

@@ -342,3 +342,72 @@ def test_streaming_dedup_index_parity(spark, tmp_path):
         for r in near_duplicates(docs, threshold=0.5, pre_collapse=False).collect()
     }
     assert got == full and got
+
+
+def test_streaming_pagerank_parity(spark, tmp_path):
+    """Edge stream folds into persisted ranks via warm-started
+    re-solve; the final snapshot must match from-scratch PageRank
+    over ALL edges to within convergence tolerance."""
+    import random
+
+    from ccl_spark.pagerank import pagerank
+    from ccl_spark.streaming import latest_pagerank, streaming_pagerank
+
+    rng = random.Random(5)
+    n = 40
+    edges = [(a, b) for a in range(n) for b in range(n) if a != b and rng.random() < 0.08]
+    src_dir = tmp_path / "edges_in"
+    src_dir.mkdir()
+    for b in range(3):
+        chunk = [e for i, e in enumerate(edges) if i % 3 == b]
+        spark.createDataFrame(chunk, "src long, dst long").coalesce(1).write.parquet(
+            str(src_dir / f"b{b}")
+        )
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    root = str(tmp_path / "pr_snapshots")
+    q = (
+        streaming_pagerank(stream, root, tol=1e-10)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    latest = latest_pagerank(spark, root)
+    assert latest is not None
+    version, ranks = latest
+    assert version >= 2
+    got = {r.vertex: r.rank for r in ranks.collect()}
+    exp = {
+        r.vertex: r.rank
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"), tol=1e-10
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    assert max(abs(got[v] - exp[v]) for v in exp) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pr_fold_batch_replay_idempotent(spark, tmp_path):
+    """Replaying a microbatch (crash between parquet write and stream
+    commit) recomputes the identical snapshot instead of consuming its
+    own half-written output."""
+    from ccl_spark.streaming import latest_pagerank, pr_fold_batch
+
+    root = str(tmp_path / "pr")
+    b0 = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    b1 = spark.createDataFrame([(3, 1), (2, 1)], "src long, dst long")
+    pr_fold_batch(b0, 0, root, tol=1e-10)
+    pr_fold_batch(b1, 1, root, tol=1e-10)
+    v1, r1 = latest_pagerank(spark, root)
+    first = {r.vertex: r.rank for r in r1.collect()}
+    pr_fold_batch(b1, 1, root, tol=1e-10)  # replay
+    v2, r2 = latest_pagerank(spark, root)
+    second = {r.vertex: r.rank for r in r2.collect()}
+    assert v1 == v2 == 1
+    assert first == second
