@@ -1140,6 +1140,27 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(_t(spark, sf_dir, "documents"), 0.3).select("doc_id")
 
 
+def q_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size mergeable uniform sample: the 25 smallest md5 unit
+    hashes (bottom-k sketch) — per-partition partial top-k, no global
+    sort."""
+    from ccl_spark.sampling import bottomk_sample
+
+    return bottomk_sample(_t(spark, sf_dir, "documents"), 25).select(
+        "doc_id", "draw"
+    )
+
+
+def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language sample: exactly 5 docs per lang by
+    per-stratum bottom-k (stratum-keyed window, no global sort)."""
+    from ccl_spark.sampling import stratified_sample
+
+    return stratified_sample(_t(spark, sf_dir, "documents"), "lang", 5).select(
+        "lang", "doc_id", "draw"
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/valid/test assignment from consecutive md5-hash
     intervals (10% / 10%)."""
@@ -4979,6 +5000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "quantiles": q_quantiles,
         "hash_sample": q_hash_sample,
+        "bottomk": q_bottomk,
+        "stratified": q_stratified,
         "hash_split": q_hash_split,
         "packing": q_packing,
         "incremental_cc": q_incremental_cc,
@@ -6032,6 +6055,20 @@ FROM need LEFT JOIN hits ON hits.key = need.key
         "hash_sample": f"""
 SELECT doc_id FROM documents
 WHERE {_UNIT_HASH_SQL.format(salt="sample")} < 0.3
+""",
+        "bottomk": f"""
+SELECT doc_id, {_UNIT_HASH_SQL.format(salt="bottomk")} AS draw
+FROM documents
+ORDER BY draw, doc_id
+LIMIT 25
+""",
+        "stratified": f"""
+WITH d AS (SELECT lang, doc_id,
+                  {_UNIT_HASH_SQL.format(salt="stratified")} AS draw
+           FROM documents),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id)
+             AS rk FROM d)
+SELECT lang, doc_id, draw FROM r WHERE rk <= 5
 """,
         "hash_split": f"""
 SELECT doc_id,

@@ -40,7 +40,8 @@ web-scale link graphs, built on the Spark DataFrame API:
                  compression ratio), TF-IDF + doc similarity, inverted
                  index, PII scrub, char-bigram LM scoring, CCNet host buckets, winnowing
                  fingerprints + incremental fold
-- ``sampling``   hash sampling, train/valid/test splits, token packing
+- ``sampling``   hash sampling, mergeable bottom-k + stratified samples,
+                 train/valid/test splits, token packing
 - ``sketch``     count-min sketch, Bloom filter
 - ``boilerplate`` CCNet-style per-host line dedup
 - ``anchors``    anchor-text extraction + per-target term index

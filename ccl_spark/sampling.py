@@ -104,3 +104,51 @@ def pack_documents(
     return docs.withColumn(
         "bin", (F.ceil(cum / F.lit(budget)) - 1).cast("long")
     )
+
+
+def bottomk_sample(
+    docs: DataFrame,
+    k: int,
+    salt: str = "bottomk",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-size uniform sample without replacement: the ``k`` rows
+    with the smallest unit hashes (ties broken by id).  Unlike
+    rate-based Bernoulli sampling the output size is exact, and the
+    selection is MERGEABLE — the bottom-k of a union equals the
+    bottom-k of the per-shard bottom-ks, so shards/epochs/machines
+    can pre-trim locally and a tiny merge finishes the job (this is
+    the bottom-k sketch of Cohen & Kaplan).  Spark executes the
+    orderBy+limit as TakeOrderedAndProject: per-partition partial
+    top-k then one k-row merge at the driver — no global sort ever
+    materializes.  Adds a ``draw`` column (the dyadic md5 unit hash,
+    exactly replayable in ANSI SQL)."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    u = _unit_hash(id_col, salt)
+    return docs.withColumn("draw", u).orderBy("draw", id_col).limit(k)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    k: int,
+    salt: str = "stratified",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``k`` rows per stratum (fewer when the stratum is
+    smaller): per-stratum bottom-k by unit hash — the deterministic
+    construction of a balanced eval set / per-language cap.  One
+    window keyed by the stratum (partition-bounded; no global sort),
+    rank ties broken by id so the selection is a pure function of
+    (stratum, id, salt)."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    u = _unit_hash(id_col, salt)
+    w = Window.partitionBy(strata_col).orderBy("draw", id_col)
+    return (
+        docs.withColumn("draw", u)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -286,3 +286,55 @@ def test_core_numbers_round_no_python(spark):
         [(i, (i + 1) % 10) for i in range(10)], "src long, dst long"
     )
     assert "BatchEvalPython" not in _executed(core_numbers(e))
+
+
+def test_triad_census_no_python_no_cartesian(spark):
+    from ccl_spark.triangles import triad_census
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 40) for i in range(40)] + [(1, 2), (2, 1)],
+        "src long, dst long",
+    )
+    plan = _executed(triad_census(e))
+    assert "BatchEvalPython" not in plan
+    # the only cartesian products are the 1-row total/spine combines;
+    # wedge + triangle enumeration must be hash equi-joins
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_host_quality_cuts_are_aggregate_not_window(spark):
+    from ccl_spark.textops import host_quality_buckets
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"h{i % 4}", "the cat sat on the mat " * 3) for i in range(12)],
+        "doc_id string, host string, text string",
+    )
+    plan = _executed(host_quality_buckets(docs, id_col="doc_id"))
+    assert "BatchEvalPython" not in plan
+    # bucket assignment must come from a broadcast 1-row percentile
+    # aggregate, never a global NTILE window (single-task sort at
+    # scale); " ntile(" can't false-match "percentile("
+    assert " ntile(" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_eigenvector_iteration_no_python(spark):
+    from ccl_spark.pagerank import eigenvector_centrality
+
+    e = spark.createDataFrame([(i, (i + 1) % 20) for i in range(20)], "src long, dst long")
+    plan = _executed(eigenvector_centrality(e, n_iter=2, k=5))
+    assert "BatchEvalPython" not in plan
+
+
+def test_chunk_dedup_single_hash_window(spark):
+    from ccl_spark.dedup import chunk_dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " * 2) for i in range(6)],
+        "doc_id long, text string",
+    )
+    plan = _executed(chunk_dedup_corpus(docs))
+    assert "BatchEvalPython" not in plan
+    # exactly one window keyed by chunk_hash (first-occurrence pick);
+    # the per-doc boundary cumsum window is keyed by doc_id
+    assert plan.count("row_number") >= 1

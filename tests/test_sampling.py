@@ -66,3 +66,45 @@ def test_pack_documents(spark):
     assert got == {("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 2, ("b", 9): 0}
     with pytest.raises(ValueError):
         pack_documents(docs, budget=0, bucket_col="lang")
+
+
+def test_bottomk_exact_size_and_mergeable(spark):
+    from ccl_spark.sampling import bottomk_sample
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    got = bottomk_sample(docs, 10).collect()
+    assert len(got) == 10
+    ids = {r.doc_id for r in got}
+    # mergeability: bottom-k of union == bottom-k over per-shard bottom-ks
+    s1 = docs.filter("doc_id % 2 = 0")
+    s2 = docs.filter("doc_id % 2 = 1")
+    merged = bottomk_sample(
+        bottomk_sample(s1, 10).unionByName(bottomk_sample(s2, 10)), 10
+    ).collect()
+    assert {r.doc_id for r in merged} == ids
+    # determinism: independent recomputation selects the same set
+    assert {r.doc_id for r in bottomk_sample(docs, 10).collect()} == ids
+
+
+def test_bottomk_k_larger_than_input(spark):
+    from ccl_spark.sampling import bottomk_sample
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    assert bottomk_sample(docs, 10).count() == 2
+
+
+def test_stratified_sample_per_stratum_cap(spark):
+    from ccl_spark.sampling import stratified_sample
+
+    rows = [(i, "a" if i < 30 else ("b" if i < 40 else "c")) for i in range(43)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(docs, "lang", 7).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by["a"]) == 7 and len(by["b"]) == 7
+    assert len(by["c"]) == 3  # stratum smaller than k: take all
+    # pure function of (stratum, id, salt): stable under corpus growth
+    # of OTHER strata
+    only_a = stratified_sample(docs.filter("lang = 'a'"), "lang", 7).collect()
+    assert {r.doc_id for r in only_a} == by["a"]
