@@ -1161,6 +1161,98 @@ def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duffield-Lund-Thorup priority sample (k=20, weight=n_chars) with
+    Horvitz-Thompson estimate weights — weight-proportional sampling
+    whose est_weight sums are unbiased for corpus totals."""
+    from ccl_spark.sampling import priority_sample
+
+    return priority_sample(_t(spark, sf_dir, "documents"), "n_chars", 20)
+
+
+def _priority_sample_sql() -> str:
+    u = (
+        "((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ',priority'), 1, 13))"
+        "::BIGINT + 1.0) / 4503599627370496.0)"
+    )
+    return f"""
+WITH psd AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                    CAST(n_chars AS DOUBLE) / {u} AS priority
+             FROM documents),
+psr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk
+        FROM psd),
+pst AS (SELECT priority AS tau FROM psr WHERE rk = 21)
+SELECT doc_id, weight, priority, GREATEST(weight, tau) AS est_weight
+FROM psr, pst WHERE rk <= 20
+"""
+
+
+MIX_BUDGETS = {"src0": 700, "src1": 400, "src5": 900}
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture assembly: per-source token budgets consumed in
+    deterministic hash order (greedy cut, last doc may overshoot)."""
+    from ccl_spark.sampling import mix_corpus
+
+    return mix_corpus(_t(spark, sf_dir, "documents"), MIX_BUDGETS)
+
+
+def _mixture_sql() -> str:
+    u = _UNIT_HASH_SQL.format(salt="mix")
+    vals = ", ".join(f"('{s}', {b})" for s, b in sorted(MIX_BUDGETS.items()))
+    return f"""
+WITH mxb(source, budget) AS (VALUES {vals}),
+mxd AS (SELECT d.source, d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               {u} AS draw, b.budget
+        FROM documents d JOIN mxb b ON b.source = d.source),
+mxc AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+             ORDER BY draw, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+             1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM mxd)
+SELECT source, doc_id, n_tokens, cum_before + n_tokens AS cum_tokens
+FROM mxc WHERE cum_before < budget
+"""
+
+
+BLOCKED_HOSTS = ["h7.example.com", "h13.example.com", "h21.example.com"]
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist flag over the corpus urls: host OR
+    any parent domain in the list blocks the page (suffix explode +
+    one equi-join)."""
+    from ccl_spark.edges import blocklist_filter, host_of
+
+    _dump_texts(1000)
+    docs = _corpus_texts(spark, 1000).select(
+        "url", host_of("url").alias("full_host")
+    )
+    bl = spark.createDataFrame([(h,) for h in BLOCKED_HOSTS], "domain string")
+    return blocklist_filter(docs, bl, host_col="full_host")
+
+
+def _blocklist_sql() -> str:
+    src = f"'{_ORACLE_DIR}/corpus_texts_1000.parquet'"
+    vals = ", ".join(f"('{h}')" for h in BLOCKED_HOSTS)
+    return f"""
+WITH bld(url, full_host) AS (
+    SELECT url, regexp_extract(url, 'https://([^/]+)', 1) FROM {src}),
+blb(domain) AS (VALUES {vals}),
+blsfx AS (SELECT DISTINCT full_host,
+                 array_to_string(list_slice(string_split(full_host, '.'), i,
+                            len(string_split(full_host, '.'))), '.') AS domain
+          FROM bld, UNNEST(range(1, 20)) AS t(i)
+          WHERE i <= len(string_split(full_host, '.'))),
+blhit AS (SELECT DISTINCT full_host FROM blsfx
+          WHERE domain IN (SELECT domain FROM blb))
+SELECT d.url, d.full_host,
+       (h.full_host IS NOT NULL) AS blocked
+FROM bld d LEFT JOIN blhit h ON h.full_host = d.full_host
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/valid/test assignment from consecutive md5-hash
     intervals (10% / 10%)."""
@@ -1517,6 +1609,25 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents, codebooks=books,
     )
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_CORPUS_TEXTS_MEMO: dict[int, DataFrame] = {}
+
+
+def _corpus_texts(spark: SparkSession, n_pages: int) -> DataFrame:
+    """Extracted (url, host, text) corpus table, materialized once per
+    gate process — boilerplate / frontier / host_quality / blocklist
+    share it instead of re-running datagen+extraction each."""
+    if n_pages not in _CORPUS_TEXTS_MEMO:
+        from ccl_spark.extract import extract_text
+
+        d = extract_text(generate_pages(spark, n_pages, seed=42)).select(
+            "url",
+            F.regexp_extract("url", r"https://(h\d+)\.", 1).alias("host"),
+            "text",
+        )
+        _CORPUS_TEXTS_MEMO[n_pages] = d.localCheckpoint(eager=True)
+    return _CORPUS_TEXTS_MEMO[n_pages]
 
 
 _CORPUS_EDGES_MEMO: dict[int, DataFrame] = {}
@@ -2600,15 +2711,9 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys); the oracle re-derives the same result from raw lines in
     DuckDB over the generator's ground-truth text table."""
     from ccl_spark.boilerplate import remove_boilerplate
-    from ccl_spark.extract import extract_text
 
     _dump_texts(1000)
-    docs = extract_text(generate_pages(spark, 1000, seed=42)).select(
-        "url",
-        F.regexp_extract("url", r"https://(h\d+)\.", 1).alias("host"),
-        "text",
-    )
-    return remove_boilerplate(docs)
+    return remove_boilerplate(_corpus_texts(spark, 1000))
 
 
 def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2616,14 +2721,11 @@ def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most 2 URLs per host per round, longest pages first. The oracle
     replays the ranking over the generator's ground-truth text table
     (text bytes are extraction-parity-tested elsewhere)."""
-    from ccl_spark.extract import extract_text
     from ccl_spark.frontier import frontier_plan
 
     _dump_texts(1000)
-    docs = extract_text(generate_pages(spark, 1000, seed=42)).select(
-        "url",
-        F.regexp_extract("url", r"https://(h\d+)\.", 1).alias("host"),
-        F.length("text").alias("priority"),
+    docs = _corpus_texts(spark, 1000).select(
+        "url", "host", F.length("text").alias("priority")
     )
     return frontier_plan(docs, per_host_cap=2, priority_col="priority")
 
@@ -3509,16 +3611,12 @@ def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-host LM-quality terciles over the corpus texts:
     per-doc char-bigram logprob -> per-host mean -> exact-percentile
     head/middle/tail buckets (keep = head+middle)."""
-    from ccl_spark.extract import extract_text
     from ccl_spark.textops import host_quality_buckets
 
     _dump_texts(1000)
-    docs = extract_text(generate_pages(spark, 1000, seed=42)).select(
-        "url",
-        F.regexp_extract("url", r"https://(h\d+)\.", 1).alias("host"),
-        "text",
+    return host_quality_buckets(
+        _corpus_texts(spark, 1000), host_col="host", id_col="url"
     )
-    return host_quality_buckets(docs, host_col="host", id_col="url")
 
 
 def _host_quality_sql() -> str:
@@ -5001,6 +5099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "hash_sample": q_hash_sample,
         "bottomk": q_bottomk,
+        "priority_sample": q_priority_sample,
+        "mixture": q_mixture,
+        "blocklist": q_blocklist,
         "stratified": q_stratified,
         "hash_split": q_hash_split,
         "packing": q_packing,
@@ -6056,6 +6157,9 @@ FROM need LEFT JOIN hits ON hits.key = need.key
 SELECT doc_id FROM documents
 WHERE {_UNIT_HASH_SQL.format(salt="sample")} < 0.3
 """,
+        "priority_sample": _priority_sample_sql(),
+        "mixture": _mixture_sql(),
+        "blocklist": _blocklist_sql(),
         "bottomk": f"""
 SELECT doc_id, {_UNIT_HASH_SQL.format(salt="bottomk")} AS draw
 FROM documents

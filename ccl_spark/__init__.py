@@ -15,7 +15,8 @@ web-scale link graphs, built on the Spark DataFrame API:
                  reference's exact golden label integers
 - ``datagen``    seeded synthetic Common-Crawl-style pages corpus
 - ``extract``    Arrow-vectorized text + hyperlink extraction
-- ``edges``      edge-table builder (dedup, salt, degrees, CSR blocks)
+- ``edges``      edge-table builder (dedup, salt, degrees, CSR blocks),
+                 URL canonicalization, domain-blocklist filtering
 - ``superstep``  checkpoint / lineage / resume harness for iterative jobs
 - ``scc``        strongly connected components + bow-tie decomposition
 - ``kcore``      k-core peeling
@@ -40,7 +41,8 @@ web-scale link graphs, built on the Spark DataFrame API:
                  compression ratio), TF-IDF + doc similarity, inverted
                  index, PII scrub, char-bigram LM scoring, CCNet host buckets, winnowing
                  fingerprints + incremental fold
-- ``sampling``   hash sampling, mergeable bottom-k + stratified samples,
+- ``sampling``   hash sampling, mergeable bottom-k / stratified /
+                 priority (Horvitz-Thompson) samples, mixture budgets,
                  train/valid/test splits, token packing
 - ``sketch``     count-min sketch, Bloom filter
 - ``boilerplate`` CCNet-style per-host line dedup

@@ -369,3 +369,46 @@ def url_features(
         .alias("n_params"),
         F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1).alias("tld"),
     )
+
+
+def domain_suffixes(col: str | F.Column) -> F.Column:
+    """All dot-suffixes of a host as an array: ``a.b.c`` ->
+    ``[a.b.c, b.c, c]`` — the expansion that turns wildcard domain
+    blocking (UT1-style ``*.spam.example`` lists) into an equi-join.
+    JVM higher-order functions only."""
+    h = F.col(col) if isinstance(col, str) else col
+    parts = F.split(h, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """Domain blocklist filtering with suffix (wildcard) semantics —
+    the UT1/RefinedWeb URL-filter stage: a document is blocked when
+    its host OR ANY parent domain appears in ``blocklist`` (one
+    ``domain`` column).  The host explodes into its O(label-depth)
+    dot-suffixes and one equi-join against the list decides the flag
+    — broadcast when the list is small, plain hash join when it is
+    millions of entries; never a per-row scan of the list.
+
+    Returns the input plus a ``blocked`` boolean (filter on
+    ``~blocked`` to keep)."""
+    sfx = docs.select(
+        F.col(host_col).alias("_h"),
+        F.explode(domain_suffixes(host_col)).alias("domain"),
+    ).distinct()
+    hit = (
+        sfx.join(blocklist.select(F.col("domain")), "domain", "left_semi")
+        .select(F.col("_h").alias(host_col))
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return docs.join(hit, host_col, "left").withColumn(
+        "blocked", F.coalesce("blocked", F.lit(False))
+    )

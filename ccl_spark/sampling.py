@@ -152,3 +152,110 @@ def stratified_sample(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def priority_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    salt: str = "priority",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-proportional sampling without replacement by PRIORITY
+    sampling (Duffield-Lund-Thorup 2007): priority = w / u with u a
+    uniform draw, keep the k largest priorities, and report the
+    Horvitz-Thompson estimate weight max(w, tau) where tau is the
+    (k+1)-th priority — sums of est_weight over the sample are
+    unbiased for population totals, which is what makes a k-row
+    sample usable for corpus accounting at 100 TB.
+
+    The draw is the dyadic md5 unit hash shifted to (0, 1] (adding 1
+    before the 2^52 divide — u = 0 would divide by zero), so the
+    selection and tau replay exactly in ANSI SQL.  Execution: one
+    TakeOrderedAndProject of k+1 rows (per-partition partial top-k),
+    then a window over those k+1 rows only.  Returns
+    ``(id, weight, priority, est_weight)``, the k selected rows.
+    """
+    if k <= 0:
+        raise ValueError("k must be >= 1")
+    u = (
+        F.expr(
+            f"cast(conv(substring(md5(concat(cast({id_col} as string),"
+            f" ',', '{salt}')), 1, 13), 16, 10) as double) + 1.0"
+        )
+        / F.lit(_DENOM)
+    )
+    prio = docs.select(
+        F.col(id_col),
+        F.col(weight_col).cast("double").alias("weight"),
+        (F.col(weight_col).cast("double") / u).alias("priority"),
+    )
+    topk1 = prio.orderBy(F.desc("priority"), F.asc(id_col)).limit(k + 1)
+    w = Window.orderBy(F.desc("priority"), F.asc(id_col))
+    ranked = topk1.withColumn("rk", F.row_number().over(w))
+    tau = ranked.filter(F.col("rk") == k + 1).select(
+        F.col("priority").alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            "weight",
+            "priority",
+            F.greatest(F.col("weight"), F.col("tau")).alias("est_weight"),
+        )
+    )
+
+
+def mix_corpus(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Training-mixture assembly: give each source a token budget and
+    keep a deterministic uniform-ordered prefix of its documents until
+    the budget is exhausted (the last document may overshoot — the
+    standard greedy cut).  Order within a source is the dyadic md5
+    draw, so the mixture is a pure function of (source, id, salt):
+    re-runs, retries and engine swaps select identical documents.
+
+    One window per source (cumulative token sum keyed by the source —
+    the bounded-bucket contract of pack_documents; a mega-source
+    needs the range-partitioned rank seam documented for suffix
+    arrays).  Sources absent from ``budgets`` are dropped.  Returns
+    ``(source, id, n_tokens, cum_tokens)`` for kept docs.
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    bdf = docs.sparkSession.createDataFrame(
+        [(s, int(b)) for s, b in sorted(budgets.items())],
+        f"{source_col} string, _budget long",
+    )
+    u = _unit_hash(id_col, salt)
+    toks = docs.select(
+        F.col(source_col),
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        u.alias("_draw"),
+    ).join(F.broadcast(bdf), source_col)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_draw", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("cum_before") < F.col("_budget"))
+        .select(
+            source_col,
+            id_col,
+            "n_tokens",
+            (F.col("cum_before") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+    )

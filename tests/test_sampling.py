@@ -108,3 +108,72 @@ def test_stratified_sample_per_stratum_cap(spark):
     # of OTHER strata
     only_a = stratified_sample(docs.filter("lang = 'a'"), "lang", 7).collect()
     assert {r.doc_id for r in only_a} == by["a"]
+
+
+def _py_unit_hash(key, salt):
+    import hashlib
+
+    h = hashlib.md5(f"{key},{salt}".encode()).hexdigest()[:13]
+    return int(h, 16) / float(1 << 52)
+
+
+def test_priority_sample_vs_python_replay(spark):
+    from ccl_spark.sampling import priority_sample
+
+    rows = [(i, float(i % 7 + 1)) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    k = 10
+    got = priority_sample(docs, "w", k).collect()
+    # independent replay: priority = w / ((raw+1)/2^52)
+    import hashlib
+
+    prios = []
+    for i, w in rows:
+        raw = int(hashlib.md5(f"{i},priority".encode()).hexdigest()[:13], 16)
+        prios.append((w / ((raw + 1) / float(1 << 52)), i, w))
+    prios.sort(key=lambda t: (-t[0], t[1]))
+    exp_sel = prios[:k]
+    tau = prios[k][0]
+    assert {r.doc_id for r in got} == {i for _, i, _ in exp_sel}
+    for r in got:
+        assert r.est_weight == max(r.weight, tau)
+    # HT sanity: estimate total is within 3x of the true total for
+    # this deterministic draw (unbiasedness is over the salt family)
+    true_total = sum(w for _, w in rows)
+    est_total = sum(r.est_weight for r in got)
+    assert 0.3 * true_total < est_total < 3 * true_total
+
+
+def test_mix_corpus_budget_cut(spark):
+    from ccl_spark.sampling import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", "t " * 10) for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    out = mix_corpus(docs, {"a": 55}).collect()
+    # only the budgeted source survives; greedy cut: cum_before < 55
+    # with 11-token docs -> 5 docs, 55 tokens
+    assert {r.source for r in out} == {"a"}
+    assert sum(r.n_tokens for r in out) == 55
+    assert max(r.cum_tokens for r in out) == 55
+    # deterministic: same selection on rerun
+    again = mix_corpus(docs, {"a": 55}).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in out}
+
+
+def test_blocklist_suffix_semantics(spark):
+    from ccl_spark.edges import blocklist_filter, domain_suffixes
+
+    docs = spark.createDataFrame(
+        [("u1", "deep.sub.spam.example"), ("u2", "spam.example"),
+         ("u3", "notspam.example"), ("u4", "spam.example.good.org")],
+        "url string, host string",
+    )
+    bl = spark.createDataFrame([("spam.example",)], "domain string")
+    got = {r.url: r.blocked for r in blocklist_filter(docs, bl).collect()}
+    # suffix semantics: exact host and any subdomain blocked; a host
+    # merely CONTAINING the domain mid-string is not
+    assert got == {"u1": True, "u2": True, "u3": False, "u4": False}
+    sfx = docs.filter("url = 'u1'").select(domain_suffixes("host")).first()[0]
+    assert sfx == ["deep.sub.spam.example", "sub.spam.example", "spam.example", "example"]
