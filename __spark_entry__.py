@@ -2248,6 +2248,61 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_alpha(_t(spark, sf_dir, "documents"), f_min=5)
 
 
+HEAPS_POINTS = [50, 100, 200, 300, 400, 500]
+COVERAGE_KS = [10, 50, 100, 200]
+
+
+def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct tokens after the first p
+    documents, via token-first-occurrence (no per-prefix distinct)."""
+    from ccl_spark.textops import heaps_curve
+
+    return heaps_curve(_t(spark, sf_dir, "documents"), HEAPS_POINTS)
+
+
+def _heaps_sql() -> str:
+    vals = ", ".join(f"({p})" for p in HEAPS_POINTS)
+    return f"""
+WITH hpt AS (SELECT CAST(doc_id AS BIGINT) AS d,
+                    UNNEST(string_split(text, ' ')) AS token FROM documents),
+hpf AS (SELECT token, MIN(d) AS first_doc FROM hpt WHERE token <> ''
+        GROUP BY token),
+hpc(n_docs) AS (VALUES {vals})
+SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS vocab
+FROM hpf, hpc WHERE first_doc < n_docs
+GROUP BY n_docs ORDER BY n_docs
+"""
+
+
+def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-k vocabulary coverage curve (fraction of occurrences
+    covered by the k most frequent types) — the tokenizer budget
+    measurement."""
+    from ccl_spark.textops import token_coverage
+
+    return token_coverage(_t(spark, sf_dir, "documents"), COVERAGE_KS)
+
+
+def _token_coverage_sql() -> str:
+    vals = ", ".join(f"({k})" for k in COVERAGE_KS)
+    return f"""
+WITH tct AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+tcc AS (SELECT token, COUNT(*) AS cnt FROM tct WHERE token <> ''
+        GROUP BY token),
+tcr AS (SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank, cnt
+        FROM tcc),
+tck(k) AS (VALUES {vals}),
+tctot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tcc)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(SUM(cnt) AS BIGINT) AS covered,
+       (SELECT total FROM tctot) AS total,
+       ROUND(CAST(SUM(cnt) AS DOUBLE) / (SELECT total FROM tctot), 6)
+         AS coverage
+FROM tcr, tck WHERE rank <= k
+GROUP BY k ORDER BY k
+"""
+
+
 def q_doclen_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document token-length histogram — the length-filter
     distribution every corpus pipeline reports (degree_dist's shape
@@ -5137,6 +5192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi": q_pmi,
         "negatives": q_negatives,
         "zipf": q_zipf,
+        "heaps": q_heaps,
+        "token_coverage": q_token_coverage,
         "doclen_dist": q_doclen_dist,
         "label_spreading": q_label_spreading,
         "boilerplate": q_boilerplate,
@@ -5646,6 +5703,8 @@ FROM top JOIN r ON r.dst_url = top.dst_url WHERE r.rank <= 3
 SELECT center, context, cnt FROM pairs
 ORDER BY cnt DESC, center, context LIMIT 100""",
         "label_spreading": _label_spreading_sql(4),
+        "heaps": _heaps_sql(),
+        "token_coverage": _token_coverage_sql(),
         "zipf": """
 WITH uni AS (
     SELECT tok, COUNT(*) AS f FROM (

@@ -39,7 +39,8 @@ web-scale link graphs, built on the Spark DataFrame API:
                  k-hop features, reciprocal matches, power-iteration PCA
 - ``textops``    tokenization, BPE train/encode, quality (Gopher gate,
                  compression ratio), TF-IDF + doc similarity, inverted
-                 index, PII scrub, char-bigram LM scoring, CCNet host buckets, winnowing
+                 index, PII scrub, char-bigram LM scoring, CCNet host buckets, Heaps/
+                 coverage vocabulary curves, winnowing
                  fingerprints + incremental fold
 - ``sampling``   hash sampling, mergeable bottom-k / stratified /
                  priority (Horvitz-Thompson) samples, mixture budgets,

@@ -1020,3 +1020,95 @@ def host_quality_buckets(
         bucket.alias("bucket"),
         (bucket <= 2).alias("keep"),
     )
+
+
+def heaps_curve(
+    docs: DataFrame,
+    points: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-token count after
+    the first p documents (in ``id`` order) for each prefix size in
+    ``points`` — the measurement that sizes a tokenizer's vocabulary
+    against corpus growth (V ~ k·N^beta).
+
+    Scale shape: NO per-prefix distinct pass — each token contributes
+    at its FIRST document (one groupBy min over the exploded stream),
+    and a prefix's vocabulary is the count of tokens with first_doc
+    <= cutoff: one broadcast of the O(|points|) cutoff list joined
+    against the token-first table, partial-aggregating per cutoff.
+    Returns ``(n_docs, vocab)`` sorted by prefix size.
+    """
+    if not points:
+        raise ValueError("points must be non-empty")
+    firsts = (
+        docs.select(
+            F.col(id_col).cast("long").alias("d"),
+            F.explode(_tokens(text_col)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.min("d").alias("first_doc"))
+    )
+    cuts = docs.sparkSession.createDataFrame(
+        [(int(p),) for p in sorted(points)], "n_docs long"
+    )
+    # prefix p = docs with id < p (ids are 0-based in the synthetic
+    # corpus; for arbitrary ids pass explicit cutoff values)
+    return (
+        firsts.crossJoin(F.broadcast(cuts))
+        .filter(F.col("first_doc") < F.col("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+        .orderBy("n_docs")
+    )
+
+
+def token_coverage(
+    docs: DataFrame,
+    ks: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus coverage of a rank-k vocabulary truncation: for each k
+    in ``ks``, the fraction of all token OCCURRENCES covered by the k
+    most frequent types (ties broken by token string) — the tokenizer
+    budget curve (how big must the vocab be for 95% coverage).
+
+    One vocabulary aggregate, then a window cumsum over the
+    VOCAB-sized table ordered by (count desc, token) — bounded by
+    distinct types, not corpus size (the same bounded-table contract
+    as the suffix-array rank chain; range-partition the rank if the
+    type table itself is huge).  Returns ``(k, covered, total,
+    coverage)`` with coverage rounded to 6dp.
+    """
+    if not ks:
+        raise ValueError("ks must be non-empty")
+    counts = (
+        docs.select(F.explode(_tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("cnt"),
+    )
+    kdf = docs.sparkSession.createDataFrame([(int(k),) for k in sorted(ks)], "k long")
+    tot = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(kdf))
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("covered"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.col("covered").cast("long").alias("covered"),
+            F.col("total").cast("long").alias("total"),
+            F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -773,3 +773,35 @@ def test_char_bigram_logprob(spark):
         assert got[d]["logprob"] == round(lp, 6)
     # the common pattern scores higher than the rare one
     assert got[1]["logprob"] > got[3]["logprob"]
+
+
+def test_heaps_curve_vs_python(spark):
+    from ccl_spark.textops import heaps_curve
+
+    rows = [(i, " ".join(f"w{(i * 3 + j) % 17}" for j in range(5))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.n_docs: r.vocab for r in heaps_curve(docs, [5, 10, 20]).collect()}
+    for p in (5, 10, 20):
+        exp = len({t for i, txt in rows if i < p for t in txt.split()})
+        assert got[p] == exp
+    # monotone non-decreasing
+    assert got[5] <= got[10] <= got[20]
+
+
+def test_token_coverage_vs_python(spark):
+    from collections import Counter
+
+    from ccl_spark.textops import token_coverage
+
+    rows = [(i, "a a a b b c d" if i % 2 else "a b c e f") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.k: r for r in token_coverage(docs, [1, 3, 100]).collect()}
+    cnt = Counter(t for _, txt in rows for t in txt.split())
+    total = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    for k in (1, 3, 100):
+        covered = sum(c for _, c in ranked[:k])
+        assert got[k].covered == covered
+        assert got[k].total == total
+        assert abs(got[k].coverage - round(covered / total, 6)) < 1e-12
+    assert got[100].coverage == 1.0
