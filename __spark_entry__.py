@@ -3870,6 +3870,21 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 (ISO BMFF) decode end-to-end: synth emits valid raw-RGB24
+    MP4 payloads, the Arrow stage walks the box tree + sample tables
+    and reads the frames back. Raw video is LOSSLESS, so the pinned
+    oracle's independent numpy replay of the synth frames must match
+    f0 EXACTLY; width/height come from the decoded stsd entry."""
+    from ccl_spark.multimodal import decode_features, synth_mp4_media
+
+    feats = decode_features(synth_mp4_media(spark, 120, seed=42), dim=8, real_decode=True)
+    return feats.select(
+        "media_id", "n_bytes", "width", "height",
+        F.round(F.element_at("feature", 1), 5).alias("f0"),
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling on an every-500ms grid: parse each synth
     AVI (4 fps -> 250 ms/frame -> every 2nd frame), emit one row per
@@ -5110,6 +5125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "longest_repeat": q_longest_repeat,
         "verbatim_pairs": q_verbatim_pairs,
         "multimodal_gif": q_multimodal_gif,
+        "multimodal_mp4": q_multimodal_mp4,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
@@ -5964,6 +5980,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "verbatim_pairs": _verbatim_pairs_sql(SA_ROUNDS, 2),
         "compression": f"SELECT * FROM '{_ORACLE_DIR}/pinned_compression_sf001.parquet'",
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
+        "multimodal_mp4": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_mp4_sf001.parquet'",
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so
         # DISTINCT d enumerates exactly the t values the engine emits

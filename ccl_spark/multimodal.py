@@ -740,11 +740,6 @@ def _codec_seam(payload: bytes) -> None:
                 f"{name} decode requires a codec library (PIL/ffmpeg), "
                 "not in this container; plug the decoder in here"
             )
-    if len(payload) > 11 and payload[4:8] == b"ftyp":
-        raise NotImplementedError(
-            "MP4/MOV decode requires ffmpeg, not in this container; "
-            "plug the decoder in here"
-        )
     raise NotImplementedError(f"unrecognized media container: {payload[:8]!r}")
 
 
@@ -879,8 +874,10 @@ def _real_decode_row(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
         n = max(len(x) // dim, 1)
         rms = [float(np.sqrt(np.mean(x[j * n : (j + 1) * n] ** 2))) for j in range(dim)]
         return 0, 0, rms
-    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        w, h, _, frames = avi_decode(payload)
+    if (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ") or (
+        len(payload) > 11 and payload[4:8] == b"ftyp"
+    ):
+        w, h, _, frames = video_decode(payload)
         feats = np.array([_fold(f / 255.0, dim) for f in frames], dtype=np.float32)
         return w, h, feats.mean(axis=0).tolist()
     _codec_seam(payload)
@@ -971,7 +968,7 @@ def sample_frames(
                 if kind != "video":
                     continue
                 if real_decode:
-                    _, _, uspf, frames = avi_decode(payload)
+                    _, _, uspf, frames = video_decode(payload)
                     period_ms = max(uspf // 1000, 1)
                     step = max(every_ms // period_ms, 1)
                     for fi in range(0, len(frames), step):
@@ -1207,6 +1204,197 @@ def synth_gif_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 pix = gif_synth_pixels(int(i), seed)
                 h, w = pix.shape[:2]
                 rows.append((int(i), "image", gif_encode(pix), w, h, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# MP4 (ISO BMFF, ISO/IEC 14496-12): box-tree container with an
+# uncompressed 'raw ' RGB24 video track — the container parse a web
+# pipeline needs for metadata/frame plumbing; compressed sample
+# formats (avc1/hev1/...) raise at the codec seam INSIDE the track,
+# which is exactly where a codec library would plug in.
+# --------------------------------------------------------------------------
+
+_MP4_MATRIX = struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _fbox(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def _mp4_moov(frames: list[np.ndarray], fps: int, chunk_offset: int) -> bytes:
+    h, w = frames[0].shape[:2]
+    n = len(frames)
+    sample_size = h * w * 3
+    timescale, delta = fps, 1
+    duration = n * delta
+    mvhd = _fbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _fbox(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", duration)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + _MP4_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _fbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _fbox(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00")
+    vmhd = _fbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _fbox(b"dref", 0, 0, struct.pack(">I", 1) + _fbox(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    entry = _box(
+        b"raw ",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000) + b"\x00" * 4
+        + struct.pack(">H", 1) + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _fbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _fbox(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _fbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _fbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", sample_size) for _ in range(n)),
+    )
+    stco = _fbox(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    return _box(b"moov", mvhd + trak)
+
+
+def mp4_encode(frames: list[np.ndarray], fps: int = _AVI_FPS) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> minimal valid ISO BMFF
+    bytes with one 'raw ' RGB24 video track (ftyp + moov + mdat; all
+    samples one chunk). stco needs the mdat payload offset, which
+    depends on moov's own size — the size is offset-independent (the
+    field is fixed-width), so moov is assembled twice: once to
+    measure, once with the real offset."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    moov_len = len(_mp4_moov(frames, fps, 0))
+    offset = len(ftyp) + moov_len + 8
+    moov = _mp4_moov(frames, fps, offset)
+    mdat = _box(b"mdat", b"".join(f.tobytes() for f in frames))
+    return ftyp + moov + mdat
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", buf, pos)
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed MP4 box {btype!r} at {pos}")
+        yield btype, pos + 8, pos + size
+        pos += size
+
+
+def mp4_decode(payload: bytes) -> tuple[int, int, int, list[np.ndarray]]:
+    """MP4 bytes -> (width, height, usec_per_frame, [RGB frames]).
+    Walks the box tree (moov/trak/mdia/minf/stbl), reads the sample
+    tables, and extracts frames for the 'raw ' RGB24 sample format;
+    any compressed format (avc1, hev1, mp4v, ...) raises
+    NotImplementedError naming the codec — the in-track codec seam."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    timescale = delta = None
+    fmt = None
+    w = h = None
+    sizes: list[int] = []
+    offsets: list[int] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal timescale, delta, fmt, w, h, sizes, offsets
+        for btype, b0, b1 in _mp4_boxes(payload, start, end):
+            if btype in containers:
+                walk(b0, b1)
+            elif btype == b"mdhd":
+                timescale = struct.unpack_from(">I", payload, b0 + 12)[0]
+            elif btype == b"stts":
+                delta = struct.unpack_from(">I", payload, b0 + 12)[0]
+            elif btype == b"stsd":
+                esize, efmt = struct.unpack_from(">I4s", payload, b0 + 8)
+                fmt = efmt
+                if efmt == b"raw ":
+                    w, h = struct.unpack_from(">HH", payload, b0 + 8 + 32)
+            elif btype == b"stsz":
+                fixed, cnt = struct.unpack_from(">II", payload, b0 + 4)
+                sizes = (
+                    [fixed] * cnt
+                    if fixed
+                    else list(struct.unpack_from(f">{cnt}I", payload, b0 + 12))
+                )
+            elif btype == b"stco":
+                cnt = struct.unpack_from(">I", payload, b0 + 4)[0]
+                offsets = list(struct.unpack_from(f">{cnt}I", payload, b0 + 8))
+
+    walk(0, len(payload))
+    if fmt is None or timescale is None:
+        raise ValueError("MP4 missing moov sample tables")
+    if fmt != b"raw ":
+        raise NotImplementedError(
+            f"MP4 codec {fmt.decode('latin1').strip()!r} decode requires a "
+            "codec library (ffmpeg), not in this container; raw RGB24 "
+            "tracks decode here"
+        )
+    if len(offsets) != 1:
+        raise ValueError("only single-chunk raw MP4s are produced/consumed here")
+    uspf = int((delta or 1) * 1_000_000 // max(timescale, 1))
+    frames = []
+    pos = offsets[0]
+    for s in sizes:
+        arr = np.frombuffer(payload[pos : pos + s], dtype=np.uint8)
+        frames.append(arr.reshape(h, w, 3).copy())
+        pos += s
+    return w, h, uspf, frames
+
+
+def video_decode(payload: bytes) -> tuple[int, int, int, list[np.ndarray]]:
+    """Container-dispatching video decode: RIFF/AVI or ISO BMFF."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return avi_decode(payload)
+    if len(payload) > 11 and payload[4:8] == b"ftyp":
+        return mp4_decode(payload)
+    _codec_seam(payload)
+    raise AssertionError("unreachable")
+
+
+def synth_mp4_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic video-only media table of VALID raw-RGB24 MP4
+    payloads (2-4 seeded frames, 4 fps). Same schema as synth_media."""
+
+    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                rng = np.random.RandomState(seed + i)
+                h, w = 8 + i % 24, 8 + i % 32
+                n_frames = 2 + i % 3
+                frames = [
+                    rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+                    for _ in range(n_frames)
+                ]
+                dur = n_frames * 1000 // _AVI_FPS
+                rows.append((i, "video", mp4_encode(frames), w, h, dur))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "kind", "payload", "width", "height", "duration_ms"],

@@ -805,3 +805,51 @@ def test_token_coverage_vs_python(spark):
         assert got[k].total == total
         assert abs(got[k].coverage - round(covered / total, 6)) < 1e-12
     assert got[100].coverage == 1.0
+
+
+def test_mp4_roundtrip_and_seam():
+    import numpy as np
+    import pytest
+
+    from ccl_spark.multimodal import mp4_decode, mp4_encode
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, size=(10, 14, 3)).astype(np.uint8) for _ in range(4)]
+    payload = mp4_encode(frames, fps=4)
+    w, h, uspf, out = mp4_decode(payload)
+    assert (w, h, uspf, len(out)) == (14, 10, 250_000, 4)
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+    # in-track codec seam: a compressed sample format names its codec
+    avc = payload.replace(b"raw ", b"avc1", 1)
+    # only the stsd entry fourcc is rewritten for this probe; first
+    # occurrence IS the sample entry (no other 'raw ' bytes precede it)
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mp4_decode(avc)
+    with pytest.raises(ValueError):
+        mp4_decode(b"\x00\x00\x00\x08freeXXXX")
+
+
+def test_video_decode_dispatch_and_frames(spark):
+    import numpy as np
+
+    from ccl_spark.multimodal import (
+        avi_encode,
+        mp4_encode,
+        sample_frames,
+        video_decode,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, size=(6, 8, 3)).astype(np.uint8) for _ in range(4)]
+    for enc in (avi_encode, mp4_encode):
+        w, h, uspf, out = video_decode(enc(frames, 4))
+        assert (w, h, len(out)) == (8, 6, 4)
+        assert all((a == b).all() for a, b in zip(frames, out))
+    # frame sampling walks MP4 sample tables on the 500ms grid
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(mp4_encode(frames, 4)), 8, 6, 1000)],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms long",
+    )
+    got = sample_frames(media, every_ms=500, dim=4).collect()
+    assert [r.frame_idx for r in got] == [0, 2]
