@@ -1253,6 +1253,67 @@ FROM bld d LEFT JOIN blhit h ON h.full_host = d.full_host
 """
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level curation funnel over the corpus: blocklist -> host
+    LM-quality terciles on the survivors -> keep head+middle; one
+    monitoring row of per-stage counts."""
+    from ccl_spark.edges import host_of
+    from ccl_spark.pipeline import curation_funnel
+
+    _dump_texts(1000)
+    docs = _corpus_texts(spark, 1000).select(
+        "url", host_of("url").alias("host"), "text"
+    )
+    bl = spark.createDataFrame([(h,) for h in BLOCKED_HOSTS], "domain string")
+    return curation_funnel(docs, bl, host_col="host", id_col="url")
+
+
+def _curation_funnel_sql() -> str:
+    src = f"'{_ORACLE_DIR}/corpus_texts_1000.parquet'"
+    vals = ", ".join(f"('{h}')" for h in BLOCKED_HOSTS)
+    return f"""
+WITH cfd AS (SELECT url, regexp_extract(url, 'https://([^/]+)', 1) AS host,
+                    text FROM {src}),
+cfb(domain) AS (VALUES {vals}),
+cfsfx AS (SELECT DISTINCT host,
+                 array_to_string(list_slice(string_split(host, '.'), i,
+                            len(string_split(host, '.'))), '.') AS domain
+          FROM cfd, UNNEST(range(1, 20)) AS t(i)
+          WHERE i <= len(string_split(host, '.'))),
+cfblk AS (SELECT DISTINCT host FROM cfsfx
+          WHERE domain IN (SELECT domain FROM cfb)),
+cfu AS (SELECT * FROM cfd WHERE host NOT IN (SELECT host FROM cfblk)),
+cfpairs AS (
+    SELECT url, host, UNNEST(list_transform(range(1, len(text)),
+        i -> substring(text, CAST(i AS INT), 2))) AS ab
+    FROM cfu),
+cfcab AS (SELECT ab, COUNT(*) AS cab FROM cfpairs GROUP BY ab),
+cfca AS (SELECT substring(ab, 1, 1) AS a, SUM(cab) AS ca FROM cfcab GROUP BY 1),
+cfv AS (SELECT COUNT(DISTINCT ch) AS v FROM (
+    SELECT substring(ab, 1, 1) AS ch FROM cfpairs
+    UNION SELECT substring(ab, 2, 1) FROM cfpairs)),
+cfmodel AS (SELECT ab, LN((cab + 1) / (ca + v)) AS lp
+            FROM cfcab JOIN cfca ON cfca.a = substring(cfcab.ab, 1, 1), cfv),
+cfdoc AS (SELECT url, host, ROUND(SUM(lp) / COUNT(*), 6) AS logprob
+          FROM cfpairs JOIN cfmodel ON cfmodel.ab = cfpairs.ab
+          GROUP BY url, host),
+cfhost AS (SELECT host, ROUND(SUM(logprob) / COUNT(*), 6) AS mean_logprob
+           FROM cfdoc GROUP BY host),
+cfcuts AS (SELECT quantile_cont(mean_logprob, CAST({1.0 / 3.0!r} AS DOUBLE)) AS cut_lo
+           FROM cfhost),
+cfkeep AS (SELECT host FROM cfhost, cfcuts WHERE mean_logprob >= cut_lo),
+cffin AS (SELECT COUNT(*) AS n_docs_kept,
+                 COALESCE(SUM(len(string_split(text, ' '))), 0) AS total_tokens
+          FROM cfu WHERE host IN (SELECT host FROM cfkeep))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cfd) AS n_raw,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cfu) AS n_unblocked,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cfkeep) AS n_quality_hosts,
+       CAST(n_docs_kept AS BIGINT) AS n_docs_kept,
+       CAST(total_tokens AS BIGINT) AS total_tokens
+FROM cffin
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/valid/test assignment from consecutive md5-hash
     intervals (10% / 10%)."""
@@ -3588,6 +3649,31 @@ def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(e)
 
 
+def q_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-clique count on the corpus graph (Chiba-Nishizeki pivot:
+    triangle extended from its min-degree vertex, two semi-joins)."""
+    from ccl_spark.triangles import clique4_count
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return clique4_count(e)
+
+
+def _clique4_sql() -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    return f"""
+WITH k4de AS (SELECT DISTINCT src AS s, dst AS d FROM {src} WHERE src <> dst),
+k4sup AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM k4de)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_k4
+FROM k4sup uv
+JOIN k4sup vt ON vt.a = uv.b
+JOIN k4sup ut ON ut.a = uv.a AND ut.b = vt.b
+JOIN k4sup uw ON uw.a = uv.a AND uw.b > vt.b
+JOIN k4sup vw ON vw.a = uv.b AND vw.b = uw.b
+JOIN k4sup tw ON tw.a = vt.b AND tw.b = uw.b
+"""
+
+
 def _triad_census_sql() -> str:
     src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
     return f"""
@@ -5077,6 +5163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_stack_ages": q_golden_stack_ages,
         "golden_dust_labels": q_golden_dust_labels,
         "tokens_ids": q_tokens_ids,
+        "curation_funnel": q_curation_funnel,
         # job-count-heavy round-loop queries run while the budget is
         # fresh (coloring ~11s, matching ~5s, core_numbers ~5s,
         # eccentricity ~5s standalone)
@@ -5110,6 +5197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_fold": q_minhash_fold,
         "dir_triangles": q_dir_triangles,
         "triad_census": q_triad_census,
+        "clique4": q_clique4,
         "host_quality": q_host_quality,
         "eigenvector": q_eigenvector,
         "pca_top": q_pca_top,
@@ -5965,6 +6053,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "minhash_fold": _minhash_fold_sql(0.8),
         "dir_triangles": _dir_triangles_sql(),
         "triad_census": _triad_census_sql(),
+        "clique4": _clique4_sql(),
         "host_quality": _host_quality_sql(),
         "eigenvector": _eigenvector_sql(),
         "pca_top": _pca_sql(PCA_ITERS),
@@ -6236,6 +6325,7 @@ WHERE {_UNIT_HASH_SQL.format(salt="sample")} < 0.3
         "priority_sample": _priority_sample_sql(),
         "mixture": _mixture_sql(),
         "blocklist": _blocklist_sql(),
+        "curation_funnel": _curation_funnel_sql(),
         "bottomk": f"""
 SELECT doc_id, {_UNIT_HASH_SQL.format(salt="bottomk")} AS draw
 FROM documents

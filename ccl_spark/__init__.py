@@ -8,7 +8,8 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``pagerank``   power-iteration PageRank with dangling-mass handling,
                  TrustRank spam mass, Katz + eigenvector centrality
 - ``lpa``        synchronous label propagation
-- ``triangles``  degree-ordered triangle counting, directed census, 16-type triad census
+- ``triangles``  degree-ordered triangle counting, directed census,
+                 16-type triad census, 4-clique (K4) counting
 - ``grids``      2-D slice-stack fixtures -> graph adapter (8-connectivity,
                  polar and dateline boundary rules, temporal overlap)
 - ``replay``     deterministic label-numbering replay reproducing the
@@ -61,7 +62,7 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``retrieval``  BM25 ranked retrieval over query batches
 - ``simrank``    SimRank structural similarity (sparse pair state)
 - ``cooc``       skipgram pairs, PMI, negative sampling, TextRank
-- ``pipeline``   the end-to-end corpus-preparation funnel
+- ``pipeline``   the end-to-end corpus-preparation + host-curation funnels
 - ``suffix``     prefix-doubling suffix arrays, adjacent-LCP repeats,
                  cross-document verbatim-repeat pairs
 - ``coloring``   Jones-Plassmann greedy coloring

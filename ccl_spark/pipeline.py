@@ -93,3 +93,57 @@ def corpus_funnel_stats(
         .crossJoin(n_final)
         .crossJoin(toks)
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """URL/host-level curation funnel — the stages upstream of the
+    document funnel (:func:`corpus_funnel_stats`): domain blocklist →
+    per-host LM-quality terciles (computed on the SURVIVORS, the real
+    pipeline order) → keep head+middle hosts.  One row
+    ``(n_raw, n_unblocked, n_quality_hosts, n_docs_kept,
+    total_tokens)``.
+
+    Each stage runs once over the previous stage's checkpointed
+    output; counts are 1-row aggregates cross-joined into the
+    monitoring row (the same no-recompute discipline as
+    corpus_funnel_stats)."""
+    from .edges import blocklist_filter
+    from .textops import host_quality_buckets
+
+    n_raw = docs.agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    unblocked = (
+        blocklist_filter(docs, blocklist, host_col=host_col)
+        .filter(~F.col("blocked"))
+        .drop("blocked")
+        .localCheckpoint(eager=True)
+    )
+    n_unblocked = unblocked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unblocked")
+    )
+    buckets = host_quality_buckets(
+        unblocked, host_col=host_col, id_col=id_col, text_col=text_col
+    )
+    keep_hosts = buckets.filter(F.col("keep")).select(
+        F.col("host").alias(host_col)
+    )
+    n_quality_hosts = keep_hosts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_quality_hosts")
+    )
+    kept = unblocked.join(F.broadcast(keep_hosts), host_col, "left_semi")
+    finals = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.coalesce(
+            F.sum(F.size(F.split(F.col(text_col), " "))), F.lit(0)
+        )
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    return (
+        n_raw.crossJoin(n_unblocked).crossJoin(n_quality_hosts).crossJoin(finals)
+    )

@@ -452,3 +452,57 @@ def triad_census(
         .orderBy("ord")
         .drop("ord")
     )
+
+
+def clique4_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Number of 4-cliques (K4) in the undirected simple graph — the
+    next graphlet after triangles (dense-community / link-farm
+    signal).  Each K4 ``u<v<t<w`` is counted once with ``w`` as its
+    maximum vertex: candidates ``w`` extend a triangle from its
+    MINIMUM-(degree, id) vertex (the Chiba-Nishizeki pivot — fan-out
+    per triangle is bounded by the smallest incident degree, the
+    arboricity discipline that keeps clique listing feasible on
+    power-law graphs), then two hash semi-joins certify the remaining
+    pairs.  Returns one row ``(n_k4 long)``.
+    """
+    tri = triangles(edges, src, dst).select(
+        F.array_sort(F.array("x", "y", "z")).alias("s")
+    ).select(
+        F.col("s")[0].alias("u"), F.col("s")[1].alias("v"), F.col("s")[2].alias("t")
+    )
+    sup = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        sup.select(F.col("a").alias("vx"))
+        .unionByName(sup.select(F.col("b").alias("vx")))
+        .groupBy("vx")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    with_deg = (
+        tri.join(deg.select(F.col("vx").alias("u"), F.col("dg").alias("du")), "u")
+        .join(deg.select(F.col("vx").alias("v"), F.col("dg").alias("dv")), "v")
+        .join(deg.select(F.col("vx").alias("t"), F.col("dg").alias("dt")), "t")
+    )
+    pivot = F.expr(
+        "least(struct(du as d, u as i), struct(dv as d, v as i),"
+        " struct(dt as d, t as i)).i"
+    )
+    cand = (
+        with_deg.select("u", "v", "t", pivot.alias("p"))
+        .join(sup.select(F.col("a").alias("p"), F.col("b").alias("w")), "p")
+        .filter(F.col("w") > F.col("t"))
+    )
+    for lo in ("u", "v", "t"):
+        cand = cand.join(
+            sup.select(F.col("a").alias(lo), F.col("b").alias("w")),
+            [lo, "w"],
+            "left_semi",
+        )
+    return cand.agg(F.count(F.lit(1)).cast("long").alias("n_k4"))

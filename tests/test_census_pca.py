@@ -182,3 +182,35 @@ def test_triad_census_matches_directed_census(spark):
     dc = directed_triangle_census(df).first()
     assert got["030C"] == dc.n_cyclic
     assert got["030T"] == dc.n_transitive
+
+
+def test_clique4_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from ccl_spark.triangles import clique4_count
+
+    rng = random.Random(3)
+    for n, p in [(14, 0.45), (10, 0.7)]:
+        und = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < p}
+        exp = sum(
+            1
+            for q in itertools.combinations(range(n), 4)
+            if all((x, y) in und for x, y in itertools.combinations(q, 2))
+        )
+        edges = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in und]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert clique4_count(df).first().n_k4 == exp
+
+
+def test_clique4_known_graphs(spark):
+    from ccl_spark.triangles import clique4_count
+
+    # K5 contains C(5,4)=5 K4s; directions and duplicates must not matter
+    k5 = [(a, b) for a in range(5) for b in range(5) if a != b]
+    df = spark.createDataFrame(k5, "src long, dst long")
+    assert clique4_count(df).first().n_k4 == 5
+    # K4 minus one edge has none
+    near = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)]
+    df2 = spark.createDataFrame(near, "src long, dst long")
+    assert clique4_count(df2).first().n_k4 == 0

@@ -52,3 +52,31 @@ def test_partition_cut_metrics(spark):
     s = partition_cut(e, split, "split").first()
     assert s.cut_edges == 2  # both edges at vertex 2 cross
     assert s.n_edges == 4
+
+
+def test_curation_funnel_stages(spark):
+    from ccl_spark.pipeline import curation_funnel
+
+    # 4 hosts x 3 docs; one host blocked by suffix, one host gibberish.
+    # NB the LM is corpus-trained, so the tail host needs noise with
+    # UNREPEATED bigrams (a repeated symbol pattern would predict
+    # itself); varied pseudo-random characters score far below prose.
+    rows = []
+    for hn, hname in enumerate(["good.a.com", "fine.b.com", "bad.spam.net", "junk.c.com"]):
+        for d in range(3):
+            base = ("the cat sat on the mat and ran " * 3) + f"x{d} "
+            noise = (
+                "".join(chr(33 + ((d * 53 + i * 17) % 90)) for i in range(150))
+                if hname.startswith("junk")
+                else ""
+            )
+            rows.append((f"u{hn}_{d}", hname, base + noise))
+    docs = spark.createDataFrame(rows, "doc_id string, host string, text string")
+    bl = spark.createDataFrame([("spam.net",)], "domain string")
+    r = curation_funnel(docs, bl, id_col="doc_id").first()
+    assert r.n_raw == 12
+    assert r.n_unblocked == 9  # bad.spam.net suffix-blocked
+    # terciles over 3 surviving hosts: the gibberish host is the tail
+    assert r.n_quality_hosts == 2
+    assert r.n_docs_kept == 6
+    assert r.total_tokens > 0
