@@ -1314,6 +1314,68 @@ FROM cffin
 """
 
 
+RANKEVAL_K = 10
+
+
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-evaluation metrics (recall@10 / MRR / NDCG) of a
+    BPE-token-count ranking against the n_chars ground truth, per
+    lang — the ANN/BM25 eval harness on fully SQL-derivable inputs."""
+    from pyspark.sql import Window
+
+    from ccl_spark.retrieval import ranking_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    wt = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    truth = docs.select(
+        F.col("lang").alias("query_id"),
+        F.col("doc_id").alias("item_id"),
+        F.row_number().over(wt).alias("rank"),
+    )
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), F.lit(0))
+    )
+    wp = Window.partitionBy("lang").orderBy(F.desc(n_bpe), F.asc("doc_id"))
+    pred = docs.select(
+        F.col("lang").alias("query_id"),
+        F.col("doc_id").alias("item_id"),
+        F.row_number().over(wp).alias("rank"),
+    )
+    return ranking_metrics(pred, truth, RANKEVAL_K)
+
+
+def _ranking_eval_sql() -> str:
+    k = RANKEVAL_K
+    return f"""
+WITH rvt AS (SELECT lang AS q, doc_id AS item,
+                    ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY n_chars DESC, doc_id) AS trank
+             FROM documents QUALIFY trank <= {k}),
+rvp AS (SELECT lang AS q, doc_id AS item,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) DESC, doc_id)
+                   AS prank
+        FROM documents QUALIFY prank <= {k}),
+rvs AS (SELECT q, COUNT(*) AS n_truth FROM rvt GROUP BY q),
+rvh AS (SELECT t.q, COUNT(*) AS n_hits, MIN(p.prank) AS best_rank,
+               SUM(1.0 / log2(p.prank + 1.0)) AS dcg
+        FROM rvt t JOIN rvp p ON p.q = t.q AND p.item = t.item
+        GROUP BY t.q),
+rvlog AS (SELECT i, 1.0 / log2(CAST(i AS DOUBLE) + 1.0) AS g
+          FROM range(1, {k} + 1) t(i)),
+rvidcg AS (SELECT a.i AS n, SUM(b.g) AS idcg
+           FROM rvlog a JOIN rvlog b ON b.i <= a.i GROUP BY a.i)
+SELECT s.q AS query_id, CAST(s.n_truth AS BIGINT) AS n_truth,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / s.n_truth, 6) AS recall,
+       ROUND(COALESCE(1.0 / h.best_rank, 0.0), 6) AS mrr,
+       ROUND(COALESCE(h.dcg, 0.0) / d.idcg, 6) AS ndcg
+FROM rvs s LEFT JOIN rvh h ON h.q = s.q
+JOIN rvidcg d ON d.n = s.n_truth
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/valid/test assignment from consecutive md5-hash
     intervals (10% / 10%)."""
@@ -5261,6 +5323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "mixture": q_mixture,
         "blocklist": q_blocklist,
+        "ranking_eval": q_ranking_eval,
         "stratified": q_stratified,
         "hash_split": q_hash_split,
         "packing": q_packing,
@@ -6325,6 +6388,7 @@ WHERE {_UNIT_HASH_SQL.format(salt="sample")} < 0.3
         "priority_sample": _priority_sample_sql(),
         "mixture": _mixture_sql(),
         "blocklist": _blocklist_sql(),
+        "ranking_eval": _ranking_eval_sql(),
         "curation_funnel": _curation_funnel_sql(),
         "bottomk": f"""
 SELECT doc_id, {_UNIT_HASH_SQL.format(salt="bottomk")} AS draw

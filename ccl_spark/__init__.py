@@ -59,7 +59,7 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``sources``    parquet/Iceberg-seam table IO
 - ``components`` component sizes, ages, EOL, dust filtering, incremental CC
 - ``golden``     reference golden-fixture adapters
-- ``retrieval``  BM25 ranked retrieval over query batches
+- ``retrieval``  BM25 ranked retrieval, recall/MRR/NDCG eval metrics
 - ``simrank``    SimRank structural similarity (sparse pair state)
 - ``cooc``       skipgram pairs, PMI, negative sampling, TextRank
 - ``pipeline``   the end-to-end corpus-preparation + host-curation funnels

@@ -103,3 +103,66 @@ def bm25_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "doc_id", "score")
     )
+
+
+def ranking_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Standard retrieval-evaluation metrics per query — recall@k,
+    MRR@k, and binary-relevance NDCG@k of a predicted ranking against
+    a ground-truth ranking (both tables ``(query, item, rank)``, rank
+    1-based).  The evaluation harness of an ANN/BM25 stack: truth is
+    usually the exact brute-force top-k, pred the index under test.
+
+    One equi-join of the two rank-filtered tables on (query, item) +
+    one groupBy — both sides are k-bounded per query, so the shuffle
+    carries O(k·|queries|) rows regardless of corpus size.  Queries
+    with no overlap still appear (left join from truth-side query
+    list, zeros filled).  Floats are single log2/divisions rounded to
+    6dp.  Returns ``(query, n_truth, n_hits, recall, mrr, ndcg)``.
+    """
+    if k <= 0:
+        raise ValueError("k must be >= 1")
+    p = pred.select(
+        F.col(query_col).alias("q"),
+        F.col(item_col).alias("item"),
+        F.col(rank_col).cast("long").alias("prank"),
+    ).filter(F.col("prank") <= k)
+    t = truth.select(
+        F.col(query_col).alias("q"),
+        F.col(item_col).alias("item"),
+        F.col(rank_col).cast("long").alias("trank"),
+    ).filter(F.col("trank") <= k)
+    tstats = t.groupBy("q").agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = t.join(p, ["q", "item"]).groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("prank").alias("best_rank"),
+        F.sum(1.0 / F.log2(F.col("prank") + 1.0)).alias("dcg"),
+    )
+    # ideal DCG for n_truth binary-relevant items: sum_{i=1..n} 1/log2(i+1)
+    idcg = F.expr(
+        "aggregate(sequence(1, cast(n_truth as int)), cast(0.0 as double),"
+        " (acc, i) -> acc + 1.0 / log2(cast(i as double) + 1.0))"
+    )
+    return (
+        tstats.join(hits, "q", "left")
+        .select(
+            F.col("q").alias(query_col),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_truth"), 6
+            ).alias("recall"),
+            F.round(
+                F.coalesce(1.0 / F.col("best_rank"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6
+            ).alias("ndcg"),
+        )
+    )

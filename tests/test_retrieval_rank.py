@@ -215,3 +215,41 @@ def test_simrank_prune_drops_small_pairs(spark):
     # pruning is a sieve: everything it keeps scores >= the threshold
     # under the exact recurrence's kept-mass (subset check)
     assert kept <= full_hi
+
+
+def test_ranking_metrics_hand_case(spark):
+    from ccl_spark.retrieval import ranking_metrics
+
+    truth = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1), ("q2", 21, 2)],
+        "query_id string, item_id long, rank long",
+    )
+    # q1: pred finds 10 at rank 2 and 12 at rank 3 (miss 11);
+    # q2: no overlap at all
+    pred = spark.createDataFrame(
+        [("q1", 99, 1), ("q1", 10, 2), ("q1", 12, 3),
+         ("q2", 77, 1), ("q2", 78, 2)],
+        "query_id string, item_id long, rank long",
+    )
+    got = {r.query_id: r for r in ranking_metrics(pred, truth, 3).collect()}
+    import math
+
+    r1 = got["q1"]
+    assert (r1.n_truth, r1.n_hits) == (3, 2)
+    assert r1.recall == round(2 / 3, 6)
+    assert r1.mrr == 0.5
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(r1.ndcg - round(dcg / idcg, 6)) <= 1e-9
+    r2 = got["q2"]
+    assert (r2.n_hits, r2.recall, r2.mrr, r2.ndcg) == (0, 0.0, 0.0, 0.0)
+
+
+def test_ranking_metrics_perfect(spark):
+    from ccl_spark.retrieval import ranking_metrics
+
+    rows = [("q", i, i) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "query_id string, item_id long, rank long")
+    r = ranking_metrics(df, df, 5).first()
+    assert (r.recall, r.mrr, r.ndcg) == (1.0, 1.0, 1.0)
