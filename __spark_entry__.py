@@ -4327,6 +4327,77 @@ md AS (SELECT s, v, MIN(d) AS d FROM bfs GROUP BY s, v)
 """
 
 
+def q_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline link-prediction eval: hide 1/4 of the corpus edges by
+    md5 coin, score Adamic-Adar on the train graph, grade per-vertex
+    rankings vs the held-out edges (recall@10 / MRR / NDCG macro)."""
+    from ccl_spark.graphstats import link_prediction_eval
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return link_prediction_eval(e, k=10, test_mod=4)
+
+
+def _linkpred_eval_sql() -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    return f"""
+WITH lpde AS (SELECT DISTINCT src AS s, dst AS d FROM {src} WHERE src <> dst),
+lpcanon AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM lpde),
+lpflag AS (SELECT a, b,
+       CASE WHEN ('0x' || substring(md5(CAST(a AS VARCHAR) || ',' ||
+            CAST(b AS VARCHAR) || ',lp'), 1, 15))::BIGINT % 4 = 0
+            THEN 1 ELSE 0 END AS is_test
+       FROM lpcanon),
+lptrain AS (SELECT a, b FROM lpflag WHERE is_test = 0),
+lptest AS (SELECT a, b FROM lpflag WHERE is_test = 1),
+lpund AS (SELECT a AS u, b AS v FROM lptrain
+          UNION ALL SELECT b, a FROM lptrain),
+lpdeg AS (SELECT u AS w, COUNT(*) AS d FROM lpund GROUP BY u),
+lpnb AS (SELECT lpund.u AS w, lpund.v AS n, 1.0 / LN(lpdeg.d) AS wgt
+         FROM lpund JOIN lpdeg ON lpund.u = lpdeg.w
+         WHERE lpdeg.d >= 2 AND lpdeg.d <= 10000),
+lppr AS (SELECT x.n AS u, y.n AS v, SUM(x.wgt) AS score
+         FROM lpnb x JOIN lpnb y ON x.w = y.w AND x.n < y.n GROUP BY 1, 2),
+lpsc AS (SELECT pr.u, pr.v, pr.score FROM lppr pr
+         WHERE NOT EXISTS (SELECT 1 FROM lptrain t
+                           WHERE t.a = pr.u AND t.b = pr.v)),
+lpq AS (SELECT a AS q FROM lptest UNION SELECT b FROM lptest),
+lpcand AS (SELECT u AS q, v AS item, score FROM lpsc
+           UNION ALL SELECT v, u, score FROM lpsc),
+lppred AS (SELECT q, item,
+                  ROW_NUMBER() OVER (PARTITION BY q
+                      ORDER BY ROUND(score, 6) DESC, item) AS prank
+           FROM lpcand WHERE q IN (SELECT q FROM lpq)
+           QUALIFY prank <= 10),
+lptp AS (SELECT a AS q, b AS item FROM lptest
+         UNION ALL SELECT b, a FROM lptest),
+lptruth AS (SELECT q, item,
+                   ROW_NUMBER() OVER (PARTITION BY q ORDER BY item) AS trank
+            FROM lptp QUALIFY trank <= 10),
+lps AS (SELECT q, COUNT(*) AS n_truth FROM lptruth GROUP BY q),
+lph AS (SELECT t.q, COUNT(*) AS n_hits, MIN(p.prank) AS best_rank,
+               SUM(1.0 / log2(p.prank + 1.0)) AS dcg
+        FROM lptruth t JOIN lppred p ON p.q = t.q AND p.item = t.item
+        GROUP BY t.q),
+lplog AS (SELECT i, 1.0 / log2(CAST(i AS DOUBLE) + 1.0) AS g
+          FROM range(1, 11) t(i)),
+lpidcg AS (SELECT x.i AS n, SUM(y.g) AS idcg
+           FROM lplog x JOIN lplog y ON y.i <= x.i GROUP BY x.i),
+lpm AS (SELECT s.q,
+               ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / s.n_truth, 6)
+                 AS recall,
+               ROUND(COALESCE(1.0 / h.best_rank, 0.0), 6) AS mrr,
+               ROUND(COALESCE(h.dcg, 0.0) / d.idcg, 6) AS ndcg
+        FROM lps s LEFT JOIN lph h ON h.q = s.q
+        JOIN lpidcg d ON d.n = s.n_truth)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(recall), 6) AS mean_recall,
+       ROUND(AVG(mrr), 6) AS mean_mrr,
+       ROUND(AVG(ndcg), 6) AS mean_ndcg
+FROM lpm
+"""
+
+
 def _wedge_sql(wgt: str) -> str:
     """Shared link-prediction wedge CTEs: capped witnesses, per-pair
     witness-weight sums, existing-edge set (adamic_adar /
@@ -5372,6 +5443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "adamic_adar": q_adamic_adar,
+        "linkpred_eval": q_linkpred_eval,
         "resource_alloc": q_resource_alloc,
         "jaccard_links": q_jaccard_links,
         "closeness": q_closeness,
@@ -6173,6 +6245,7 @@ deg AS (SELECT u AS vv, COUNT(*) AS d FROM und GROUP BY u)
 SELECT ROUND(CORR(da.d, db.d), 6) AS assortativity
 FROM und JOIN deg da ON und.u = da.vv JOIN deg db ON und.v = db.vv
 """,
+        "linkpred_eval": _linkpred_eval_sql(),
         "adamic_adar": _wedge_sql("1.0 / LN(deg.d)")
         + """
 SELECT pr.u, pr.v, ROUND(pr.score, 6) AS score

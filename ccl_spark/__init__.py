@@ -24,7 +24,7 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``hits``       HITS hubs/authorities + SALSA random-walk variant
 - ``betweenness`` pivot-sampled Brandes betweenness / harmonic / closeness
 - ``neighborhood`` exact neighborhood function, effective diameter, HyperBall
-- ``graphstats`` reciprocity, assortativity, link prediction (AA/RA/Jaccard,
+- ``graphstats`` reciprocity, assortativity, link prediction + offline eval (AA/RA/Jaccard,
                  co-citation, coupling), modularity + greedy Louvain moves,
                  conductance, PPR sweep cut, attack robustness, WL
                  refinement, densest-subgraph peel, partition-cut audit,

@@ -905,3 +905,95 @@ def partition_cut(
         F.round(F.col("cut_edges") / F.col("n_edges"), 6).alias("cut_frac"),
         F.round(F.col("max_sz") / F.col("n_verts"), 6).alias("max_part_frac"),
     )
+
+
+def link_prediction_eval(
+    edges: DataFrame,
+    k: int = 10,
+    test_mod: int = 4,
+    max_degree: int = 10_000,
+    salt: str = "lp",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """End-to-end link-prediction evaluation: hide a deterministic
+    1/``test_mod`` of the undirected edges (md5 coin on the canonical
+    pair — replayable, partition-independent), score Adamic-Adar on
+    the TRAIN graph, and grade the per-vertex candidate rankings
+    against the held-out edges with recall@k / MRR / NDCG
+    (:func:`ccl_spark.retrieval.ranking_metrics`).  The standard
+    offline eval of a link-recommendation stack, composed from the
+    engine's own operators.
+
+    Queries are the vertices with at least one held-out edge;
+    candidates are AA pairs not present in train, exploded to both
+    endpoints and ranked (round(score,6) DESC, item) per query — the
+    per-query window is bounded by the capped wedge fan-out, and the
+    metric join carries O(k · queries) rows.  Returns one macro row
+    ``(n_queries, mean_recall, mean_mrr, mean_ndcg)``.
+    """
+    from .retrieval import ranking_metrics
+
+    canon = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    coin = F.expr(
+        f"pmod(cast(conv(substring(md5(concat(cast(a as string), ',',"
+        f" cast(b as string), ',{salt}')), 1, 15), 16, 10) as bigint),"
+        f" {test_mod})"
+    )
+    flagged = canon.withColumn("is_test", (coin == 0).cast("int"))
+    train = flagged.filter("is_test = 0").select("a", "b")
+    test = flagged.filter("is_test = 1").select("a", "b")
+    und_train = (
+        train.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionByName(train.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    scores = _wedge_scores(
+        und_train,
+        F.lit(1.0) / F.log(F.col("deg").cast("double")),
+        max_degree,
+    ).join(train.select(F.col("a").alias("u"), F.col("b").alias("v")), ["u", "v"], "left_anti")
+    queries = (
+        test.select(F.col("a").alias("q"))
+        .unionByName(test.select(F.col("b").alias("q")))
+        .distinct()
+    )
+    cand = (
+        scores.select(F.col("u").alias("q"), F.col("v").alias("item"), "score")
+        .unionByName(
+            scores.select(F.col("v").alias("q"), F.col("u").alias("item"), "score")
+        )
+        .join(queries, "q", "left_semi")
+    )
+    wp = Window.partitionBy("q").orderBy(
+        F.round("score", 6).desc(), F.asc("item")
+    )
+    pred = cand.select(
+        F.col("q").alias("query_id"),
+        F.col("item").alias("item_id"),
+        F.row_number().over(wp).alias("rank"),
+    ).filter(F.col("rank") <= k)
+    tpairs = test.select(F.col("a").alias("q"), F.col("b").alias("item")).unionByName(
+        test.select(F.col("b").alias("q"), F.col("a").alias("item"))
+    )
+    wt = Window.partitionBy("q").orderBy("item")
+    truth = tpairs.select(
+        F.col("q").alias("query_id"),
+        F.col("item").alias("item_id"),
+        F.row_number().over(wt).alias("rank"),
+    )
+    per_q = ranking_metrics(pred, truth, k)
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.avg("mrr"), 6).alias("mean_mrr"),
+        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+    )

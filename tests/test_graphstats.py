@@ -396,3 +396,35 @@ def test_directed_assortativity(spark):
         xs = [fs.get(s, 0) for s, d in sorted(e)]
         ys = [ft.get(d, 0) for s, d in sorted(e)]
         assert got[mode] == pytest.approx(corr(xs, ys), abs=1e-6), mode
+
+
+def test_link_prediction_eval_sanity(spark):
+    import random
+
+    from ccl_spark.graphstats import link_prediction_eval
+
+    # two dense communities: AA on train should recover held-out
+    # intra-community edges far better than chance
+    rng = random.Random(4)
+    edges = []
+    for base in (0, 50):
+        for a in range(base, base + 20):
+            for b in range(a + 1, base + 20):
+                if rng.random() < 0.5:
+                    edges.append((a, b))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = link_prediction_eval(df, k=10, test_mod=4).first()
+    assert r.n_queries > 10
+    assert 0.0 < r.mean_recall <= 1.0
+    assert r.mean_mrr > 0.2  # dense communities: first hit near the top
+    assert 0.0 < r.mean_ndcg <= 1.0
+
+
+def test_link_prediction_eval_deterministic(spark):
+    from ccl_spark.graphstats import link_prediction_eval
+
+    edges = [(i, (i * 7 + 1) % 30) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = link_prediction_eval(df, k=5).first()
+    b = link_prediction_eval(df, k=5).first()
+    assert a == b
