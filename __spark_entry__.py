@@ -4033,6 +4033,17 @@ def q_multimodal_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: 64-bit DCT pHash per decoded image +
+    the SimHash 4-piece Hamming pigeonhole join. Pinned oracle
+    recomputes every hash with an independent naive double-loop DCT
+    and the pair set by brute force over all image pairs."""
+    from ccl_spark.multimodal import image_near_dup_pairs, synth_near_dup_images
+
+    media = synth_near_dup_images(spark, 60, seed=42)
+    return image_near_dup_pairs(media, max_hamming=10).orderBy("id_a", "id_b")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling on an every-500ms grid: parse each synth
     AVI (4 fps -> 250 ms/frame -> every 2nd frame), emit one row per
@@ -5347,6 +5358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbatim_pairs": q_verbatim_pairs,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_mp4": q_multimodal_mp4,
+        "image_near_dup": q_image_near_dup,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
@@ -6205,6 +6217,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "compression": f"SELECT * FROM '{_ORACLE_DIR}/pinned_compression_sf001.parquet'",
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         "multimodal_mp4": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_mp4_sf001.parquet'",
+        "image_near_dup": f"SELECT * FROM '{_ORACLE_DIR}/pinned_image_near_dup_sf001.parquet'",
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so
         # DISTINCT d enumerates exactly the t values the engine emits

@@ -33,7 +33,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MEDIA_SCHEMA = "media_id long, kind string, payload binary, width int, height int, duration_ms int"
 FEATURES_SCHEMA = "media_id long, kind string, n_bytes long, width int, height int, feature array<float>"
@@ -1401,3 +1401,114 @@ def synth_mp4_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             )
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing (pHash, DCT variant): the image analogue of
+# SimHash — near-identical images land within a small Hamming radius,
+# so the Hamming pigeonhole dedup machinery (dedup.simhash_near_pairs)
+# applies unchanged to image corpora.
+# --------------------------------------------------------------------------
+
+def _dct_m(n: int) -> np.ndarray:
+    x = np.arange(n)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_PHASH_DCT32 = _dct_m(32)
+
+
+def phash64(pix: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an (h, w, 3) uint8 RGB image:
+    channel-mean grayscale -> nearest-neighbor 32x32 resample -> 2-D
+    DCT-II -> top-left 8x8 low-frequency block -> bit i = coefficient
+    > median of the 64.  Returned as Spark-compatible SIGNED int64.
+    Deterministic (no float ties in practice; an exactly-median
+    coefficient maps to 0)."""
+    gray = pix.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    yi = np.arange(32) * h // 32
+    xi = np.arange(32) * w // 32
+    small = gray[yi][:, xi]
+    coef = _PHASH_DCT32 @ small @ _PHASH_DCT32.T
+    block = coef[:8, :8].ravel()
+    med = np.median(block)
+    bits = (block > med).astype(np.uint8)
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for every image row — decode the container,
+    hash the pixels.  Arrow-batched mapInPandas; non-image rows are
+    dropped (hash the sampled frames for video if needed)."""
+
+    def batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids, hashes = [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                ids.append(mid)
+                hashes.append(phash64(_image_decode(bytes(payload))))
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "phash": pd.array(hashes, dtype="int64")})
+
+    return media.mapInPandas(batch, schema="media_id long, phash long")
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 10, max_bucket: int | None = 100_000
+) -> DataFrame:
+    """Image near-duplicate candidate pairs: pHash each image, then
+    the 4-piece Hamming pigeonhole join from the SimHash dedup stack
+    (one equi-join on 16-bit pieces, bucket-capped — never all-pairs).
+    NOTE the pigeonhole GUARANTEE holds for distance <= 3; larger
+    ``max_hamming`` values still only surface pairs agreeing on some
+    16-bit piece (standard recall/cost trade, documented not hidden).
+    Returns ``(id_a, id_b, hamming)``."""
+    from .dedup import simhash_near_pairs
+
+    fps = perceptual_hashes(media).select(
+        F.col("media_id"), F.col("phash").alias("simhash")
+    )
+    return simhash_near_pairs(
+        fps, id_col="media_id", max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
+def synth_near_dup_images(spark: SparkSession, n_pairs: int, seed: int = 42) -> DataFrame:
+    """Image table of ``n_pairs`` (original, perturbed-copy) BMP pairs:
+    ids 2i / 2i+1, the copy differs by a small brightness shift on a
+    few pixels — near-identical to the eye and within a small pHash
+    Hamming radius, while distinct originals stay far apart."""
+
+    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for p in pdf["id"].tolist():
+                p = int(p)
+                rng = np.random.default_rng(seed * 7_000_003 + p)
+                h, w = 24 + p % 16, 24 + p % 24
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = (
+                    (128 + 100 * np.sin(xx / (3.0 + p % 5)) * np.cos(yy / (2.0 + p % 7)))
+                    .clip(0, 255)
+                    .astype(np.uint8)
+                )
+                pix = np.stack([base, np.roll(base, p % 4, axis=1), base[::-1]], axis=2)
+                pert = pix.copy()
+                ys = rng.integers(0, h, size=3)
+                xs = rng.integers(0, w, size=3)
+                pert[ys, xs] = np.clip(pert[ys, xs].astype(int) + 12, 0, 255).astype(np.uint8)
+                rows.append((2 * p, "image", bmp_encode(pix), w, h, 0))
+                rows.append((2 * p + 1, "image", bmp_encode(pert), w, h, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n_pairs).mapInPandas(gen, schema=MEDIA_SCHEMA)

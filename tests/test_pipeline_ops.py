@@ -853,3 +853,42 @@ def test_video_decode_dispatch_and_frames(spark):
     )
     got = sample_frames(media, every_ms=500, dim=4).collect()
     assert [r.frame_idx for r in got] == [0, 2]
+
+
+def test_phash_invariance_and_discrimination():
+    import numpy as np
+
+    from ccl_spark.multimodal import phash64
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:40, 0:50]
+    base = ((128 + 90 * np.sin(xx / 4.0) * np.cos(yy / 3.0)).clip(0, 255)).astype(np.uint8)
+    pix = np.stack([base] * 3, axis=2)
+    h0 = phash64(pix)
+    # tiny perturbation (+10 on two pixels) -> small Hamming distance;
+    # note the median threshold makes LARGE point edits flip many
+    # borderline coefficients, so "near" means small-delta edits
+    pert = pix.copy()
+    pert[5, 7] = np.clip(pert[5, 7].astype(int) + 10, 0, 255).astype(np.uint8)
+    pert[20, 30] = np.clip(pert[20, 30].astype(int) + 10, 0, 255).astype(np.uint8)
+    d_small = bin((h0 ^ phash64(pert)) & ((1 << 64) - 1)).count("1")
+    assert d_small <= 8
+    # unrelated image -> large distance
+    other = np.stack([rng.integers(0, 256, size=(40, 50), dtype=np.uint8)] * 3, axis=2)
+    d_big = bin((h0 ^ phash64(other)) & ((1 << 64) - 1)).count("1")
+    assert d_big > 12
+    # scale invariance-ish: 2x nearest upsample keeps the hash close
+    up = np.repeat(np.repeat(pix, 2, axis=0), 2, axis=1)
+    d_scale = bin((h0 ^ phash64(up)) & ((1 << 64) - 1)).count("1")
+    assert d_scale <= 6
+
+
+def test_image_near_dup_pairs_recovers_copies(spark):
+    from ccl_spark.multimodal import image_near_dup_pairs, synth_near_dup_images
+
+    media = synth_near_dup_images(spark, 20, seed=42)
+    got = {(r.id_a, r.id_b): r.hamming for r in image_near_dup_pairs(media, max_hamming=10).collect()}
+    true_pairs = {(2 * p, 2 * p + 1) for p in range(20)}
+    found_true = sum(1 for tp in true_pairs if tp in got)
+    assert found_true >= 17  # deterministic; a few copies exceed the radius
+    assert all(h <= 10 for h in got.values())
