@@ -3699,16 +3699,27 @@ SELECT n_cyclic, n_transitive FROM cyc, tra
 """
 
 
+_TRIAD_CENSUS_MEMO: dict[int, DataFrame] = {}
+
+
+def _corpus_triad_census(spark: SparkSession, n_pages: int) -> DataFrame:
+    if n_pages not in _TRIAD_CENSUS_MEMO:
+        from ccl_spark.triangles import triad_census
+
+        _TRIAD_CENSUS_MEMO[n_pages] = triad_census(
+            _corpus_edges(spark, n_pages)
+        ).localCheckpoint(eager=True)
+    return _TRIAD_CENSUS_MEMO[n_pages]
+
+
 def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 16-type Holland-Leinhardt triad census of the corpus graph
     (Batagelj-Mrvar subtraction scheme: only >=2-dyad triads are
     enumerated; 012/102/003 come from exact degree/common-neighbor
-    closed forms)."""
-    from ccl_spark.triangles import triad_census
-
+    closed forms). Memoized — the significance profile shares it."""
     e = _corpus_edges(spark, 1000)
     _dump_edges(spark, 1000)
-    return triad_census(e)
+    return _corpus_triad_census(spark, 1000)
 
 
 def q_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3807,6 +3818,62 @@ SELECT s.triad_type,
                  ELSE COALESCE(a.n, 0) END AS BIGINT) AS n
 FROM tcspine s LEFT JOIN tcall a ON a.triad_type = s.triad_type
 ORDER BY s.ord
+"""
+
+
+def q_triad_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triad significance profile: census counts vs the U|MAN
+    dyad-conditioned expectation (64-case coefficient polynomial),
+    observed/expected ratio per type."""
+    from ccl_spark.triangles import triad_significance
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return triad_significance(e, census=_corpus_triad_census(spark, 1000))
+
+
+def _triad_significance_sql() -> str:
+    from ccl_spark.triangles import _triad_combo_signatures
+
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    sig = _triad_combo_signatures()
+    coef_vals = ", ".join(
+        f"('{tt}', {nm}, {na}, {nn}, {c})"
+        for tt, buckets in sig.items()
+        for (nm, na, nn), c in buckets.items()
+    )
+    return f"""
+WITH tsobs AS ({_triad_census_sql()}),
+tsde AS (SELECT DISTINCT src AS s, dst AS d FROM {src} WHERE src <> dst),
+tsdy AS (SELECT LEAST(s, d) AS u, GREATEST(s, d) AS v,
+                MAX(CASE WHEN s < d THEN 1 ELSE 0 END) AS f,
+                MAX(CASE WHEN s > d THEN 1 ELSE 0 END) AS b
+         FROM tsde GROUP BY 1, 2),
+tscnt AS (SELECT
+    CAST(SUM(CASE WHEN f + b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+    CAST(SUM(CASE WHEN f + b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM tsdy),
+tsnv AS (SELECT COUNT(DISTINCT x) AS nv FROM
+         (SELECT s AS x FROM tsde UNION ALL SELECT d FROM tsde)),
+tsp AS (SELECT
+    CAST(m AS DOUBLE) / (nv * (nv - 1) // 2) AS pm,
+    CAST(a AS DOUBLE) / (nv * (nv - 1) // 2) AS pa,
+    1.0 - CAST(m AS DOUBLE) / (nv * (nv - 1) // 2)
+        - CAST(a AS DOUBLE) / (nv * (nv - 1) // 2) AS pn,
+    nv * (nv - 1) * (nv - 2) // 6 AS tot3
+  FROM tscnt, tsnv),
+tscoef(triad_type, nm, na, nn, c) AS (VALUES {coef_vals}),
+tsexp AS (SELECT triad_type,
+                 (SELECT tot3 FROM tsp)
+                 * SUM(c * pow((SELECT pm FROM tsp), nm)
+                         * pow((SELECT pa FROM tsp) / 2.0, na)
+                         * pow((SELECT pn FROM tsp), nn)) AS expected
+          FROM tscoef GROUP BY triad_type)
+SELECT o.triad_type, o.n AS observed,
+       ROUND(e.expected, 6) AS expected,
+       ROUND(CASE WHEN e.expected > 0 THEN o.n / e.expected ELSE 0.0 END, 6)
+         AS ratio
+FROM tsobs o JOIN tsexp e ON e.triad_type = o.triad_type
 """
 
 
@@ -5342,6 +5409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dir_triangles": q_dir_triangles,
         "triad_census": q_triad_census,
         "clique4": q_clique4,
+        "triad_significance": q_triad_significance,
         "host_quality": q_host_quality,
         "eigenvector": q_eigenvector,
         "pca_top": q_pca_top,
@@ -6201,6 +6269,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "dir_triangles": _dir_triangles_sql(),
         "triad_census": _triad_census_sql(),
         "clique4": _clique4_sql(),
+        "triad_significance": _triad_significance_sql(),
         "host_quality": _host_quality_sql(),
         "eigenvector": _eigenvector_sql(),
         "pca_top": _pca_sql(PCA_ITERS),

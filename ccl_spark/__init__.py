@@ -9,7 +9,7 @@ web-scale link graphs, built on the Spark DataFrame API:
                  TrustRank spam mass, Katz + eigenvector centrality
 - ``lpa``        synchronous label propagation
 - ``triangles``  degree-ordered triangle counting, directed census,
-                 16-type triad census, 4-clique (K4) counting
+                 16-type triad census + U|MAN significance profile, 4-clique counting
 - ``grids``      2-D slice-stack fixtures -> graph adapter (8-connectivity,
                  polar and dateline boundary rules, temporal overlap)
 - ``replay``     deterministic label-numbering replay reproducing the

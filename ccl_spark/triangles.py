@@ -506,3 +506,148 @@ def clique4_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
             "left_semi",
         )
     return cand.agg(F.count(F.lit(1)).cast("long").alias("n_k4"))
+
+
+def _triad_combo_signatures() -> dict[str, dict[tuple[int, int, int], int]]:
+    """For each triad type, how many of the 4^3 independent dyad-code
+    assignments (M, A in either orientation, N per pair) produce it,
+    bucketed by the (n_mutual, n_asym, n_null) signature — the
+    coefficient table of the U|MAN expected-count polynomial
+    (Holland & Leinhardt 1976).  Enumerated at call time with the
+    same classification algebra as :func:`triad_census` (64 cases,
+    driver-side, constant)."""
+    from collections import defaultdict
+
+    out: dict[str, dict[tuple[int, int, int], int]] = defaultdict(
+        lambda: defaultdict(int)
+    )
+    # codes per canonical pair (u<v): 0 null, 1 u->v, 2 v->u, 3 mutual
+    def bits(code):
+        return {0: (0, 0), 1: (1, 0), 2: (0, 1), 3: (1, 1)}[code]
+
+    for c1 in range(4):
+        for c2 in range(4):
+            for c3 in range(4):
+                f1, b1 = bits(c1)
+                f2, b2 = bits(c2)
+                f3, b3 = bits(c3)
+                m1, m2, m3 = int(c1 == 3), int(c2 == 3), int(c3 == 3)
+                n1, n2, n3 = int(c1 == 0), int(c2 == 0), int(c3 == 0)
+                nm, nn = m1 + m2 + m3, n1 + n2 + n3
+                na = 3 - nm - nn
+                if nn == 3:
+                    tt = "003"
+                elif nn == 2:
+                    tt = "102" if nm == 1 else "012"
+                elif nn == 1:
+                    # center-relative codes of the two connected pairs
+                    def rel(f, b):
+                        return 2 if f and b else (1 if f else 0)
+
+                    if n1 == 1:  # pairs (v,t), (u,t); center t
+                        rs = sorted((rel(b2, f2), rel(b3, f3)))
+                    elif n2 == 1:  # pairs (u,v), (u,t); center u
+                        rs = sorted((rel(f1, b1), rel(f3, b3)))
+                    else:  # pairs (u,v), (v,t); center v
+                        rs = sorted((rel(b1, f1), rel(f2, b2)))
+                    tt = {
+                        (1, 1): "021D", (0, 0): "021U", (0, 1): "021C",
+                        (0, 2): "111D", (1, 2): "111U", (2, 2): "201",
+                    }[tuple(rs)]
+                elif nm == 3:
+                    tt = "300"
+                elif nm == 2:
+                    tt = "210"
+                elif nm == 1:
+                    if m1:
+                        outb = b2 + b3
+                    elif m2:
+                        outb = f1 + f3
+                    else:
+                        outb = b1 + f2
+                    tt = {2: "120D", 0: "120U", 1: "120C"}[outb]
+                else:
+                    cyc = (f1 and f2 and b3) or (b1 and b2 and f3)
+                    tt = "030C" if cyc else "030T"
+                out[tt][(nm, na, nn)] += 1
+    return {k: dict(v) for k, v in out.items()}
+
+
+def triad_significance(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    census: DataFrame | None = None,
+) -> DataFrame:
+    """Triad significance profile: observed census counts vs their
+    expectation under the dyad-conditioned random graph (U|MAN —
+    dyad codes drawn independently with the observed mutual/asym/null
+    frequencies; the independence approximation is standard and exact
+    in the n -> inf limit).  The observed/expected ratio is the motif
+    profile of Milo et al. — transitive-triad excess is the classic
+    web-graph signature.
+
+    Expected counts are a closed-form polynomial in the dyad census:
+    C(n,3) * sum over code assignments, with the 64-case coefficient
+    table enumerated driver-side by the census's own classifier.
+    One extra aggregate over the dyad table beyond
+    :func:`triad_census`.  Returns 16 rows
+    ``(triad_type, observed, expected, ratio)`` (6dp)."""
+    obs = census if census is not None else triad_census(edges, src, dst)
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    dy = (
+        e.select(
+            F.least("s", "d").alias("u"),
+            F.greatest("s", "d").alias("v"),
+            F.when(F.col("s") < F.col("d"), 1).otherwise(0).alias("fw"),
+            F.when(F.col("s") > F.col("d"), 1).otherwise(0).alias("bw"),
+        )
+        .groupBy("u", "v")
+        .agg(F.max("fw").alias("f"), F.max("bw").alias("b"))
+    )
+    row = dy.agg(
+        F.sum((F.col("f") + F.col("b") == 2).cast("long")).alias("m"),
+        F.sum((F.col("f") + F.col("b") == 1).cast("long")).alias("a"),
+    ).first()
+    m, a = int(row.m or 0), int(row.a or 0)
+    nv = (
+        e.select(F.explode(F.array("s", "d")).alias("x")).distinct().count()
+    )
+    total_pairs = nv * (nv - 1) // 2
+    total_triples = nv * (nv - 1) * (nv - 2) // 6
+    pm = m / total_pairs if total_pairs else 0.0
+    pa = a / total_pairs if total_pairs else 0.0
+    pn = 1.0 - pm - pa
+    sig = _triad_combo_signatures()
+    expected = {
+        tt: total_triples
+        * sum(
+            c * (pm ** nm) * ((pa / 2.0) ** na) * (pn ** nn)
+            for (nm, na, nn), c in buckets.items()
+        )
+        for tt, buckets in sig.items()
+    }
+    spark = edges.sparkSession
+    edf = spark.createDataFrame(
+        [(tt, float(expected.get(tt, 0.0))) for tt in TRIAD_TYPES],
+        "triad_type string, expected double",
+    )
+    return (
+        obs.join(F.broadcast(edf), "triad_type")
+        .select(
+            "triad_type",
+            F.col("n").alias("observed"),
+            F.round("expected", 6).alias("expected"),
+            F.round(
+                F.when(F.col("expected") > 0, F.col("n") / F.col("expected"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("ratio"),
+        )
+    )

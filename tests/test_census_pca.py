@@ -214,3 +214,49 @@ def test_clique4_known_graphs(spark):
     near = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)]
     df2 = spark.createDataFrame(near, "src long, dst long")
     assert clique4_count(df2).first().n_k4 == 0
+
+
+def test_triad_significance_expectation(spark):
+    import itertools
+    import random
+    from collections import Counter
+
+    from ccl_spark.triangles import triad_significance
+
+    rng = random.Random(7)
+    n = 14
+    edges = [
+        (a, b) for a in range(n) for b in range(n) if a != b and rng.random() < 0.2
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = triad_significance(df).collect()
+    # expected polynomial must integrate to C(n,3) exactly
+    assert abs(sum(r.expected for r in rows) - n * (n - 1) * (n - 2) / 6) < 1e-5
+    assert sum(r.observed for r in rows) == n * (n - 1) * (n - 2) // 6
+
+    # independent replay of the expectation via the brute classifier
+    # over all 64 dyad-code combos on a fixed triple
+    es = set(edges)
+    pairs = list(itertools.combinations(range(n), 2))
+    m = sum(1 for a, b in pairs if (a, b) in es and (b, a) in es)
+    a_ = sum(1 for a, b in pairs if ((a, b) in es) != ((b, a) in es))
+    t = len(pairs)
+    pm, pa = m / t, a_ / t
+    pn = 1 - pm - pa
+    probs = {0: pn, 1: pa / 2, 2: pa / 2, 3: pm}
+    arcs = {0: [], 1: [(0, 1)], 2: [(1, 0)], 3: [(0, 1), (1, 0)]}
+    exp = Counter()
+    for c1 in range(4):
+        for c2 in range(4):
+            for c3 in range(4):
+                combo_edges = (
+                    [(u, v) for u, v in arcs[c1]]
+                    + [(u + 1, v + 1) for u, v in arcs[c2]]
+                    + [(2 * u, 2 * v) for u, v in arcs[c3]]  # (0,2)/(2,0)
+                )
+                tt = next(iter(_brute_triad_census(3, combo_edges)))
+                exp[tt] += probs[c1] * probs[c2] * probs[c3]
+    tot3 = n * (n - 1) * (n - 2) / 6
+    got = {r.triad_type: r.expected for r in rows}
+    for tt, p in exp.items():
+        assert abs(got[tt] - round(tot3 * p, 6)) <= 2e-6, (tt, got[tt], tot3 * p)
