@@ -4111,6 +4111,94 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(media, max_hamming=10).orderBy("id_a", "id_b")
 
 
+_DUMPED_AUDIO: set[int] = set()
+
+
+def _dump_audio_samples(n_groups: int, seed: int = 42) -> None:
+    """Ground-truth PCM sample table for the audio-fingerprint oracle,
+    regenerated straight from the synth formula (independent of the
+    engine's WAV container round-trip, which is parity-tested in
+    pytest)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if n_groups in _DUMPED_AUDIO:
+        return
+    path = f"{_ORACLE_DIR}/audio_samples_{n_groups}.parquet"
+    try:
+        mids, poss, vals = [], [], []
+        for g in range(n_groups):
+            rng = np.random.default_rng(seed * 11_000_003 + g)
+            n = 4096 + 512 * (g % 5)
+            base = rng.integers(-(1 << 14), 1 << 14, size=n, dtype=np.int16)
+            other = rng.integers(-(1 << 14), 1 << 14, size=n, dtype=np.int16)
+            for mid, s in ((3 * g, base), (3 * g + 1, base), (3 * g + 2, other)):
+                mids.append(np.full(n, mid, dtype=np.int64))
+                poss.append(np.arange(n, dtype=np.int64))
+                vals.append(s.astype(np.int64))
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "media_id": np.concatenate(mids),
+                "pos": np.concatenate(poss),
+                "s": np.concatenate(vals),
+            }
+        )
+        os.makedirs(_ORACLE_DIR, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    except OSError:
+        if not os.path.exists(path):
+            raise
+    _DUMPED_AUDIO.add(n_groups)
+
+
+AUDIO_FP_GROUPS = 15
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-constellation audio fingerprints over the dup-audio
+    synth (ids 3g/3g+1 exact copies, 3g+2 independent): per-clip peak
+    and pair counts plus the md5 constellation signature — copies
+    collide, distinct clips do not."""
+    from ccl_spark.multimodal import audio_fingerprints, synth_dup_audio
+
+    _dump_audio_samples(AUDIO_FP_GROUPS)
+    return audio_fingerprints(synth_dup_audio(spark, AUDIO_FP_GROUPS, seed=42))
+
+
+def _audio_fingerprint_sql() -> str:
+    src = f"'{_ORACLE_DIR}/audio_samples_{AUDIO_FP_GROUPS}.parquet'"
+    return f"""
+WITH afn AS (SELECT media_id, COUNT(*) AS n FROM {src} GROUP BY 1),
+afe AS (SELECT s.media_id, s.pos // 256 AS frame_idx,
+               SUM(s.s * s.s) AS energy
+        FROM {src} s JOIN afn ON afn.media_id = s.media_id
+        WHERE s.pos < (afn.n // 256) * 256
+        GROUP BY 1, 2),
+afp AS (SELECT media_id, frame_idx,
+               ROW_NUMBER() OVER (PARTITION BY media_id, frame_idx // 8
+                                  ORDER BY energy DESC, frame_idx) AS rk
+        FROM afe QUALIFY rk = 1),
+afpair AS (SELECT a.media_id, b.frame_idx - a.frame_idx AS dt
+           FROM afp a JOIN afp b ON b.media_id = a.media_id
+            AND b.frame_idx > a.frame_idx
+            AND b.frame_idx - a.frame_idx <= 24),
+afc AS (SELECT media_id, COUNT(*) AS n_pairs,
+               md5(STRING_AGG(CAST(dt AS VARCHAR), ',' ORDER BY dt))
+                 AS fingerprint
+        FROM afpair GROUP BY media_id),
+afk AS (SELECT media_id, COUNT(*) AS n_peaks FROM afp GROUP BY media_id)
+SELECT k.media_id, CAST(k.n_peaks AS BIGINT) AS n_peaks,
+       CAST(COALESCE(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+       COALESCE(c.fingerprint, md5('')) AS fingerprint
+FROM afk k LEFT JOIN afc c USING (media_id)
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling on an every-500ms grid: parse each synth
     AVI (4 fps -> 250 ms/frame -> every 2nd frame), emit one row per
@@ -5427,6 +5515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif": q_multimodal_gif,
         "multimodal_mp4": q_multimodal_mp4,
         "image_near_dup": q_image_near_dup,
+        "audio_fingerprint": q_audio_fingerprint,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
         "cc_components": q_cc_components,
@@ -6287,6 +6376,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         "multimodal_mp4": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_mp4_sf001.parquet'",
         "image_near_dup": f"SELECT * FROM '{_ORACLE_DIR}/pinned_image_near_dup_sf001.parquet'",
+        "audio_fingerprint": _audio_fingerprint_sql(),
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so
         # DISTINCT d enumerates exactly the t values the engine emits

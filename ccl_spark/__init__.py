@@ -56,7 +56,8 @@ web-scale link graphs, built on the Spark DataFrame API:
                  fold-in, streaming HLL, streaming dedup-index upkeep,
                  warm-started streaming PageRank
 - ``multimodal`` pure-numpy BMP/PNG/JPEG/GIF/WAV/AVI/MP4 decode, features,
-                 DCT perceptual hash + Hamming image near-dup
+                 DCT perceptual hash + Hamming image near-dup, audio
+                 energy-constellation fingerprints
 - ``sources``    parquet/Iceberg-seam table IO
 - ``components`` component sizes, ages, EOL, dust filtering, incremental CC
 - ``golden``     reference golden-fixture adapters

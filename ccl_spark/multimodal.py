@@ -1512,3 +1512,127 @@ def synth_near_dup_images(spark: SparkSession, n_pairs: int, seed: int = 42) -> 
             )
 
     return spark.range(n_pairs).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprinting (energy-constellation variant): frame-energy
+# peaks + anchor-pair hashes — the Shazam/Wang-2003 constellation
+# SHAPE with exact int64 frame energies in place of spectral peaks,
+# so every stage is integer-deterministic and ANSI-SQL-replayable
+# (the spectral front-end is the documented seam: swap the energy
+# column for an FFT band once a codec/DSP library is in scope).
+# --------------------------------------------------------------------------
+
+def audio_frame_energies(
+    media: DataFrame, frame: int = 256
+) -> DataFrame:
+    """(media_id, frame_idx, energy) for every audio row: decode the
+    WAV, sum-of-squares per non-overlapping ``frame``-sample window —
+    int16 squares summed into int64, EXACT (a 256-sample frame bounds
+    the sum at 2^38).  Arrow-batched; trailing partial frames are
+    dropped (constellations care about peaks, not tails)."""
+
+    def batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids, fids, eng = [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio":
+                    continue
+                _, samples = wav_decode(bytes(payload))
+                n = len(samples) // frame
+                if n == 0:
+                    continue
+                sq = samples[: n * frame].astype(np.int64) ** 2
+                e = sq.reshape(n, frame).sum(axis=1)
+                ids.extend([mid] * n)
+                fids.extend(range(n))
+                eng.extend(int(x) for x in e)
+            if ids:
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_idx": fids, "energy": eng}
+                )
+
+    return media.mapInPandas(
+        batch, schema="media_id long, frame_idx long, energy long"
+    )
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    frame: int = 256,
+    superwindow: int = 8,
+    max_dt: int = 24,
+) -> DataFrame:
+    """Per-clip constellation summary: energy-peak anchors (argmax per
+    ``superwindow`` frames, ties to the earliest frame — an integer
+    compare, bit-stable) paired within ``max_dt`` frames; the clip's
+    fingerprint is the md5 of its sorted (dt of pair) sequence —
+    volume- and offset-shape-preserving enough that exact copies
+    collide and distinct clips don't.
+
+    All joins are media-keyed (anchor pairing never crosses clips);
+    the peak pick is one groupBy max(struct).  Returns
+    ``(media_id, n_peaks, n_pairs, fingerprint)``."""
+    en = audio_frame_energies(media, frame)
+    peaks = (
+        en.groupBy(
+            "media_id", (F.col("frame_idx") / superwindow).cast("long").alias("sw")
+        )
+        .agg(F.max(F.struct(F.col("energy"), (-F.col("frame_idx")).alias("nf"))).alias("m"))
+        .select(
+            "media_id",
+            (-F.col("m.nf")).alias("frame_idx"),
+            F.col("m.energy").alias("energy"),
+        )
+    )
+    a = peaks.select("media_id", F.col("frame_idx").alias("f1"))
+    b = peaks.select("media_id", F.col("frame_idx").alias("f2"))
+    pairs = (
+        a.join(b, "media_id")
+        .filter(
+            (F.col("f2") > F.col("f1")) & (F.col("f2") - F.col("f1") <= max_dt)
+        )
+        .select("media_id", (F.col("f2") - F.col("f1")).alias("dt"))
+    )
+    n_peaks = peaks.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_peaks")
+    )
+    sig = pairs.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_list("dt")))
+        ).alias("fingerprint"),
+    )
+    return n_peaks.join(sig, "media_id", "left").select(
+        "media_id",
+        "n_peaks",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("fingerprint", F.md5(F.lit(""))).alias("fingerprint"),
+    )
+
+
+def synth_dup_audio(spark: SparkSession, n_groups: int, seed: int = 42) -> DataFrame:
+    """Audio table where ids 3g and 3g+1 are exact copies (same seeded
+    PCM) and 3g+2 is independent — the dedup ground truth for
+    fingerprint matching.  Same schema as synth_media."""
+
+    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for g in pdf["id"].tolist():
+                g = int(g)
+                rng = np.random.default_rng(seed * 11_000_003 + g)
+                n = 4096 + 512 * (g % 5)
+                base = rng.integers(-(1 << 14), 1 << 14, size=n, dtype=np.int16)
+                other = rng.integers(-(1 << 14), 1 << 14, size=n, dtype=np.int16)
+                dur = n * 1000 // 8000
+                for mid, s in ((3 * g, base), (3 * g + 1, base), (3 * g + 2, other)):
+                    rows.append((mid, "audio", wav_encode(s, 8000), 0, 0, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n_groups).mapInPandas(gen, schema=MEDIA_SCHEMA)

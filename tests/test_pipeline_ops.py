@@ -892,3 +892,40 @@ def test_image_near_dup_pairs_recovers_copies(spark):
     found_true = sum(1 for tp in true_pairs if tp in got)
     assert found_true >= 17  # deterministic; a few copies exceed the radius
     assert all(h <= 10 for h in got.values())
+
+
+def test_audio_fingerprints_match_copies(spark):
+    from ccl_spark.multimodal import audio_fingerprints, synth_dup_audio
+
+    media = synth_dup_audio(spark, 10, seed=42)
+    by = {r.media_id: r for r in audio_fingerprints(media).collect()}
+    for g in range(10):
+        assert by[3 * g].fingerprint == by[3 * g + 1].fingerprint
+        assert by[3 * g].fingerprint != by[3 * g + 2].fingerprint
+        assert by[3 * g].n_peaks >= 2
+
+
+def test_audio_frame_energies_exact():
+    import numpy as np
+
+    # frame energies are exact int64 sums of int16 squares
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ccl_spark.multimodal import wav_encode
+
+    s = np.arange(-300, 212, dtype=np.int16)  # 512 samples, 2 frames
+    assert len(s) == 512
+    exp0 = int((s[:256].astype(np.int64) ** 2).sum())
+    exp1 = int((s[256:].astype(np.int64) ** 2).sum())
+    from ccl_spark.session import get_spark
+
+    spark = get_spark("afe", master="local[2]", shuffle_partitions=2)
+    from ccl_spark.multimodal import audio_frame_energies
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav_encode(s, 8000)), 0, 0, 64)],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms long",
+    )
+    got = {r.frame_idx: r.energy for r in audio_frame_energies(media).collect()}
+    assert got == {0: exp0, 1: exp1}
