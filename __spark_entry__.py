@@ -2375,6 +2375,40 @@ HEAPS_POINTS = [50, 100, 200, 300, 400, 500]
 COVERAGE_KS = [10, 50, 100, 200]
 
 
+def q_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary repair by blocked fuzzy matching: truncated variants
+    (last char dropped) matched back against the corpus vocabulary
+    (2-char block + length band + Levenshtein <= 2 verify — never
+    all-pairs). The synthetic vocab's own dist-2 pairs all differ in
+    the first 2 chars, which demonstrates the blocking recall trade
+    the docstring declares."""
+    from ccl_spark.textops import fuzzy_match, vocabulary
+
+    vocab = vocabulary(_t(spark, sf_dir, "documents")).select("token")
+    variants = vocab.filter(F.length("token") >= 4).select(
+        F.expr("substring(token, 1, length(token) - 1)").alias("token")
+    ).distinct()
+    return fuzzy_match(vocab, variants, "token", "token", max_dist=2, prefix=2)
+
+
+def _fuzzy_vocab_sql() -> str:
+    return """
+WITH fzt AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS token
+             FROM documents),
+fzv AS (SELECT token FROM fzt WHERE token <> ''),
+fzvar AS (SELECT DISTINCT substring(token, 1, len(token) - 1) AS token
+          FROM fzv WHERE len(token) >= 4),
+fzl AS (SELECT token AS l, substring(token, 1, 2) AS blk,
+               len(token) AS ln FROM fzv),
+fzr AS (SELECT token AS r, substring(token, 1, 2) AS blk,
+               len(token) AS rn FROM fzvar)
+SELECT l AS "left", r AS "right",
+       CAST(levenshtein(l, r) AS INT) AS dist
+FROM fzl JOIN fzr USING (blk)
+WHERE abs(ln - rn) <= 2 AND l <> r AND levenshtein(l, r) <= 2
+"""
+
+
 def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: distinct tokens after the first p
     documents, via token-first-occurrence (no per-prefix distinct)."""
@@ -5600,6 +5634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negatives": q_negatives,
         "zipf": q_zipf,
         "heaps": q_heaps,
+        "fuzzy_vocab": q_fuzzy_vocab,
         "token_coverage": q_token_coverage,
         "doclen_dist": q_doclen_dist,
         "label_spreading": q_label_spreading,
@@ -6112,6 +6147,7 @@ SELECT center, context, cnt FROM pairs
 ORDER BY cnt DESC, center, context LIMIT 100""",
         "label_spreading": _label_spreading_sql(4),
         "heaps": _heaps_sql(),
+        "fuzzy_vocab": _fuzzy_vocab_sql(),
         "token_coverage": _token_coverage_sql(),
         "zipf": """
 WITH uni AS (

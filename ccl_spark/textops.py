@@ -1112,3 +1112,49 @@ def token_coverage(
         )
         .orderBy("k")
     )
+
+
+def fuzzy_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str = "term",
+    right_col: str = "term",
+    max_dist: int = 2,
+    prefix: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy string matching (the entity-resolution join): a
+    left string matches a right string when their Levenshtein
+    distance is <= ``max_dist``, found WITHOUT the all-pairs product
+    — candidates must share a ``prefix``-char block AND sit within
+    ``max_dist`` in length (both are necessary conditions only when
+    the first ``prefix`` chars are untouched; the standard ER
+    blocking trade: edits inside the prefix are missed, which is the
+    documented recall cost that makes the join linear).  Levenshtein
+    is integer-exact and identical across engines, so the whole op is
+    SQL-replayable.
+
+    One equi-join on the block key with a length band, then the
+    distance verify on the candidates only.  Returns
+    ``(left, right, dist)`` for matched pairs (excluding exact
+    left==right matches; set ``max_dist`` and filter dist=0 upstream
+    for those)."""
+    if max_dist < 1 or prefix < 1:
+        raise ValueError("max_dist and prefix must be >= 1")
+    l = left.select(  # noqa: E741
+        F.col(left_col).alias("l"),
+        F.substring(F.col(left_col), 1, prefix).alias("blk"),
+        F.length(F.col(left_col)).alias("ln"),
+    ).distinct()
+    r = right.select(
+        F.col(right_col).alias("r"),
+        F.substring(F.col(right_col), 1, prefix).alias("blk"),
+        F.length(F.col(right_col)).alias("rn"),
+    ).distinct()
+    cand = l.join(r, "blk").filter(
+        (F.abs(F.col("ln") - F.col("rn")) <= max_dist) & (F.col("l") != F.col("r"))
+    )
+    return (
+        cand.select("l", "r", F.levenshtein("l", "r").alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+        .select(F.col("l").alias("left"), F.col("r").alias("right"), "dist")
+    )

@@ -929,3 +929,24 @@ def test_audio_frame_energies_exact():
     )
     got = {r.frame_idx: r.energy for r in audio_frame_energies(media).collect()}
     assert got == {0: exp0, 1: exp1}
+
+
+def test_fuzzy_match_blocking_and_verify(spark):
+    from ccl_spark.textops import fuzzy_match
+
+    left = spark.createDataFrame(
+        [("table",), ("shuffle",), ("window",), ("zebra",)], "term string"
+    )
+    right = spark.createDataFrame(
+        [("tabl",), ("shufle",), ("windows",), ("sebra",), ("tables",)],
+        "term string",
+    )
+    got = {(r.left, r.right): r.dist for r in fuzzy_match(left, right).collect()}
+    assert got[("table", "tabl")] == 1
+    assert got[("table", "tables")] == 1
+    assert got[("shuffle", "shufle")] == 1
+    assert got[("window", "windows")] == 1
+    # blocking recall cost: an edit INSIDE the 2-char prefix is missed
+    assert ("zebra", "sebra") not in got
+    # distance bound respected
+    assert all(d <= 2 for d in got.values())
