@@ -338,3 +338,48 @@ def test_chunk_dedup_single_hash_window(spark):
     # exactly one window keyed by chunk_hash (first-occurrence pick);
     # the per-doc boundary cumsum window is keyed by doc_id
     assert plan.count("row_number") >= 1
+
+
+def test_priority_sample_is_take_ordered(spark):
+    from ccl_spark.sampling import priority_sample
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 5 + 1)) for i in range(200)], "doc_id long, w double"
+    )
+    plan = _executed(priority_sample(docs, "w", 10))
+    assert "BatchEvalPython" not in plan
+    # the k+1 selection must be a partial per-partition top-k, never a
+    # global sort of the corpus
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fuzzy_match_no_cartesian(spark):
+    from ccl_spark.textops import fuzzy_match
+
+    a = spark.createDataFrame([(f"term{i}",) for i in range(50)], "term string")
+    plan = _executed(fuzzy_match(a, a))
+    assert "BatchEvalPython" not in plan
+    # candidates come from the block-key equi-join, not a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_fingerprint_media_keyed(spark):
+    from ccl_spark.multimodal import audio_fingerprints, synth_dup_audio
+
+    plan = _executed(audio_fingerprints(synth_dup_audio(spark, 4)))
+    # anchor pairing joins on media_id (never across clips); the only
+    # Python stage is the Arrow decode
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_linkpred_eval_no_all_pairs(spark):
+    from ccl_spark.graphstats import link_prediction_eval
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 40) for i in range(80)], "src long, dst long"
+    )
+    plan = _executed(link_prediction_eval(e, k=5))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
