@@ -9,6 +9,8 @@ Package and run:
 
 Subcommands: cc | pagerank | lpa | triangles | extract | dedup |
 dedup-corpus (near-dup pairs -> transitive clusters -> deduped docs) |
+curate (domain blocklist -> host LM-quality terciles -> keep
+head+middle documents) |
 tokenize (train BPE merges on the corpus, encode every document to
 its token-id stream) | walks (deterministic DeepWalk/node2vec walk
 corpus for skip-gram embedding training).
@@ -21,6 +23,8 @@ from __future__ import annotations
 
 import argparse
 import sys
+
+from pyspark.sql import functions as F
 
 
 def _edges(spark, path: str):
@@ -41,12 +45,19 @@ def main(argv: list[str] | None = None) -> int:
         "algo",
         choices=[
             "cc", "pagerank", "lpa", "triangles", "extract", "dedup",
-            "dedup-corpus", "tokenize", "walks",
+            "dedup-corpus", "tokenize", "walks", "curate",
         ],
     )
     p.add_argument("--edges", help="parquet edge table (src, dst)")
     p.add_argument("--pages", help="parquet pages table (extract)")
     p.add_argument("--docs", help="parquet documents table (dedup)")
+    p.add_argument(
+        "--blocklist",
+        help="curate: parquet blocklist table with a 'domain' column",
+    )
+    p.add_argument(
+        "--host-col", default="host", help="curate: host column of --docs"
+    )
     p.add_argument(
         "--canonicalize",
         action="store_true",
@@ -93,6 +104,26 @@ def main(argv: list[str] | None = None) -> int:
         from ccl_spark.dedup import near_duplicates
 
         out = near_duplicates(spark.read.parquet(args.docs), threshold=args.threshold)
+    elif args.algo == "curate":
+        # host-level curation: blocklist -> host LM-quality terciles on
+        # the survivors -> keep head+middle documents
+        from ccl_spark.edges import blocklist_filter
+        from ccl_spark.textops import host_quality_buckets
+
+        docs = spark.read.parquet(args.docs)
+        if args.blocklist:
+            bl = spark.read.parquet(args.blocklist)
+            docs = (
+                blocklist_filter(docs, bl, host_col=args.host_col)
+                .filter("NOT blocked")
+                .drop("blocked")
+            )
+        keep_hosts = (
+            host_quality_buckets(docs, host_col=args.host_col)
+            .filter("keep")
+            .select(F.col("host").alias(args.host_col))
+        )
+        out = docs.join(F.broadcast(keep_hosts), args.host_col, "left_semi")
     elif args.algo == "dedup-corpus":
         # full pipeline: pairs -> transitive clusters -> min-id keep-set
         from ccl_spark.dedup import dedup_corpus

@@ -170,3 +170,33 @@ def test_cli_walks_end_to_end(spark, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(opath2).count() == 4
+
+
+def test_cli_curate(spark, tmp_path):
+    from ccl_spark.cli import main
+
+    rows = []
+    for hn, hname in enumerate(["good.a.com", "fine.b.com", "bad.spam.net"]):
+        for i in range(3):
+            rows.append(
+                (f"u{hn}_{i}", hname, "the cat sat on the mat and ran " * 3 + f"y{i} ")
+            )
+    spark.createDataFrame(
+        rows, "doc_id string, host string, text string"
+    ).write.parquet(str(tmp_path / "docs"))
+    spark.createDataFrame([("spam.net",)], "domain string").write.parquet(
+        str(tmp_path / "bl")
+    )
+    rc = main(
+        [
+            "curate",
+            "--docs", str(tmp_path / "docs"),
+            "--blocklist", str(tmp_path / "bl"),
+            "--out", str(tmp_path / "out"),
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "out"))
+    hosts = {r.host for r in out.select("host").distinct().collect()}
+    assert "bad.spam.net" not in hosts  # suffix-blocked
+    assert out.count() == 6
