@@ -2686,6 +2686,24 @@ u{t + 1} AS MATERIALIZED (SELECT u.v, u.p FROM u{t} u
     return "WITH " + ",".join(parts) + f"\nSELECT v AS vertex FROM ({union}) t"
 
 
+def q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-approx minimum vertex cover (Gavril): both endpoints of the
+    deterministic maximal matching; shares the matching's memoized
+    edge table and oracle chain."""
+    from ccl_spark.mis import vertex_cover
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return vertex_cover(e)
+
+
+def _vertex_cover_sql(rounds: int) -> str:
+    return (
+        f"SELECT DISTINCT t.vx AS vertex FROM ({_matching_sql(rounds)}) mm,"
+        f" LATERAL (SELECT mm.u AS vx UNION ALL SELECT mm.v) t ORDER BY vertex"
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Israeli-Itai maximal matching of the corpus graph
     (md5 edge priorities, locally-minimal-at-both-endpoints rule); the
@@ -5502,6 +5520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eccentricity ~5s standalone)
         "coloring": q_coloring,
         "matching": q_matching,
+        "vertex_cover": q_vertex_cover,
         "mst": q_mst,
         "single_linkage": q_single_linkage,
         "ppr_batch": q_ppr_batch,
@@ -6486,6 +6505,7 @@ LIMIT 20
         "ktruss": _ktruss_sql(4, 6),
         "mis": _mis_sql(7),
         "matching": _matching_sql(14),
+        "vertex_cover": _vertex_cover_sql(14),
         "coloring": _coloring_sql(8),
         "butterflies": f"""
 WITH e AS (SELECT DISTINCT src AS s, dst AS d

@@ -30,7 +30,7 @@ web-scale link graphs, built on the Spark DataFrame API:
                  refinement, densest-subgraph peel, partition-cut audit,
                  degree power law
 - ``walks``      deterministic DeepWalk / node2vec walk corpora
-- ``mis``        Luby maximal independent set
+- ``mis``        Luby MIS, Israeli-Itai matching, 2-approx vertex cover
 - ``chains``     redirect-chain resolution (pointer doubling), Bellman-Ford SSSP
 - ``dedup``      exact / MinHash-LSH / SimHash / containment dedup + clusters,
                  CDC chunking + cross-doc chunk dedup with reassembly,

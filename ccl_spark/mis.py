@@ -165,3 +165,25 @@ def maximal_matching(
     if live.limit(1).count() == 0:
         return matched
     raise RuntimeError(f"maximal_matching: live edges after {max_rounds} rounds")
+
+
+def vertex_cover(
+    edges: DataFrame,
+    salt: str = "mm",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """2-approximate minimum vertex cover: both endpoints of every
+    edge in the deterministic maximal matching (Gavril/Yannakakis —
+    the matching's endpoints hit every edge, and any cover needs at
+    least one endpoint per matched edge, hence the factor 2).  Same
+    distributed shape and determinism as :func:`maximal_matching`;
+    returns ``(vertex long)`` sorted."""
+    m = maximal_matching(edges, salt=salt, src=src, dst=dst, max_rounds=max_rounds)
+    return (
+        m.select(F.col("u").alias("vertex"))
+        .unionByName(m.select(F.col("v").alias("vertex")))
+        .distinct()
+        .orderBy("vertex")
+    )

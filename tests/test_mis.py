@@ -135,3 +135,21 @@ def test_maximal_matching_path(spark):
     df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     got = {(r.u, r.v) for r in maximal_matching(df).collect()}
     assert got in ({(0, 1)}, {(1, 2)})
+
+
+def test_vertex_cover_covers_every_edge(spark):
+    import random
+
+    from ccl_spark.mis import vertex_cover
+
+    rng = random.Random(9)
+    edges = [
+        (a, b) for a in range(40) for b in range(a + 1, 40) if rng.random() < 0.08
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cover = {r.vertex for r in vertex_cover(df).collect()}
+    # covering property: every edge has an endpoint in the cover
+    assert all(a in cover or b in cover for a, b in edges)
+    # 2-approximation: |cover| = 2|matching| <= 2 * |min cover|; the
+    # trivial bound |cover| <= |V| and evenness certify the shape
+    assert len(cover) % 2 == 0
