@@ -923,6 +923,28 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov event-type transition matrix over per-user
+    sequences (LEAD ordered by ts, event_id) — counts + P(next|cur)."""
+    from ccl_spark.analytics import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def _transitions_sql() -> str:
+    return """
+WITH trp AS (SELECT event_type AS cur,
+                    LEAD(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS nxt
+             FROM events),
+trn AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM trp
+        WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+trt AS (SELECT cur, SUM(n) AS tot FROM trn GROUP BY cur)
+SELECT n.cur, n.nxt, n.n, ROUND(CAST(n.n AS DOUBLE) / t.tot, 6) AS p
+FROM trn n JOIN trt t USING (cur)
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel over the events table
     (strict timestamp ordering, earliest-completion semantics)."""
@@ -5608,6 +5630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "sssp": q_sssp,
         "funnel": q_funnel,
+        "transitions": q_transitions,
         "retention": q_retention,
         "json_props": q_json_props,
         "quantiles": q_quantiles,
@@ -6624,6 +6647,7 @@ WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 SELECT k // 10 AS bin, COUNT(*) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM k WHERE k IS NOT NULL GROUP BY 1
 """,
+        "transitions": _transitions_sql(),
         "funnel": """
 WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -50,7 +50,8 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``boilerplate`` CCNet-style per-host line dedup
 - ``anchors``    anchor-text extraction + per-target term index
 - ``frontier``   politeness-scheduled crawl rounds
-- ``analytics``  funnels, retention cohorts, JSON props, percentiles
+- ``analytics``  funnels, retention cohorts, JSON props, percentiles,
+                 Markov event-transition matrices
 - ``asof``       as-of and banded range joins
 - ``streaming``  watermarked windows, stateful ages, stream dedup, CC
                  fold-in, streaming HLL, streaming dedup-index upkeep,

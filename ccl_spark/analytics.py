@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def funnel_conversion(
@@ -137,4 +137,41 @@ def retention_cohorts(
         act.join(first, "u")
         .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct("u").alias("n_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    for each (current, next) event-type pair, the observed count and
+    conditional probability P(next | current) over per-user event
+    sequences ordered by ``(ts, event_id)`` (the id tiebreak makes
+    the sequence — and therefore every count — deterministic under
+    timestamp collisions).
+
+    One user-keyed window (LEAD) + one (cur, next) aggregate — the
+    window partitions by user, so no key outgrows a user's own
+    history; the transition matrix itself is |types|^2-bounded.
+    The classic clickstream/session model; feed the matrix to the
+    weighted-PageRank stack for stationary behavior analysis.
+    Returns ``(cur, nxt, n, p)`` with p rounded to 6dp.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("cur"),
+            F.lead(type_col).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return pairs.join(tot, "cur").select(
+        "cur", "nxt", "n", F.round(F.col("n") / F.col("tot"), 6).alias("p")
     )

@@ -85,3 +85,35 @@ def test_value_quantiles(spark):
     # approx path: same shape, sane values
     ap = {r["grp"]: r for r in value_quantiles(df, approx=True).collect()}
     assert set(ap) == {"a", "b"} and 4.0 <= ap["a"]["p50"] <= 7.0
+
+
+def test_event_transitions_hand_case(spark):
+    from datetime import datetime
+
+    from ccl_spark.analytics import event_transitions
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 1, "view"),
+        (2, datetime(2024, 1, 1, 0, 1), 1, "click"),
+        (3, datetime(2024, 1, 1, 0, 2), 1, "view"),
+        (4, datetime(2024, 1, 1, 0, 3), 1, "click"),
+        (5, datetime(2024, 1, 1, 0, 0), 2, "view"),
+        (6, datetime(2024, 1, 1, 0, 1), 2, "buy"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r.cur, r.nxt): (r.n, r.p) for r in event_transitions(ev).collect()}
+    assert got[("view", "click")] == (2, round(2 / 3, 6))
+    assert got[("view", "buy")] == (1, round(1 / 3, 6))
+    assert got[("click", "view")] == (1, 1.0)
+    # no cross-user transition (user 1's last event never pairs with
+    # user 2's first)
+    assert ("click", "buy") not in got
+    # rows of the matrix sum to 1
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (cur, _), (_, p) in got.items():
+        sums[cur] += p
+    assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
