@@ -945,6 +945,36 @@ FROM trn n JOIN trt t USING (cur)
 """
 
 
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bot-signal features: event rate, distinct types, type
+    entropy (exact ln-n minus c*ln(c)/n rearrangement)."""
+    from ccl_spark.analytics import user_activity_features
+
+    return user_activity_features(_t(spark, sf_dir, "events"))
+
+
+def _user_activity_sql() -> str:
+    return """
+WITH uat AS (SELECT user_id AS usr, event_type AS t, COUNT(*) AS c
+             FROM events GROUP BY 1, 2),
+uae AS (SELECT usr, CAST(COUNT(*) AS BIGINT) AS n_types,
+               SUM(c) AS n, SUM(c * LN(c)) AS clogc
+        FROM uat GROUP BY usr),
+uab AS (SELECT user_id AS usr, CAST(COUNT(*) AS BIGINT) AS n_events,
+               -- floor each endpoint separately: Spark unix_timestamp
+               -- truncates per-timestamp, not on the difference
+               CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT)
+                 AS span_s
+        FROM events GROUP BY 1)
+SELECT b.usr AS "user", b.n_events, b.span_s,
+       ROUND(b.n_events * 60.0 / GREATEST(b.span_s, 1), 6)
+         AS events_per_min,
+       e.n_types,
+       ROUND(LN(e.n) - e.clogc / e.n, 6) AS type_entropy
+FROM uab b JOIN uae e USING (usr)
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel over the events table
     (strict timestamp ordering, earliest-completion semantics)."""
@@ -5631,6 +5661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "funnel": q_funnel,
         "transitions": q_transitions,
+        "user_activity": q_user_activity,
         "retention": q_retention,
         "json_props": q_json_props,
         "quantiles": q_quantiles,
@@ -6648,6 +6679,7 @@ SELECT k // 10 AS bin, COUNT(*) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM k WHERE k IS NOT NULL GROUP BY 1
 """,
         "transitions": _transitions_sql(),
+        "user_activity": _user_activity_sql(),
         "funnel": """
 WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -175,3 +175,58 @@ def event_transitions(
     return pairs.join(tot, "cur").select(
         "cur", "nxt", "n", F.round(F.col("n") / F.col("tot"), 6).alias("p")
     )
+
+
+def user_activity_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user behavioral features — the bot/abuse-detection signals
+    of a clickstream pipeline: event count, active span, events per
+    minute, distinct event types, and the Shannon entropy of the
+    user's type distribution (bots are high-rate and low-entropy;
+    crawl-loop artifacts are single-type).
+
+    One per-user aggregate plus one (user, type) pre-aggregate for the
+    entropy — both partial-aggregating, no windows.  Returns
+    ``(user, n_events, span_s, events_per_min, n_types,
+    type_entropy)`` with floats rounded to 6dp.
+    """
+    per_type = events.groupBy(
+        F.col(user_col).alias("user"), F.col(type_col).alias("t")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ent = (
+        per_type.groupBy("user")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.col("c") * F.log("c")).alias("clogc"),
+        )
+        .select(
+            "user",
+            "n_types",
+            # H = ln n - (1/n) sum c ln c  (exact rearrangement; keeps
+            # the per-type float sum to one term per type)
+            F.round(
+                F.log("n") - F.col("clogc") / F.col("n"), 6
+            ).alias("type_entropy"),
+        )
+    )
+    base = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).cast("long").alias("span_s"),
+    )
+    return base.join(ent, "user").select(
+        "user",
+        "n_events",
+        "span_s",
+        F.round(
+            F.col("n_events") * 60.0 / F.greatest(F.col("span_s"), F.lit(1)), 6
+        ).alias("events_per_min"),
+        "n_types",
+        "type_entropy",
+    )

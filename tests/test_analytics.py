@@ -117,3 +117,27 @@ def test_event_transitions_hand_case(spark):
     for (cur, _), (_, p) in got.items():
         sums[cur] += p
     assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
+
+
+def test_user_activity_features(spark):
+    import math
+    from datetime import datetime
+
+    from ccl_spark.analytics import user_activity_features
+
+    rows = [(i, datetime(2024, 1, 1, 0, i), 1, "view") for i in range(4)]
+    rows += [
+        (10, datetime(2024, 1, 1, 0, 0), 2, "view"),
+        (11, datetime(2024, 1, 1, 0, 1), 2, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r.user: r for r in user_activity_features(ev).collect()}
+    # single-type bot-ish user: zero entropy, rate from the span
+    assert got[1].n_events == 4 and got[1].span_s == 180
+    assert got[1].type_entropy == 0.0
+    assert got[1].events_per_min == round(4 * 60 / 180, 6)
+    # balanced two-type user: ln 2 entropy
+    assert got[2].n_types == 2
+    assert abs(got[2].type_entropy - round(math.log(2), 6)) < 1e-9
