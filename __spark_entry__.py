@@ -975,6 +975,50 @@ FROM uab b JOIN uae e USING (usr)
 """
 
 
+STATIONARY_ITERS = 4
+
+
+def q_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary event-type mix: 4 power iterations over the Markov
+    transition matrix from uniform, renormalized at the end."""
+    from ccl_spark.analytics import transition_stationary
+
+    return transition_stationary(
+        _t(spark, sf_dir, "events"), n_iter=STATIONARY_ITERS
+    )
+
+
+def _stationary_sql() -> str:
+    steps = []
+    prev = "stpi0"
+    for i in range(1, STATIONARY_ITERS + 1):
+        steps.append(
+            f"stpi{i} AS (SELECT x.nxt AS t, SUM(pp.pi * x.p) AS pi\n"
+            f"  FROM strx x JOIN {prev} pp ON pp.t = x.cur GROUP BY 1)"
+        )
+        prev = f"stpi{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH strp AS (SELECT event_type AS cur,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS nxt
+              FROM events),
+strn AS (SELECT cur, nxt, COUNT(*) AS n FROM strp
+         WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+strt AS (SELECT cur, SUM(n) AS tot FROM strn GROUP BY cur),
+strx AS (SELECT n.cur, n.nxt, ROUND(CAST(n.n AS DOUBLE) / t.tot, 6) AS p
+         FROM strn n JOIN strt t USING (cur)),
+stty AS (SELECT DISTINCT t FROM
+         (SELECT cur AS t FROM strx UNION ALL SELECT nxt FROM strx)),
+stn AS (SELECT COUNT(*) AS n FROM stty),
+stpi0 AS (SELECT t, 1.0 / (SELECT n FROM stn) AS pi FROM stty),
+{chain},
+sttot AS (SELECT SUM(pi) AS tot FROM {prev})
+SELECT t AS event_type, ROUND(pi / (SELECT tot FROM sttot), 6) AS pi
+FROM {prev}
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel over the events table
     (strict timestamp ordering, earliest-completion semantics)."""
@@ -5662,6 +5706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "transitions": q_transitions,
         "user_activity": q_user_activity,
+        "stationary": q_stationary,
         "retention": q_retention,
         "json_props": q_json_props,
         "quantiles": q_quantiles,
@@ -6680,6 +6725,7 @@ FROM k WHERE k IS NOT NULL GROUP BY 1
 """,
         "transitions": _transitions_sql(),
         "user_activity": _user_activity_sql(),
+        "stationary": _stationary_sql(),
         "funnel": """
 WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -51,7 +51,8 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``anchors``    anchor-text extraction + per-target term index
 - ``frontier``   politeness-scheduled crawl rounds
 - ``analytics``  funnels, retention cohorts, JSON props, percentiles,
-                 Markov event-transition matrices, per-user bot signals
+                 Markov event-transition matrices + stationary mix,
+                 per-user bot signals
 - ``asof``       as-of and banded range joins
 - ``streaming``  watermarked windows, stateful ages, stream dedup, CC
                  fold-in, streaming HLL, streaming dedup-index upkeep,

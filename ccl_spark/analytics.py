@@ -230,3 +230,50 @@ def user_activity_features(
         "n_types",
         "type_entropy",
     )
+
+
+def transition_stationary(
+    events: DataFrame,
+    n_iter: int = 4,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Approximate stationary distribution of the event-type Markov
+    chain: ``n_iter`` power iterations pi <- pi P from the uniform
+    vector over observed types, renormalized once at the end (types
+    with no outgoing transitions leak mass; the renormalize keeps pi
+    a distribution and is replayed identically by the oracle).  The
+    long-run behavioral mix — where users spend their events.
+
+    The chain's state space is |types|-bounded, so every iteration is
+    a tiny broadcast join; the heavy lifting is the one LEAD window
+    in :func:`event_transitions`.  Returns ``(event_type, pi)``
+    rounded to 6dp, descending.
+    """
+    trans = event_transitions(
+        events, user_col=user_col, type_col=type_col, ts_col=ts_col, id_col=id_col
+    ).select("cur", "nxt", "p").localCheckpoint(eager=True)
+    types = (
+        trans.select(F.col("cur").alias("t"))
+        .unionByName(trans.select(F.col("nxt").alias("t")))
+        .distinct()
+    )
+    n_types = types.count()
+    pi = types.select("t", (F.lit(1.0) / n_types).alias("pi"))
+    for _ in range(n_iter):
+        pi = (
+            trans.join(pi.withColumnRenamed("t", "cur"), "cur")
+            .groupBy(F.col("nxt").alias("t"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+        )
+    tot = pi.agg(F.sum("pi").alias("tot"))
+    return (
+        pi.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("event_type"),
+            F.round(F.col("pi") / F.col("tot"), 6).alias("pi"),
+        )
+        .orderBy(F.desc("pi"), F.asc("event_type"))
+    )

@@ -141,3 +141,31 @@ def test_user_activity_features(spark):
     # balanced two-type user: ln 2 entropy
     assert got[2].n_types == 2
     assert abs(got[2].type_entropy - round(math.log(2), 6)) < 1e-9
+
+
+def test_transition_stationary_two_state_chain(spark):
+    from datetime import datetime
+
+    from ccl_spark.analytics import transition_stationary
+
+    # one user alternating a b a b ... -> P is the swap matrix; from
+    # uniform, every iterate stays (0.5, 0.5)
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i), 1, "a" if i % 2 == 0 else "b")
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r.event_type: r.pi for r in transition_stationary(ev, n_iter=3).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+    # sums to 1 on the real-ish mixed chain too
+    rows2 = rows + [
+        (100 + i, datetime(2024, 1, 1, 1, i), 2, "a" if i % 3 else "c")
+        for i in range(12)
+    ]
+    ev2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    pis = [r.pi for r in transition_stationary(ev2, n_iter=4).collect()]
+    assert abs(sum(pis) - 1.0) < 1e-5
