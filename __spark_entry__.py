@@ -1019,6 +1019,32 @@ FROM {prev}
 """
 
 
+def q_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quartile bucketing of event values: cut points from one
+    array-percentile aggregate, bucket assigned map-side (no global
+    NTILE)."""
+    from ccl_spark.analytics import quantile_buckets
+
+    return quantile_buckets(
+        _t(spark, sf_dir, "events"), "value", 4, keys=["event_id"]
+    )
+
+
+def _value_buckets_sql() -> str:
+    # quantile_cont == Spark exact percentile (validated by the
+    # quantiles gate query); ties at a cut share the lower bucket
+    return """
+WITH vbc AS (SELECT quantile_cont(value, CAST(0.25 AS DOUBLE)) AS c1,
+                    quantile_cont(value, CAST(0.5 AS DOUBLE)) AS c2,
+                    quantile_cont(value, CAST(0.75 AS DOUBLE)) AS c3
+             FROM events)
+SELECT e.event_id,
+       1 + CAST(e.value > c.c1 AS INT) + CAST(e.value > c.c2 AS INT)
+         + CAST(e.value > c.c3 AS INT) AS bucket
+FROM events e, vbc c
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel over the events table
     (strict timestamp ordering, earliest-completion semantics)."""
@@ -5707,6 +5733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "user_activity": q_user_activity,
         "stationary": q_stationary,
+        "value_buckets": q_value_buckets,
         "retention": q_retention,
         "json_props": q_json_props,
         "quantiles": q_quantiles,
@@ -6726,6 +6753,7 @@ FROM k WHERE k IS NOT NULL GROUP BY 1
         "transitions": _transitions_sql(),
         "user_activity": _user_activity_sql(),
         "stationary": _stationary_sql(),
+        "value_buckets": _value_buckets_sql(),
         "funnel": """
 WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

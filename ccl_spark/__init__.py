@@ -51,6 +51,7 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``anchors``    anchor-text extraction + per-target term index
 - ``frontier``   politeness-scheduled crawl rounds
 - ``analytics``  funnels, retention cohorts, JSON props, percentiles,
+                 exact-quantile bucketing,
                  Markov event-transition matrices + stationary mix,
                  per-user bot signals
 - ``asof``       as-of and banded range joins

