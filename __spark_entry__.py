@@ -1045,6 +1045,35 @@ FROM events e, vbc c
 """
 
 
+def q_user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous users by modified z-score (median/MAD) of per-user
+    event counts — two exact-percentile aggregates, map-side flag."""
+    from ccl_spark.analytics import robust_outliers
+
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    return robust_outliers(counts, "n", ["user_id"], z_cut=2.5)
+
+
+def _user_outliers_sql() -> str:
+    return """
+WITH uoc AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n
+             FROM events GROUP BY 1),
+uom AS (SELECT quantile_cont(n, CAST(0.5 AS DOUBLE)) AS med FROM uoc),
+uod AS (SELECT quantile_cont(abs(n - (SELECT med FROM uom)),
+                             CAST(0.5 AS DOUBLE)) AS mad FROM uoc)
+SELECT user_id, n AS value,
+       ROUND(0.6745 * (n - (SELECT med FROM uom)) / (SELECT mad FROM uod), 6)
+         AS z,
+       abs(0.6745 * (n - (SELECT med FROM uom)) / (SELECT mad FROM uod)) > 2.5
+         AS outlier
+FROM uoc
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel over the events table
     (strict timestamp ordering, earliest-completion semantics)."""
@@ -5734,6 +5763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": q_user_activity,
         "stationary": q_stationary,
         "value_buckets": q_value_buckets,
+        "user_outliers": q_user_outliers,
         "retention": q_retention,
         "json_props": q_json_props,
         "quantiles": q_quantiles,
@@ -6754,6 +6784,7 @@ FROM k WHERE k IS NOT NULL GROUP BY 1
         "user_activity": _user_activity_sql(),
         "stationary": _stationary_sql(),
         "value_buckets": _value_buckets_sql(),
+        "user_outliers": _user_outliers_sql(),
         "funnel": """
 WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

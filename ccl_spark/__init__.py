@@ -51,7 +51,7 @@ web-scale link graphs, built on the Spark DataFrame API:
 - ``anchors``    anchor-text extraction + per-target term index
 - ``frontier``   politeness-scheduled crawl rounds
 - ``analytics``  funnels, retention cohorts, JSON props, percentiles,
-                 exact-quantile bucketing,
+                 exact-quantile bucketing, median/MAD outlier flags,
                  Markov event-transition matrices + stationary mix,
                  per-user bot signals
 - ``asof``       as-of and banded range joins

@@ -308,3 +308,44 @@ def quantile_buckets(
     return df.crossJoin(F.broadcast(cuts)).select(
         *out_cols, bucket.alias("bucket")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Robust outlier flags by the modified z-score (Iglewicz-Hoaglin):
+    z = 0.6745 (x - median) / MAD — median/MAD instead of mean/stddev
+    so heavy-tailed web distributions don't mask their own outliers
+    (the data-quality sweep behind 'which hosts/users are anomalous').
+
+    Two exact-percentile aggregates (median, then median absolute
+    deviation), broadcast back; the flag is a map-side comparison —
+    no window, no sort.  A zero MAD (over half the values identical)
+    flags exactly the values different from the median.  Returns
+    ``keys + (value, z, outlier)`` with z rounded to 6dp.
+    """
+    med = df.agg(F.percentile(value_col, F.lit(0.5)).alias("med"))
+    with_med = df.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        0.6745 * (F.col(value_col) - F.col("med")) / F.col("mad"),
+    ).otherwise(
+        F.when(F.col(value_col) == F.col("med"), F.lit(0.0)).otherwise(
+            F.lit(float("inf")) * F.signum(F.col(value_col) - F.col("med"))
+        )
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            *keys,
+            F.col(value_col).alias("value"),
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > z_cut).alias("outlier"),
+        )
+    )

@@ -189,3 +189,21 @@ def test_quantile_buckets_exact_quartiles(spark):
 
     with pytest.raises(ValueError):
         quantile_buckets(df, "x", 1)
+
+
+def test_robust_outliers_flags_planted(spark):
+    from ccl_spark.analytics import robust_outliers
+
+    rows = [(i, 10.0 + (i % 5)) for i in range(50)] + [
+        (100, 500.0),
+        (101, -300.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double")
+    out = {r.id: r for r in robust_outliers(df, "x", ["id"]).collect()}
+    assert out[100].outlier and out[100].z > 100
+    assert out[101].outlier and out[101].z < -100
+    assert sum(1 for r in out.values() if r.outlier) == 2
+    # zero-MAD degenerate: constant column flags nothing
+    const = spark.createDataFrame([(i, 7.0) for i in range(10)], "id long, x double")
+    got = robust_outliers(const, "x", ["id"]).collect()
+    assert all(not r.outlier and r.z == 0.0 for r in got)
