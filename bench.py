@@ -170,6 +170,16 @@ def main() -> None:
         ).count(),
     )
     timed("simhash", lambda: simhash(docs).agg(F.bit_xor("simhash")).first())
+
+    # sub-document CDC chunk dedup with reassembly (round-5 op): the
+    # row measures chunking + global first-occurrence + rollup
+    from ccl_spark.dedup import chunk_dedup_corpus  # noqa: E402
+
+    n_dedup = timed(
+        "chunk_dedup",
+        lambda: chunk_dedup_corpus(docs, n=4, boundary_mod=8).count(),
+    )
+    extras["docs_per_sec_chunk_dedup"] = round(n_dedup / timings["chunk_dedup"], 1)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q_vec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     timed(
