@@ -1074,6 +1074,74 @@ FROM uoc
 """
 
 
+def q_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burst windows (hourly grid, z>3) — the membership test
+    is cross-multiplied to pure int64 so no float decides the flag."""
+    from ccl_spark.analytics import burst_windows
+
+    return burst_windows(_t(spark, sf_dir, "events"), window_s=3600, z_cut=3)
+
+
+def _bursts_sql() -> str:
+    # FLOOR(epoch(ts)) per-timestamp: Spark unix_timestamp truncates
+    # fractional seconds before any arithmetic.  SUMs come back HUGEINT
+    # in DuckDB; the comparisons stay exact, only z casts to DOUBLE.
+    return """
+WITH bwe AS (SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS u
+             FROM events),
+bws AS (SELECT MIN(u) AS t0,
+               CAST(FLOOR((MAX(u) - MIN(u)) / 3600) AS BIGINT) + 1 AS n_win
+        FROM bwe),
+bww AS (SELECT e.event_type,
+               CAST(FLOOR((e.u - s.t0) / 3600) AS BIGINT) AS win,
+               s.n_win, COUNT(*) AS n
+        FROM bwe e, bws s GROUP BY 1, 2, 3),
+bwt AS (SELECT event_type, SUM(n) AS s, SUM(n * n) AS s2
+        FROM bww GROUP BY 1)
+SELECT w.event_type, w.win, CAST(w.n AS BIGINT) AS n,
+       ROUND(CAST(w.n * w.n_win - t.s AS DOUBLE)
+             / sqrt(CAST(w.n_win * t.s2 - t.s * t.s AS DOUBLE)), 6) AS z
+FROM bww w JOIN bwt t USING (event_type)
+WHERE (w.n * w.n_win - t.s) > 0
+  AND (w.n * w.n_win - t.s) * (w.n * w.n_win - t.s)
+      > 9 * (w.n_win * t.s2 - t.s * t.s)
+  AND (w.n_win * t.s2 - t.s * t.s) > 0
+"""
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) over
+    per-user event-type baskets; metrics are ratios of exact counts."""
+    from ccl_spark.analytics import association_rules
+
+    return association_rules(_t(spark, sf_dir, "events"))
+
+
+def _assoc_rules_sql() -> str:
+    # double operation order matches the Spark side exactly:
+    # n_pair::DOUBLE (*n_users) /n_x /n_y, then ROUND(,6)
+    return """
+WITH arb AS (SELECT DISTINCT user_id, event_type FROM events),
+arn AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM arb),
+ari AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM arb GROUP BY 1),
+arp AS (SELECT a.event_type AS x, b.event_type AS y,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM arb a JOIN arb b USING (user_id)
+        WHERE a.event_type < b.event_type GROUP BY 1, 2),
+arb2 AS (SELECT x, y, n_pair FROM arp
+         UNION ALL SELECT y AS x, x AS y, n_pair FROM arp)
+SELECT p.x AS antecedent, p.y AS consequent, p.n_pair,
+       ROUND(CAST(p.n_pair AS DOUBLE) / (SELECT n_users FROM arn), 6)
+         AS support,
+       ROUND(CAST(p.n_pair AS DOUBLE) / ix.n_item, 6) AS confidence,
+       ROUND(CAST(p.n_pair AS DOUBLE) * (SELECT n_users FROM arn)
+             / ix.n_item / iy.n_item, 6) AS lift
+FROM arb2 p JOIN ari ix ON ix.event_type = p.x
+            JOIN ari iy ON iy.event_type = p.y
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel over the events table
     (strict timestamp ordering, earliest-completion semantics)."""
@@ -5764,6 +5832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stationary": q_stationary,
         "value_buckets": q_value_buckets,
         "user_outliers": q_user_outliers,
+        "bursts": q_bursts,
+        "assoc_rules": q_assoc_rules,
         "retention": q_retention,
         "json_props": q_json_props,
         "quantiles": q_quantiles,
@@ -6785,6 +6855,8 @@ FROM k WHERE k IS NOT NULL GROUP BY 1
         "stationary": _stationary_sql(),
         "value_buckets": _value_buckets_sql(),
         "user_outliers": _user_outliers_sql(),
+        "bursts": _bursts_sql(),
+        "assoc_rules": _assoc_rules_sql(),
         "funnel": """
 WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

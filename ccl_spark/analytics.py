@@ -349,3 +349,130 @@ def robust_outliers(
             (F.abs(z) > z_cut).alias("outlier"),
         )
     )
+
+
+def burst_windows(
+    events: DataFrame,
+    window_s: int = 3600,
+    z_cut: int = 3,
+) -> DataFrame:
+    """Burst detection per event type: fixed windows whose count sits
+    more than ``z_cut`` population standard deviations above that
+    type's own mean rate (the 'did this error type spike this hour'
+    sweep over a crawl/event log).
+
+    The flag is INTEGER-EXACT — no floats decide membership.  With W
+    total windows in the observed span, S = total events of the type
+    and S2 = sum of squared per-window counts, the z>z_cut test
+    ``(c - S/W) / sigma > z`` cross-multiplies to
+
+        (c*W - S)^2 > z^2 * (W*S2 - S^2)   and   c*W > S
+
+    (sigma^2 = (W*S2 - S^2)/W^2), all in int64.  Zero-count windows
+    contribute nothing to S2 and can never be bursts, so the window
+    grid is never materialized: one (type, window) count, one per-type
+    rollup, a broadcast scalar for W.  Two shuffles on bounded keys —
+    scale-safe at any event volume.  The reported ``z`` is the one
+    float, derived AFTER the exact flag, rounded to 6dp.
+    """
+    if window_s <= 0 or z_cut <= 0:
+        raise ValueError("window_s and z_cut must be positive")
+    unix = F.unix_timestamp("ts")
+    span = events.agg(
+        F.min(unix).alias("t0"),
+        (F.floor((F.max(unix) - F.min(unix)) / window_s) + 1).alias("n_win"),
+    )
+    per_win = (
+        events.crossJoin(F.broadcast(span))
+        .groupBy(
+            "event_type",
+            F.floor((unix - F.col("t0")) / window_s).cast("long").alias("win"),
+            "n_win",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    per_type = per_win.groupBy("event_type").agg(
+        F.sum("n").alias("s"), F.sum(F.col("n") * F.col("n")).alias("s2")
+    )
+    j = per_win.join(F.broadcast(per_type), "event_type")
+    dev = F.col("n") * F.col("n_win") - F.col("s")
+    var_num = F.col("n_win") * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        j.where((dev > 0) & (dev * dev > z_cut * z_cut * var_num) & (var_num > 0))
+        .select(
+            "event_type",
+            F.col("win").alias("win"),
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                dev.cast("double") / F.sqrt(var_num.cast("double")), 6
+            ).alias("z"),
+        )
+    )
+
+
+def association_rules(
+    events: DataFrame,
+    min_pair_users: int = 1,
+) -> DataFrame:
+    """Pairwise association rules over per-user event-type baskets:
+    for every ordered type pair (a -> b) co-occurring in at least
+    ``min_pair_users`` baskets, support / confidence / lift — the
+    market-basket sweep behind 'users who hit X also hit Y'.
+
+    Baskets are DISTINCT (user, type) — one shuffle; pair counts come
+    from a user-keyed self-join of the basket table, which is bounded
+    by (basket size)^2 per user, and basket size is bounded by the
+    item domain (event types), not by the user's event volume.  For
+    large item domains, pre-prune items below min support before the
+    self-join (the classic Apriori first pass) — noted, not needed for
+    bounded type domains.  All three metrics are ratios of exact
+    int64 counts, rounded to 6dp after identical double operation
+    order on both engines.
+    """
+    baskets = events.select("user_id", "event_type").distinct()
+    n_users = baskets.agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    item = baskets.groupBy("event_type").agg(F.count("*").alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("x"), F.col("b.event_type").alias("y")
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_users)
+    )
+    # both rule directions from the one unordered pair count
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("y").alias("x"), F.col("x").alias("y"), "n_pair"
+        )
+    )
+    ix = item.select(F.col("event_type").alias("x"), F.col("n_item").alias("n_x"))
+    iy = item.select(F.col("event_type").alias("y"), F.col("n_item").alias("n_y"))
+    return (
+        both.join(F.broadcast(ix), "x")
+        .join(F.broadcast(iy), "y")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_users"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_pair").cast("double") / F.col("n_x"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_users")
+                / F.col("n_x")
+                / F.col("n_y"),
+                6,
+            ).alias("lift"),
+        )
+    )

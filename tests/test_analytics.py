@@ -207,3 +207,85 @@ def test_robust_outliers_flags_planted(spark):
     const = spark.createDataFrame([(i, 7.0) for i in range(10)], "id long, x double")
     got = robust_outliers(const, "x", ["id"]).collect()
     assert all(not r.outlier and r.z == 0.0 for r in got)
+
+
+def test_burst_windows_exact(spark):
+    import math
+
+    def _tm(minute):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minute)
+
+    # type "a": steady 1/window with one 10-count spike; "b": uniform
+    rows = []
+    for w in range(12):
+        rows.append((1, _tm(w * 10), "a"))
+    for k in range(9):  # spike in window 5 (minute 50-59)
+        rows.append((2, _tm(50 + k), "a"))
+    for w in range(12):
+        rows.append((3, _tm(w * 10 + 1), "b"))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    from ccl_spark.analytics import burst_windows
+
+    got = {
+        (r["event_type"], r["win"]): (r["n"], r["z"])
+        for r in burst_windows(df, window_s=600, z_cut=3).collect()
+    }
+    # pure-Python replay
+    import collections
+
+    t0 = min(r[1] for r in rows).timestamp()
+    n_win = int((max(r[1] for r in rows).timestamp() - t0) // 600) + 1
+    cnt = collections.Counter(
+        (r[2], int((r[1].timestamp() - t0) // 600)) for r in rows
+    )
+    expect = {}
+    for typ in {"a", "b"}:
+        s = sum(c for (t, _), c in cnt.items() if t == typ)
+        s2 = sum(c * c for (t, _), c in cnt.items() if t == typ)
+        var_num = n_win * s2 - s * s
+        for (t, w), c in cnt.items():
+            if t != typ:
+                continue
+            dev = c * n_win - s
+            if var_num > 0 and dev > 0 and dev * dev > 9 * var_num:
+                expect[(t, w)] = (c, round(dev / math.sqrt(var_num), 6))
+    assert got == expect
+    assert ("a", 5) in got and not any(t == "b" for t, _ in got)
+
+
+def test_association_rules_exact(spark):
+    rows = [
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "buy"),
+        (2, _ts(1), "view"), (2, _ts(2), "click"),
+        (3, _ts(1), "view"),
+        (4, _ts(1), "click"), (4, _ts(2), "buy"), (4, _ts(3), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    from ccl_spark.analytics import association_rules
+
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_pair"], r["support"], r["confidence"], r["lift"]
+        )
+        for r in association_rules(df).collect()
+    }
+    baskets = {1: {"view", "click", "buy"}, 2: {"view", "click"},
+               3: {"view"}, 4: {"click", "buy"}}
+    n_users = 4
+    item = {"view": 3, "click": 3, "buy": 2}
+    import itertools
+
+    expect = {}
+    pair = {}
+    for b in baskets.values():
+        for x, y in itertools.combinations(sorted(b), 2):
+            pair[(x, y)] = pair.get((x, y), 0) + 1
+    for (x, y), n in pair.items():
+        for a, c in [(x, y), (y, x)]:
+            expect[(a, c)] = (
+                n,
+                round(n / n_users, 6),
+                round(n / item[a], 6),
+                round(n * n_users / item[a] / item[c], 6),
+            )
+    assert got == expect
