@@ -1109,6 +1109,36 @@ WHERE (w.n * w.n_win - t.s) > 0
 """
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Goh-Barabasi burstiness over integer inter-event gaps
+    — B = (sqrt(D) - S)/(sqrt(D) + S), D/S exact int64, one sqrt."""
+    from ccl_spark.analytics import interevent_burstiness
+
+    return interevent_burstiness(_t(spark, sf_dir, "events"))
+
+
+def _burstiness_sql() -> str:
+    # FLOOR(epoch(ts)) per timestamp (Spark unix_timestamp floors);
+    # LEAD ordered (ts, event_id) like the transitions oracle
+    return """
+WITH ibg AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS u,
+                    LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) AS nx
+             FROM events),
+ibd AS (SELECT user_id, nx - u AS g FROM ibg WHERE nx IS NOT NULL),
+iba AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS s,
+               CAST(SUM(g * g) AS BIGINT) AS s2
+        FROM ibd GROUP BY 1)
+SELECT user_id, n AS n_gaps, ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_gap_s,
+       CASE WHEN sqrt(CAST(n * s2 - s * s AS DOUBLE)) + s = 0 THEN 0.0
+            ELSE ROUND((sqrt(CAST(n * s2 - s * s AS DOUBLE)) - s)
+                       / (sqrt(CAST(n * s2 - s * s AS DOUBLE)) + s), 6)
+       END AS burstiness
+FROM iba WHERE n >= 2
+"""
+
+
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise association rules (support / confidence / lift) over
     per-user event-type baskets; metrics are ratios of exact counts."""
@@ -4661,6 +4691,47 @@ pr0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) AS r FROM verts)
     )
 
 
+def q_pr_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-iteration PageRank convergence metrics on the host graph:
+    L1 residual + max per-vertex delta in exact integer micro-units —
+    the superstep-lineage convergence row as a first-class query."""
+    from ccl_spark.edges import host_graph
+    from ccl_spark.pagerank import pagerank_residuals
+
+    hg = host_graph(_host_url_pairs(spark, sf_dir))
+    he = hg.select(
+        F.regexp_extract("src_host", r"host(\d+)", 1).cast("long").alias("src"),
+        F.regexp_extract("dst_host", r"host(\d+)", 1).cast("long").alias("dst"),
+        "weight",
+    )
+    return pagerank_residuals(he, n_iter=HOST_PR_ITERS, weight="weight")
+
+
+def _pr_convergence_sql(iters: int) -> str:
+    # same weighted-PR chain as host_pagerank, plus per-step residual
+    # rows; deltas floor to int64 micro-units BEFORE summing so the
+    # aggregate is order-insensitive on both engines
+    pre = f"""
+WITH
+e AS MATERIALIZED ({_HOST_EDGES_SQL}),
+verts AS MATERIALIZED (SELECT DISTINCT v AS vertex FROM
+          (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+outdeg AS MATERIALIZED (SELECT src AS vertex, SUM(w) AS deg FROM e GROUP BY src),
+pr0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) AS r FROM verts)
+"""
+    res = []
+    for k in range(1, iters + 1):
+        res.append(
+            f"SELECT CAST({k} AS INTEGER) AS iter,"
+            f" CAST(SUM(dm) AS BIGINT) AS residual_micro,"
+            f" CAST(MAX(dm) AS BIGINT) AS max_delta_micro FROM"
+            f" (SELECT CAST(FLOOR(ABS(a.r - b.r) * 1e6 + 0.5) AS BIGINT) AS dm"
+            f"  FROM pr{k} a JOIN pr{k - 1} b USING (vertex))"
+        )
+    return pre + _wpr_steps(iters) + "\n" + "\nUNION ALL\n".join(res)
+
+
 _NF_MEMO: dict[str, list[tuple[int, int]]] = {}
 
 
@@ -5833,7 +5904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_buckets": q_value_buckets,
         "user_outliers": q_user_outliers,
         "bursts": q_bursts,
+        "burstiness": q_burstiness,
         "assoc_rules": q_assoc_rules,
+        "pr_convergence": q_pr_convergence,
         "retention": q_retention,
         "json_props": q_json_props,
         "quantiles": q_quantiles,
@@ -6856,7 +6929,9 @@ FROM k WHERE k IS NOT NULL GROUP BY 1
         "value_buckets": _value_buckets_sql(),
         "user_outliers": _user_outliers_sql(),
         "bursts": _bursts_sql(),
+        "burstiness": _burstiness_sql(),
         "assoc_rules": _assoc_rules_sql(),
+        "pr_convergence": _pr_convergence_sql(HOST_PR_ITERS),
         "funnel": """
 WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -476,3 +476,50 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def interevent_burstiness(
+    events: DataFrame,
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Per-user burstiness of inter-event gaps (Goh & Barabasi 2008):
+    B = (sigma - mu) / (sigma + mu) over the integer-second gaps
+    between consecutive events — B near 1 is bursty (machine-gun then
+    silence, the bot/crawler signature), near -1 is metronomic, 0 is
+    Poisson.
+
+    With S = sum of gaps, S2 = sum of squares, n gaps, population
+    sigma = sqrt(n*S2 - S^2)/n and mu = S/n — the n cancels:
+    B = (sqrt(D) - S) / (sqrt(D) + S) with D = n*S2 - S^2 held in
+    int64, so the single sqrt is the only float and both engines see
+    identical arguments.  Gaps come from unix_timestamp (which FLOORS
+    fractional seconds) LEADed over (ts, event_id); floor preserves
+    the sort order so gaps are never negative.  One window pass + one
+    groupBy — two shuffles on user_id.
+    """
+    if min_gaps < 2:
+        raise ValueError("interevent_burstiness: min_gaps must be >= 2")
+    from pyspark.sql import Window
+
+    u = F.unix_timestamp("ts")
+    nxt = F.lead(u).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    gaps = (
+        events.select("user_id", (nxt - u).alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("s2"),
+    )
+    rt = F.sqrt((F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double"))
+    return agg.where(F.col("n") >= min_gaps).select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean_gap_s"),
+        F.when(rt + F.col("s") == 0, F.lit(0.0))
+        .otherwise(F.round((rt - F.col("s")) / (rt + F.col("s")), 6))
+        .alias("burstiness"),
+    )

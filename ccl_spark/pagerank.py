@@ -775,3 +775,113 @@ def eigenvector_centrality(
         .orderBy(F.desc("score"), F.asc("vertex"))
         .limit(k)
     )
+
+
+def pagerank_residuals(
+    edges: DataFrame,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Per-iteration PageRank convergence metrics: ``(iter int,
+    residual_micro long, max_delta_micro long)`` — the L1 residual and
+    max per-vertex delta of each power iteration, in exact integer
+    micro-units (``floor(|r_k(v) - r_{k-1}(v)| * 1e6 + 0.5)`` summed
+    as int64, so the metric is order-insensitive: Spark's unordered
+    partial sums and a sequential SQL replay agree bit-for-bit).
+
+    This is the convergence-metrics row the superstep harness records
+    per checkpoint (superstep.py lineage), surfaced as a first-class
+    query: run it on a schedule to pick the iteration budget, or
+    compare residual curves across crawl snapshots.  Mirrors
+    CCL-style iterate-to-convergence reporting (reference run logs
+    expose per-sweep deltas); update arithmetic is the engine's
+    weighted update (contrib = r * w / out-weight, dangling and
+    teleport mass spread 1/n).
+
+    Execution: one edge⋈rank join + one groupBy per iteration (each
+    state eagerly checkpointed so plan depth stays O(1)); the per-
+    iteration metric aggregates are DEFERRED 1-row frames unioned and
+    collected in ONE job at the end — n_iter driver round-trips become
+    one, and driver-side state is n_iter scalar rows, never the rank
+    vector.
+    """
+    if n_iter <= 0:
+        raise ValueError("pagerank_residuals: n_iter must be positive")
+    w = (
+        F.lit(1.0)
+        if weight is None
+        else F.col(weight).cast("double")
+    )
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+            w.alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    spark = edges.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [], "iter int, residual_micro long, max_delta_micro long"
+        )
+    outdeg = e.groupBy(F.col("src").alias("vertex")).agg(
+        F.sum("w").alias("deg")
+    ).localCheckpoint(eager=True)
+    d = float(damping)
+    r = verts.select("vertex", F.lit(1.0 / n).alias("r")).localCheckpoint(
+        eager=True
+    )
+    rows = []
+    for k in range(1, n_iter + 1):
+        dang = (
+            r.join(outdeg, "vertex", "left")
+            .where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dg"))
+        )
+        contrib = (
+            r.join(outdeg, "vertex")
+            .join(e.withColumnRenamed("src", "vertex"), "vertex")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("deg")).alias("c"))
+        )
+        r_new = (
+            verts.join(contrib, "vertex", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "vertex",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce("c", F.lit(0.0)) + F.col("dg") / n)
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = F.floor(
+            F.abs(r_new["r"] - F.col("r_old")) * 1e6 + F.lit(0.5)
+        ).cast("long")
+        rows.append(
+            r_new.join(r.withColumnRenamed("r", "r_old"), "vertex").agg(
+                F.lit(k).cast("int").alias("iter"),
+                F.sum(delta).alias("residual_micro"),
+                F.max(delta).alias("max_delta_micro"),
+            )
+        )
+        r = r_new
+    out = rows[0]
+    for m in rows[1:]:
+        out = out.unionByName(m)
+    return out

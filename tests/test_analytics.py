@@ -289,3 +289,55 @@ def test_association_rules_exact(spark):
                 round(n * n_users / item[a] / item[c], 6),
             )
     assert got == expect
+
+
+def test_interevent_burstiness_exact(spark):
+    import math
+
+    rows = []
+    # user 1: bursty — 5 events in 4 s then one 1000 s later
+    for k in range(5):
+        rows.append((1, _ts(0) + datetime.timedelta(seconds=k), "a", k))
+    rows.append((1, _ts(0) + datetime.timedelta(seconds=1004), "a", 9))
+    # user 2: metronomic — every 60 s
+    for k in range(6):
+        rows.append((2, _ts(0) + datetime.timedelta(seconds=60 * k), "a", 10 + k))
+    # user 3: a single event -> filtered (0 gaps)
+    rows.append((3, _ts(0), "a", 99))
+    # user 4: all simultaneous -> zero gaps, B defined as 0
+    rows.append((4, _ts(0), "a", 100))
+    rows.append((4, _ts(0), "a", 101))
+    rows.append((4, _ts(0), "a", 102))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    from ccl_spark.analytics import interevent_burstiness
+
+    got = {
+        r.user_id: (r.n_gaps, r.mean_gap_s, r.burstiness)
+        for r in interevent_burstiness(df).collect()
+    }
+
+    def replay(gaps):
+        n, s, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        d = n * s2 - s * s
+        rt = math.sqrt(d)
+        b = 0.0 if rt + s == 0 else round((rt - s) / (rt + s), 6)
+        return (n, round(s / n, 6), b)
+
+    assert got == {
+        1: replay([1, 1, 1, 1, 1000]),
+        2: replay([60] * 5),
+        4: replay([0, 0]),
+    }
+    assert got[1][2] > 0.3 and got[2][2] == -1.0 and got[4][2] == 0.0
+
+
+def test_burstiness_rejects_bad_min_gaps(spark):
+    import pytest
+
+    from ccl_spark.analytics import interevent_burstiness
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_id long")
+    with pytest.raises(ValueError):
+        interevent_burstiness(df, min_gaps=1)
