@@ -923,6 +923,75 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
 
 
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    the two doc_id-parity corpus halves — the crawl-drift probe."""
+    from ccl_spark.textops import corpus_js_divergence
+
+    return corpus_js_divergence(_t(spark, sf_dir, "documents"))
+
+
+def _corpus_divergence_sql() -> str:
+    # CASE guards define the 0-count KL terms as exactly 0; per-term
+    # contributions are summed as doubles then rounded (entropy-gate
+    # pattern: ~1e-12 order noise under a 6dp round)
+    return """
+WITH jse AS (SELECT doc_id % 2 AS side, t.term
+             FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+             WHERE t.term <> ''),
+jsc AS (SELECT term,
+               SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+        FROM jse GROUP BY 1),
+jst AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM jsc),
+jsp AS (SELECT ca, cb,
+               CAST(ca AS DOUBLE) / (SELECT na FROM jst) AS p,
+               CAST(cb AS DOUBLE) / (SELECT nb FROM jst) AS q
+        FROM jsc)
+SELECT CAST((SELECT na FROM jst) AS BIGINT) AS n_tokens_a,
+       CAST((SELECT nb FROM jst) AS BIGINT) AS n_tokens_b,
+       CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+       CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+       CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_shared,
+       ROUND(SUM((CASE WHEN ca > 0 THEN p * LN(p / ((p + q) / 2))
+                       ELSE 0.0 END
+                  + CASE WHEN cb > 0 THEN q * LN(q / ((p + q) / 2))
+                         ELSE 0.0 END) / 2), 6) AS js_divergence
+FROM jsp
+"""
+
+
+def q_host_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF: the 3 most distinctive terms per source (Grootendorst
+    score c * ln(1 + N/df)), deterministic (score DESC, term) top-k."""
+    from ccl_spark.textops import ctfidf_terms
+
+    return ctfidf_terms(_t(spark, sf_dir, "documents"), k_terms=3)
+
+
+def _host_terms_sql() -> str:
+    return """
+WITH cte AS (SELECT source AS cls, t.term
+             FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+             WHERE t.term <> ''),
+ctf AS (SELECT cls, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM cte GROUP BY 1, 2),
+cdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ctf GROUP BY 1),
+cnn AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n FROM documents),
+csc AS (SELECT f.cls, f.term,
+               ROUND(f.tf * LN(1.0 + CAST((SELECT n FROM cnn) AS DOUBLE)
+                                     / d.df), 6) AS score
+        FROM ctf f JOIN cdf d USING (term))
+SELECT cls AS source, term, score FROM
+ (SELECT cls, term, score,
+         ROW_NUMBER() OVER (PARTITION BY cls
+                            ORDER BY score DESC, term ASC) AS rn
+  FROM csc)
+WHERE rn <= 3
+"""
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov event-type transition matrix over per-user
     sequences (LEAD ordered by ts, event_id) — counts + P(next|cur)."""
@@ -5904,6 +5973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_buckets": q_value_buckets,
         "user_outliers": q_user_outliers,
         "bursts": q_bursts,
+        "corpus_divergence": q_corpus_divergence,
+        "host_terms": q_host_terms,
         "burstiness": q_burstiness,
         "assoc_rules": q_assoc_rules,
         "pr_convergence": q_pr_convergence,
@@ -6929,6 +7000,8 @@ FROM k WHERE k IS NOT NULL GROUP BY 1
         "value_buckets": _value_buckets_sql(),
         "user_outliers": _user_outliers_sql(),
         "bursts": _bursts_sql(),
+        "corpus_divergence": _corpus_divergence_sql(),
+        "host_terms": _host_terms_sql(),
         "burstiness": _burstiness_sql(),
         "assoc_rules": _assoc_rules_sql(),
         "pr_convergence": _pr_convergence_sql(HOST_PR_ITERS),

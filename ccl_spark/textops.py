@@ -1158,3 +1158,109 @@ def fuzzy_match(
         .filter(F.col("dist") <= max_dist)
         .select(F.col("l").alias("left"), F.col("r").alias("right"), "dist")
     )
+
+
+def corpus_js_divergence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    two deterministic corpus halves (``doc_id % 2``) — the drift probe
+    run between crawl snapshots or before/after a filtering stage: a
+    JSD near 0 means the filter didn't shift the language, a jump
+    means it did.  One row: token totals, vocabulary sizes/overlap,
+    and the JSD in nats (0 <= JSD <= ln 2).
+
+    Shape at scale: one explode, ONE (term)-keyed conditional
+    aggregate carrying both halves' counts (never two scans or a
+    self-join), totals brought in as a broadcast one-row frame, and a
+    final scalar aggregate.  Zero-count terms contribute 0 to their
+    half's KL term by definition (the CASE guard, not a float hack);
+    per-term contributions are ~1e-3 doubles so the rounded-6dp sum is
+    stable under any partial-sum order.
+    """
+    side = F.pmod(F.col(id_col).cast("long"), F.lit(2))
+    terms = docs.select(
+        side.alias("side"), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    cnt = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    m = (p + q) / 2
+    contrib = (
+        F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / 2
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("na").cast("long").alias("n_tokens_a"),
+            F.max("nb").cast("long").alias("n_tokens_b"),
+            F.sum(F.when(F.col("ca") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_a"),
+            F.sum(F.when(F.col("cb") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_b"),
+            F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_shared"),
+            F.round(F.sum(contrib), 6).alias("js_divergence"),
+        )
+    )
+
+
+def ctfidf_terms(
+    docs: DataFrame,
+    class_col: str = "source",
+    k_terms: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Class-based TF-IDF (Grootendorst's c-TF-IDF, the BERTopic
+    labeling score): the ``k_terms`` most DISTINCTIVE terms per class
+    — here per ``source``/host — by ``score = c * ln(1 + N/df)`` with
+    c the term's count inside the class, df the number of classes
+    containing it, N the class count.  The +1 keeps corpus-universal
+    terms positive instead of vanishing, matching the published form.
+
+    One explode + (class, term) count, a term-keyed df aggregate, N as
+    a broadcast one-row frame, and a per-class window top-k — the
+    window key is the class, so no partition exceeds one class's
+    vocabulary.  Deterministic tie-break (round(score, 6) DESC, term
+    ASC) so both engines select identical rows.
+    """
+    exploded = docs.select(
+        F.col(class_col).alias("cls"), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = exploded.groupBy("cls", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_cls = docs.select(class_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_cls")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_cls))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0) + F.col("n_cls").cast("double") / F.col("df")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("cls").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_terms)
+        .select(F.col("cls").alias(class_col), "term", "score")
+    )

@@ -950,3 +950,77 @@ def test_fuzzy_match_blocking_and_verify(spark):
     assert ("zebra", "sebra") not in got
     # distance bound respected
     assert all(d <= 2 for d in got.values())
+
+
+def test_corpus_js_divergence_exact(spark):
+    import math
+
+    rows = [
+        (0, "a b a c"),   # side 0
+        (2, "a a d"),     # side 0
+        (1, "b b e"),     # side 1
+        (3, "a e e"),     # side 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from ccl_spark.textops import corpus_js_divergence
+
+    got = corpus_js_divergence(df).first()
+    ca = {"a": 4, "b": 1, "c": 1, "d": 1}
+    cb = {"a": 1, "b": 2, "e": 3}
+    na, nb = sum(ca.values()), sum(cb.values())
+    js = 0.0
+    for t in set(ca) | set(cb):
+        p, q = ca.get(t, 0) / na, cb.get(t, 0) / nb
+        m = (p + q) / 2
+        js += ((p * math.log(p / m) if p else 0.0)
+               + (q * math.log(q / m) if q else 0.0)) / 2
+    assert (got.n_tokens_a, got.n_tokens_b) == (na, nb)
+    assert (got.vocab_a, got.vocab_b, got.vocab_shared) == (4, 3, 2)
+    assert got.js_divergence == round(js, 6)
+    # identical halves -> JSD 0; disjoint -> ln 2
+    same = spark.createDataFrame(
+        [(0, "x y"), (1, "x y")], "doc_id long, text string"
+    )
+    assert corpus_js_divergence(same).first().js_divergence == 0.0
+    disj = spark.createDataFrame(
+        [(0, "x x"), (1, "y y")], "doc_id long, text string"
+    )
+    assert disj.sparkSession is spark
+    assert corpus_js_divergence(disj).first().js_divergence == round(
+        math.log(2), 6
+    )
+
+
+def test_ctfidf_terms_exact(spark):
+    import math
+
+    rows = [
+        ("h0", "cat cat dog"),
+        ("h0", "cat fish"),
+        ("h1", "dog dog bird"),
+        ("h2", "fish fish fish bird"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    from ccl_spark.textops import ctfidf_terms
+
+    got = {
+        (r.source, r.term): r.score for r in ctfidf_terms(df, k_terms=2).collect()
+    }
+    import collections
+
+    tf = collections.Counter()
+    for s, text in rows:
+        for t in text.split(" "):
+            tf[(s, t)] += 1
+    dfreq = collections.Counter(t for (_, t) in tf)
+    n = 3
+    scored = collections.defaultdict(list)
+    for (s, t), c in tf.items():
+        scored[s].append((round(c * math.log(1 + n / dfreq[t]), 6), t))
+    expect = {}
+    for s, lst in scored.items():
+        for score, t in sorted(lst, key=lambda x: (-x[0], x[1]))[:2]:
+            expect[(s, t)] = score
+    assert got == expect
+    # the distinctive term wins over the shared one
+    assert ("h0", "cat") in got and ("h1", "dog") in got
