@@ -2219,16 +2219,29 @@ SELECT u, v, score FROM pr ORDER BY score DESC, u, v LIMIT {k}
 """
 
 
+_CORPUS_LOUVAIN_MEMO: dict[int, DataFrame] = {}
+
+
+def _corpus_louvain_labels(spark: SparkSession) -> DataFrame:
+    """Memoized 3-round greedy-modularity labels of the corpus-1000
+    graph — shared by louvain and partition_nmi."""
+    key = id(spark)
+    if key not in _CORPUS_LOUVAIN_MEMO:
+        from ccl_spark.graphstats import greedy_modularity_labels
+
+        _CORPUS_LOUVAIN_MEMO[key] = greedy_modularity_labels(
+            _corpus_edges(spark, 1000), rounds=3
+        ).localCheckpoint(eager=True)
+    return _CORPUS_LOUVAIN_MEMO[key]
+
+
 def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain-style synchronous greedy modularity moves (3 rounds) on
     the corpus graph; community sizes top-10. Oracle replays the
     identical gain-argmax rounds as chained CTEs — the score
     arithmetic is integer-derived so ties break identically."""
-    from ccl_spark.graphstats import greedy_modularity_labels
-
-    e = _corpus_edges(spark, 1000)
     _dump_edges(spark, 1000)
-    lab = greedy_modularity_labels(e, rounds=3)
+    lab = _corpus_louvain_labels(spark)
     return (
         lab.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_vertices"))
@@ -2279,6 +2292,81 @@ l{t + 1} AS MATERIALIZED (SELECT v, c AS lab FROM (
         + f"""
 SELECT lab AS label, COUNT(*) AS n_vertices FROM l{rounds}
 GROUP BY lab ORDER BY n_vertices DESC, label LIMIT {k}"""
+    )
+
+
+def q_partition_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between the LPA and Louvain
+    partitions of the corpus graph — the community-agreement score,
+    from one exact integer contingency table."""
+    from ccl_spark.graphstats import partition_nmi
+
+    _dump_edges(spark, 1000)
+    return partition_nmi(
+        _corpus_lpa_labels(spark), _corpus_louvain_labels(spark)
+    )
+
+
+def _partition_nmi_sql(lpa_iters: int, louvain_rounds: int) -> str:
+    """LPA chain (l{iters}) + g-prefixed Louvain rounds (gl{rounds},
+    reusing the chain's shared ``und``) + the c*ln(c) NMI tail."""
+    parts = [
+        """
+gdeg AS MATERIALIZED (SELECT u AS v, COUNT(*) AS dg FROM und GROUP BY u),
+ge2 AS (SELECT SUM(dg) AS e2 FROM gdeg),
+gl0 AS (SELECT v, v AS lab FROM gdeg)"""
+    ]
+    for t in range(louvain_rounds):
+        parts.append(
+            f"""
+gms{t} AS (SELECT l.lab, SUM(d.dg) AS mass
+         FROM gl{t} l JOIN gdeg d ON d.v = l.v GROUP BY l.lab),
+gk{t} AS (SELECT und.u AS v, l.lab AS c, COUNT(*) AS k
+        FROM und JOIN gl{t} l ON l.v = und.v GROUP BY 1, 2),
+gcand{t} AS (SELECT v, c, k FROM gk{t}
+           UNION ALL
+           SELECT l.v, l.lab AS c, 0 AS k FROM gl{t} l
+           WHERE NOT EXISTS (SELECT 1 FROM gk{t} kk
+                             WHERE kk.v = l.v AND kk.c = l.lab)),
+gsc{t} AS (SELECT cand.v, cand.c,
+                cand.k - gdeg.dg * (ms.mass -
+                    CASE WHEN cand.c = l.lab THEN gdeg.dg ELSE 0 END)
+                    / ge2.e2 AS score
+         FROM gcand{t} cand JOIN gdeg ON gdeg.v = cand.v
+         JOIN gms{t} ms ON ms.lab = cand.c
+         JOIN gl{t} l ON l.v = cand.v, ge2),
+gl{t + 1} AS MATERIALIZED (SELECT v, c AS lab FROM (
+            SELECT v, c, ROW_NUMBER() OVER (
+                PARTITION BY v ORDER BY score DESC, c) AS rn
+            FROM gsc{t}) WHERE rn = 1)"""
+        )
+    nd = "CAST(n AS DOUBLE)"
+    mi = f"(c - a - b) / {nd} + LN({nd})"
+    ha = f"LN({nd}) - a / {nd}"
+    hb = f"LN({nd}) - b / {nd}"
+    return (
+        _corpus_lpa_chain(lpa_iters)
+        + ","
+        + ",".join(parts)
+        + f""",
+nmc AS (SELECT a.lab AS la, b.lab AS lb, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM l{lpa_iters} a JOIN gl{louvain_rounds} b ON b.v = a.vertex
+        GROUP BY 1, 2),
+nmt AS (SELECT CAST(SUM(nij) AS BIGINT) AS n, SUM(nij * LN(nij)) AS c
+        FROM nmc),
+nma AS (SELECT SUM(ai * LN(ai)) AS a FROM
+        (SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM nmc GROUP BY la)),
+nmb AS (SELECT SUM(bj * LN(bj)) AS b FROM
+        (SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM nmc GROUP BY lb))
+SELECT n AS n_vertices,
+       ROUND({mi}, 6) AS mi,
+       ROUND({ha}, 6) AS h_a,
+       ROUND({hb}, 6) AS h_b,
+       CASE WHEN ({ha}) + ({hb}) = 0 THEN 1.0
+            ELSE ROUND(2 * ({mi}) / (({ha}) + ({hb})), 6)
+       END AS nmi
+FROM nmt, nma, nmb
+"""
     )
 
 
@@ -6047,6 +6135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies": q_butterflies,
         "modularity": q_modularity,
         "louvain": q_louvain,
+        "partition_nmi": q_partition_nmi,
         "degree_dist": q_degree_dist,
         "powerlaw": q_powerlaw,
         "transitivity": q_transitivity,
@@ -6891,6 +6980,7 @@ SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_wedges,
 FROM pairs""",
         "modularity": _modularity_sql(5),
         "louvain": _louvain_sql(3, 10),
+        "partition_nmi": _partition_nmi_sql(5, 3),
         "degree_dist": f"""
 WITH und AS (SELECT DISTINCT s, d FROM (
     SELECT src AS s, dst AS d FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'

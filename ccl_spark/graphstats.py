@@ -997,3 +997,62 @@ def link_prediction_eval(
         F.round(F.avg("mrr"), 6).alias("mean_mrr"),
         F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
     )
+
+
+def partition_nmi(labels_a: DataFrame, labels_b: DataFrame) -> DataFrame:
+    """Normalized mutual information between two vertex partitions —
+    the community-detection agreement score (Danon et al. 2005): 1
+    when the labelings are identical up to renaming, ~0 when
+    independent.  Both inputs are ``(vertex, label)``; vertices are
+    intersected by the join.
+
+    Everything reduces to three integer-weighted entropy sums over
+    ONE contingency table: with n_ij the (label_a, label_b) cell
+    counts, a_i / b_j its marginals and n the total,
+
+        MI  = (C - A - B)/n + ln n      C = sum n_ij ln n_ij
+        H_a = ln n - A/n                A = sum a_i ln a_i
+        H_b = ln n - B/n                B = sum b_j ln b_j
+        NMI = 2 MI / (H_a + H_b)        (1.0 when both entropies are 0)
+
+    — the exact c*ln(c) rearrangement the type-entropy gate uses, so
+    zero-count cells never appear and each ln sees an exact integer.
+    One join + one groupBy sized by the cell count; marginal and cell
+    aggregates are 1-row frames combined by broadcast cross joins.
+    """
+    a = labels_a.select("vertex", F.col("label").alias("la"))
+    b = labels_b.select("vertex", F.col("label").alias("lb"))
+    ct = (
+        a.join(b, "vertex")
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    ct = ct.localCheckpoint(eager=True)
+    sc = ct.agg(
+        F.sum("nij").alias("n"),
+        F.sum(F.col("nij") * F.log(F.col("nij").cast("double"))).alias("c"),
+    )
+    sa = (
+        ct.groupBy("la")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(F.sum(F.col("ai") * F.log(F.col("ai").cast("double"))).alias("a"))
+    )
+    sb = (
+        ct.groupBy("lb")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(F.sum(F.col("bj") * F.log(F.col("bj").cast("double"))).alias("b"))
+    )
+    j = sc.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    n = F.col("n").cast("double")
+    mi = (F.col("c") - F.col("a") - F.col("b")) / n + F.log(n)
+    ha = F.log(n) - F.col("a") / n
+    hb = F.log(n) - F.col("b") / n
+    return j.select(
+        F.col("n").cast("long").alias("n_vertices"),
+        F.round(mi, 6).alias("mi"),
+        F.round(ha, 6).alias("h_a"),
+        F.round(hb, 6).alias("h_b"),
+        F.when(ha + hb == 0, F.lit(1.0))
+        .otherwise(F.round(2 * mi / (ha + hb), 6))
+        .alias("nmi"),
+    )

@@ -428,3 +428,34 @@ def test_link_prediction_eval_deterministic(spark):
     a = link_prediction_eval(df, k=5).first()
     b = link_prediction_eval(df, k=5).first()
     assert a == b
+
+
+def test_partition_nmi_exact(spark):
+    from ccl_spark.graphstats import partition_nmi
+
+    def mk(pairs):
+        return spark.createDataFrame(pairs, "vertex long, label long")
+
+    # identical up to renaming -> NMI 1
+    a = mk([(0, 0), (1, 0), (2, 5), (3, 5)])
+    b = mk([(0, 9), (1, 9), (2, 2), (3, 2)])
+    r = partition_nmi(a, b).first()
+    assert r.nmi == 1.0 and r.n_vertices == 4 and r.mi == r.h_a == r.h_b
+
+    # hand-checked 2x2 contingency vs pure-Python replay
+    a = mk([(i, 0 if i < 3 else 1) for i in range(6)])       # 3/3 split
+    b = mk([(i, 0 if i in (0, 1, 3) else 1) for i in range(6)])
+    got = partition_nmi(a, b).first()
+    cells = {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 1): 2}
+    n = 6
+    C = sum(c * math.log(c) for c in cells.values())
+    A = sum(c * math.log(c) for c in [3, 3])
+    B = sum(c * math.log(c) for c in [3, 3])
+    mi = (C - A - B) / n + math.log(n)
+    ha = math.log(n) - A / n
+    assert got.mi == round(mi, 6)
+    assert got.nmi == round(2 * mi / (2 * ha), 6)
+
+    # both trivial (single cluster) -> defined as 1.0
+    t = partition_nmi(mk([(0, 1), (1, 1)]), mk([(0, 7), (1, 7)])).first()
+    assert t.nmi == 1.0 and t.h_a == 0.0
