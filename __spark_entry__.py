@@ -2407,6 +2407,112 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_distribution(e)
 
 
+def q_degree_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between per-vertex in- and out-degree of the
+    corpus graph — hub/authority balance, integer-exact to one sqrt."""
+    from ccl_spark.graphstats import degree_rank_correlation
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return degree_rank_correlation(e)
+
+
+def _degree_tau_sql() -> str:
+    return f"""
+WITH dte AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d
+        FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'),
+dtv AS MATERIALIZED (
+  SELECT v.vertex, COALESCE(o.x, 0) AS x, COALESCE(i.y, 0) AS y
+  FROM (SELECT DISTINCT u AS vertex FROM
+        (SELECT s AS u FROM dte UNION SELECT d FROM dte)) v
+  LEFT JOIN (SELECT s AS vertex, CAST(COUNT(*) AS BIGINT) AS x
+             FROM dte GROUP BY 1) o USING (vertex)
+  LEFT JOIN (SELECT d AS vertex, CAST(COUNT(*) AS BIGINT) AS y
+             FROM dte GROUP BY 1) i USING (vertex)),
+dcd AS (SELECT
+   CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS c,
+   CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS d
+   FROM dtv a JOIN dtv b ON a.vertex < b.vertex),
+dtn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dtv),
+dtx AS (SELECT CAST(SUM(g * (g - 1)) AS BIGINT) AS tx2 FROM
+        (SELECT COUNT(*) AS g FROM dtv GROUP BY x)),
+dty AS (SELECT CAST(SUM(g * (g - 1)) AS BIGINT) AS ty2 FROM
+        (SELECT COUNT(*) AS g FROM dtv GROUP BY y))
+SELECT n AS n_vertices, c AS concordant, d AS discordant,
+  CASE WHEN n * (n - 1) - tx2 = 0 OR n * (n - 1) - ty2 = 0 THEN 0.0
+       ELSE ROUND((c - d) / sqrt((CAST(n * (n - 1) - tx2 AS DOUBLE) / 2)
+                                 * (CAST(n * (n - 1) - ty2 AS DOUBLE) / 2)),
+                  6)
+  END AS tau_b
+FROM dcd, dtn, dtx, dty
+"""
+
+
+def q_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage pick of 3 documents over the word-BIGRAM
+    universe (the unigram vocab is 31 tokens and one doc holds all of
+    them — bigrams give a real 3-round greedy trace); oracle unrolls
+    the identical argmax rounds.  Both engines derive the bigrams from
+    the raw text."""
+    from ccl_spark.sampling import greedy_max_coverage
+
+    w = "split(text, ' ')"
+    bigrams = (
+        f"array_join(transform("
+        f"  filter(sequence(1, greatest(size({w}) - 1, 1)),"
+        f"         i -> i <= size({w}) - 1"
+        f"              and element_at({w}, i) <> ''"
+        f"              and element_at({w}, i + 1) <> ''),"
+        f"  i -> concat(element_at({w}, i), '_', element_at({w}, i + 1))"
+        f"), ' ')"
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(bigrams).alias("text")
+    )
+    return greedy_max_coverage(docs, k=3)
+
+
+def _max_coverage_sql() -> str:
+    return """
+WITH mcd AS MATERIALIZED (
+  SELECT DISTINCT doc_id, toks[i] || '_' || toks[i + 1] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+               UNNEST(range(1, len(string_split(text, ' ')))) AS i
+        FROM documents)
+  WHERE toks[i] <> '' AND toks[i + 1] <> ''),
+mg1 AS (SELECT doc_id, COUNT(*) AS gain FROM mcd GROUP BY 1),
+mp1 AS MATERIALIZED (SELECT doc_id, CAST(gain AS BIGINT) AS gain FROM mg1
+                     ORDER BY gain DESC, doc_id LIMIT 1),
+mc1 AS MATERIALIZED (SELECT DISTINCT term FROM mcd JOIN mp1 USING (doc_id)),
+mg2 AS (SELECT d.doc_id, COUNT(*) AS gain FROM mcd d
+        WHERE NOT EXISTS (SELECT 1 FROM mc1 c WHERE c.term = d.term)
+          AND d.doc_id NOT IN (SELECT doc_id FROM mp1)
+        GROUP BY 1),
+mp2 AS MATERIALIZED (SELECT doc_id, CAST(gain AS BIGINT) AS gain FROM mg2
+                     ORDER BY gain DESC, doc_id LIMIT 1),
+mc2 AS MATERIALIZED (SELECT term FROM mc1 UNION
+                     SELECT term FROM mcd JOIN mp2 USING (doc_id)),
+mg3 AS (SELECT d.doc_id, COUNT(*) AS gain FROM mcd d
+        WHERE NOT EXISTS (SELECT 1 FROM mc2 c WHERE c.term = d.term)
+          AND d.doc_id NOT IN (SELECT doc_id FROM mp1
+                               UNION SELECT doc_id FROM mp2)
+        GROUP BY 1),
+mp3 AS MATERIALIZED (SELECT doc_id, CAST(gain AS BIGINT) AS gain FROM mg3
+                     ORDER BY gain DESC, doc_id LIMIT 1)
+SELECT CAST(1 AS INTEGER) AS round, doc_id, gain, gain AS covered_total
+FROM mp1
+UNION ALL
+SELECT CAST(2 AS INTEGER), doc_id, gain, gain + (SELECT gain FROM mp1)
+FROM mp2
+UNION ALL
+SELECT CAST(3 AS INTEGER), doc_id, gain,
+       gain + (SELECT gain FROM mp1) + (SELECT gain FROM mp2)
+FROM mp3
+"""
+
+
 def q_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill MLE of the degree power-law exponent (CSN 2009) with the
     discrete 1/2 offset, tail d >= 3."""
@@ -6136,6 +6242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "louvain": q_louvain,
         "partition_nmi": q_partition_nmi,
+        "degree_tau": q_degree_tau,
+        "max_coverage": q_max_coverage,
         "degree_dist": q_degree_dist,
         "powerlaw": q_powerlaw,
         "transitivity": q_transitivity,
@@ -6981,6 +7089,8 @@ FROM pairs""",
         "modularity": _modularity_sql(5),
         "louvain": _louvain_sql(3, 10),
         "partition_nmi": _partition_nmi_sql(5, 3),
+        "degree_tau": _degree_tau_sql(),
+        "max_coverage": _max_coverage_sql(),
         "degree_dist": f"""
 WITH und AS (SELECT DISTINCT s, d FROM (
     SELECT src AS s, dst AS d FROM '{_ORACLE_DIR}/corpus_edges_1000.parquet'

@@ -1056,3 +1056,104 @@ def partition_nmi(labels_a: DataFrame, labels_b: DataFrame) -> DataFrame:
         .otherwise(F.round(2 * mi / (ha + hb), 6))
         .alias("nmi"),
     )
+
+
+def degree_rank_correlation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Kendall tau-b rank correlation between per-vertex in-degree and
+    out-degree — the hub/authority-balance diagnostic (tau near 1:
+    pages that are linked-to also link out; near -1: sources and sinks
+    are disjoint roles).  Entirely integer until one final sqrt:
+    concordant/discordant pair counts C and D, tie corrections from
+    the degree-value histograms, and
+
+        tau_b = (C - D) / sqrt(((n2 - tx2)/2) * ((n2 - ty2)/2))
+
+    with n2 = n(n-1), tx2 = sum c(c-1) over tied in-degree groups
+    (ty2 likewise) — the /2s applied as doubles at the end so every
+    stored intermediate is an exact int64.
+
+    The pair scan is the textbook O(n^2) vertex self-join — fine for
+    per-community or sampled diagnostics; at web scale run it on a
+    hash-sampled vertex subset (tau is a U-statistic, so a uniform
+    pair sample is unbiased) rather than all 10^12 vertices.
+    Degrees count DISTINCT edges; self-loops contribute to both.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("s").alias("vertex"))
+        .unionByName(e.select(F.col("d").alias("vertex")))
+        .distinct()
+    )
+    dout = e.groupBy(F.col("s").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    din = e.groupBy(F.col("d").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    dv = (
+        verts.join(dout, "vertex", "left")
+        .join(din, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = dv.select(
+        F.col("vertex").alias("u"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = dv.select(
+        F.col("vertex").alias("w"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    prod = (F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2"))
+    cd = (
+        a.crossJoin(b)
+        .filter(F.col("u") < F.col("w"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).alias("d"),
+        )
+    )
+    n1 = dv.agg(F.count(F.lit(1)).alias("n"))
+    tx = dv.groupBy("x").agg(F.count(F.lit(1)).alias("g")).agg(
+        F.sum(F.col("g") * (F.col("g") - 1)).alias("tx2")
+    )
+    ty = dv.groupBy("y").agg(F.count(F.lit(1)).alias("g")).agg(
+        F.sum(F.col("g") * (F.col("g") - 1)).alias("ty2")
+    )
+    j = (
+        cd.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n2 = F.col("n") * (F.col("n") - 1)
+    return j.select(
+        F.col("n").cast("long").alias("n_vertices"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.when(
+            (n2 - F.col("tx2") == 0) | (n2 - F.col("ty2") == 0), F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                (F.col("c") - F.col("d"))
+                / F.sqrt(
+                    ((n2 - F.col("tx2")).cast("double") / 2)
+                    * ((n2 - F.col("ty2")).cast("double") / 2)
+                ),
+                6,
+            )
+        )
+        .alias("tau_b"),
+    )

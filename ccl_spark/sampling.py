@@ -259,3 +259,69 @@ def mix_corpus(
             (F.col("cum_before") + F.col("n_tokens")).alias("cum_tokens"),
         )
     )
+
+
+def greedy_max_coverage(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy maximum-coverage document selection: pick ``k`` documents
+    that together cover the most distinct tokens — the classic
+    (1 - 1/e)-approximate submodular pick (Nemhauser 1978), the
+    diverse-subset primitive behind seed-set and eval-set selection.
+    Returns one row per pick: ``(round int, doc_id long, gain long,
+    covered_total long)`` where gain is the count of NEWLY covered
+    tokens (so covered_total is their running sum, exact).
+
+    Per round: one anti-join of the distinct (doc, token) table
+    against the covered-token set and one count argmax with the
+    deterministic (gain DESC, doc_id ASC) tie-break — k distributed
+    passes, never a per-pair similarity matrix.  The covered set grows
+    by one document's vocabulary per round and is re-checkpointed, so
+    plan depth stays O(1).  Docs whose tokens are fully covered simply
+    have no candidate rows left (gain 0) and can never win while any
+    positive gain remains; picked docs are excluded explicitly.
+    """
+    if k <= 0:
+        raise ValueError("greedy_max_coverage: k must be positive")
+    dt = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    covered: DataFrame | None = None
+    picked: list[int] = []
+    rows: list[tuple[int, int, int, int]] = []
+    total = 0
+    for r in range(1, k + 1):
+        cand = dt if covered is None else dt.join(covered, "term", "left_anti")
+        if picked:
+            cand = cand.filter(~F.col("doc").isin(*picked))
+        best = (
+            cand.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc"))
+            .first()
+        )
+        if best is None:
+            break
+        doc_id, gain = int(best["doc"]), int(best["gain"])
+        picked.append(doc_id)
+        total += gain
+        rows.append((r, doc_id, gain, total))
+        new_terms = dt.filter(F.col("doc") == doc_id).select("term")
+        covered = (
+            new_terms
+            if covered is None
+            else covered.unionByName(new_terms).distinct()
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "round int, doc_id long, gain long, covered_total long"
+    )

@@ -459,3 +459,34 @@ def test_partition_nmi_exact(spark):
     # both trivial (single cluster) -> defined as 1.0
     t = partition_nmi(mk([(0, 1), (1, 1)]), mk([(0, 7), (1, 7)])).first()
     assert t.nmi == 1.0 and t.h_a == 0.0
+
+
+def test_degree_rank_correlation_exact(spark):
+    from ccl_spark.graphstats import degree_rank_correlation
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 1), (1, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = degree_rank_correlation(e).first()
+    # pure-Python replay
+    vs = sorted({u for uv in edges for u in uv})
+    dout = {v: sum(1 for s, _ in edges if s == v) for v in vs}
+    din = {v: sum(1 for _, d in edges if d == v) for v in vs}
+    C = D = 0
+    for i, u in enumerate(vs):
+        for w in vs[i + 1:]:
+            p = (dout[u] - dout[w]) * (din[u] - din[w])
+            C += p > 0
+            D += p < 0
+    n = len(vs)
+    from collections import Counter
+
+    tx2 = sum(c * (c - 1) for c in Counter(dout.values()).values())
+    ty2 = sum(c * (c - 1) for c in Counter(din.values()).values())
+    n2 = n * (n - 1)
+    tau = (C - D) / math.sqrt((n2 - tx2) / 2 * ((n2 - ty2) / 2))
+    assert (got.n_vertices, got.concordant, got.discordant) == (n, C, D)
+    assert got.tau_b == round(tau, 6)
+
+    # all-tied degrees -> guarded 0.0 (2-cycle: every deg is 1)
+    cyc = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    assert degree_rank_correlation(cyc).first().tau_b == 0.0

@@ -1024,3 +1024,35 @@ def test_ctfidf_terms_exact(spark):
     assert got == expect
     # the distinctive term wins over the shared one
     assert ("h0", "cat") in got and ("h1", "dog") in got
+
+
+def test_greedy_max_coverage_exact(spark):
+    rows = [
+        (0, "a b c d"),        # 4 tokens
+        (1, "a b c d e"),      # 5 tokens — picked first
+        (2, "x y z"),          # disjoint 3 — picked second
+        (3, "a x e q"),        # gain 1 after 1,2 (only q new)
+        (4, "a b"),            # never beats 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from ccl_spark.sampling import greedy_max_coverage
+
+    got = [
+        (r["round"], r.doc_id, r.gain, r.covered_total)
+        for r in greedy_max_coverage(df, k=3).orderBy("round").collect()
+    ]
+    assert got == [(1, 1, 5, 5), (2, 2, 3, 8), (3, 3, 1, 9)]
+
+    # tie on gain breaks to the smaller doc_id
+    tie = spark.createDataFrame(
+        [(7, "p q"), (5, "r s"), (9, "t u")], "doc_id long, text string"
+    )
+    first = greedy_max_coverage(tie, k=1).first()
+    assert (first.doc_id, first.gain) == (5, 2)
+
+    # k larger than the doc count stops cleanly
+    assert greedy_max_coverage(tie, k=10).count() == 3
+    import pytest
+
+    with pytest.raises(ValueError):
+        greedy_max_coverage(tie, k=0)
