@@ -1636,3 +1636,120 @@ def synth_dup_audio(spark: SparkSession, n_groups: int, seed: int = 42) -> DataF
             )
 
     return spark.range(n_groups).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_near_dup_videos(
+    spark: SparkSession, n_pairs: int, seed: int = 42
+) -> DataFrame:
+    """Video table of ``n_pairs`` (original, perturbed-copy) MP4 pairs:
+    ids 2p / 2p+1.  Each original has 2-4 deterministic sinusoid
+    frames (frame index shifts the phase so frames differ); the copy
+    brightens 3 seeded pixel positions per frame by +12 — visually
+    near-identical, so the pair lands within a small mean-frame pHash
+    Hamming radius while distinct originals stay far apart."""
+
+    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for p in pdf["id"].tolist():
+                p = int(p)
+                rng = np.random.default_rng(seed * 9_000_017 + p)
+                h, w = 24 + p % 16, 24 + p % 24
+                n_frames = 2 + p % 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                orig, pert = [], []
+                for t in range(n_frames):
+                    base = (
+                        (
+                            128
+                            + 100
+                            * np.sin(xx / (3.0 + p % 5) + t)
+                            * np.cos(yy / (2.0 + p % 7) - t)
+                        )
+                        .clip(0, 255)
+                        .astype(np.uint8)
+                    )
+                    pix = np.stack(
+                        [base, np.roll(base, p % 4, axis=1), base[::-1]], axis=2
+                    )
+                    orig.append(pix)
+                    cp = pix.copy()
+                    ys = rng.integers(0, h, size=3)
+                    xs = rng.integers(0, w, size=3)
+                    cp[ys, xs] = np.clip(
+                        cp[ys, xs].astype(int) + 12, 0, 255
+                    ).astype(np.uint8)
+                    pert.append(cp)
+                dur = n_frames * 1000 // _AVI_FPS
+                rows.append((2 * p, "video", mp4_encode(orig), w, h, dur))
+                rows.append((2 * p + 1, "video", mp4_encode(pert), w, h, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height", "duration_ms",
+                ],
+            )
+
+    return spark.range(n_pairs).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def video_mean_phashes(media: DataFrame, n_sample: int = 3) -> DataFrame:
+    """(media_id, phash) per video: decode the container, take up to
+    ``n_sample`` evenly spaced frames (integer index arithmetic
+    ``i*(f-1)//(n_sample-1)`` — replayable exactly), pHash the MEAN
+    sampled frame (float64 sum / count).  One perceptual signature per
+    video makes the whole Hamming pigeonhole dedup stack apply to
+    video corpora unchanged; Arrow-batched mapInPandas, non-video rows
+    dropped."""
+    if n_sample < 2:
+        raise ValueError("video_mean_phashes: n_sample must be >= 2")
+
+    def batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids, hs = [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                _, _, _, frames = video_decode(bytes(payload))
+                f = len(frames)
+                if f == 0:
+                    continue
+                if f <= n_sample:
+                    idx = list(range(f))
+                else:
+                    idx = sorted(
+                        {i * (f - 1) // (n_sample - 1) for i in range(n_sample)}
+                    )
+                stack = np.stack([frames[i] for i in idx]).astype(np.float64)
+                mean = stack.sum(axis=0) / len(idx)
+                ids.append(mid)
+                hs.append(phash64(mean))
+            if ids:
+                yield pd.DataFrame(
+                    {"media_id": ids, "phash": pd.array(hs, dtype="int64")}
+                )
+
+    return media.mapInPandas(batch, schema="media_id long, phash long")
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 10,
+    n_sample: int = 3,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Video near-duplicate candidate pairs: mean-frame pHash per
+    video + the 4-piece Hamming pigeonhole join (same recall/cost
+    contract as image_near_dup_pairs: guaranteed for distance <= 3,
+    piece-agreement-gated above).  Returns ``(id_a, id_b,
+    hamming)``."""
+    from .dedup import simhash_near_pairs
+
+    fps = video_mean_phashes(media, n_sample=n_sample).select(
+        F.col("media_id"), F.col("phash").alias("simhash")
+    )
+    return simhash_near_pairs(
+        fps, id_col="media_id", max_hamming=max_hamming, max_bucket=max_bucket
+    )

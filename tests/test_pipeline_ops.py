@@ -1056,3 +1056,79 @@ def test_greedy_max_coverage_exact(spark):
 
     with pytest.raises(ValueError):
         greedy_max_coverage(tie, k=0)
+
+
+def test_video_near_dup_pairs(spark):
+    from ccl_spark.multimodal import (
+        synth_near_dup_videos,
+        video_mean_phashes,
+        video_near_dup_pairs,
+    )
+
+    media = synth_near_dup_videos(spark, 8, seed=42)
+    hashes = {r.media_id: r.phash for r in video_mean_phashes(media).collect()}
+    assert len(hashes) == 16
+    # every planted (2p, 2p+1) pair is within hamming 10; distinct
+    # originals stay far apart
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for p in range(8):
+        assert ham(hashes[2 * p], hashes[2 * p + 1]) <= 10, p
+    far = [ham(hashes[2 * a], hashes[2 * b]) for a in range(8) for b in range(a + 1, 8)]
+    assert min(far) > 10
+
+    # exact replay of the documented contract: a pair is reported iff
+    # hamming <= 10 AND at least one 16-bit piece agrees (recall is
+    # only *guaranteed* for distance <= 3 by pigeonhole)
+    def piece_agree(a, b):
+        return any(((a >> (16 * p)) & 0xFFFF) == ((b >> (16 * p)) & 0xFFFF) for p in range(4))
+
+    ids = sorted(hashes)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(hashes[a], hashes[b]) <= 10 and piece_agree(hashes[a], hashes[b])
+    }
+    pairs = {(r.id_a, r.id_b): r.hamming for r in video_near_dup_pairs(media).collect()}
+    assert set(pairs) == expected
+    # only planted pairs can qualify (far pairs are all > 10), the
+    # pigeonhole guarantee holds for every <=3 pair, and the test is
+    # not vacuous: most planted pairs survive the piece gate
+    assert expected <= {(2 * p, 2 * p + 1) for p in range(8)}
+    for p in range(8):
+        if ham(hashes[2 * p], hashes[2 * p + 1]) <= 3:
+            assert (2 * p, 2 * p + 1) in expected
+    assert len(expected) >= 6
+    assert all(pairs[k] == ham(hashes[k[0]], hashes[k[1]]) for k in pairs)
+    # deterministic across partitionings
+    again = {
+        (r.id_a, r.id_b): r.hamming
+        for r in video_near_dup_pairs(media.repartition(5)).collect()
+    }
+    assert again == pairs
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        video_mean_phashes(media, n_sample=1)
+
+
+def test_video_mean_phash_sampling(spark):
+    """A >n_sample-frame video must hash only the evenly spaced picks:
+    verify against a direct numpy replay of the sampling rule."""
+    import numpy as np
+
+    from ccl_spark.multimodal import mp4_encode, phash64, video_mean_phashes
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, size=(24, 32, 3)).astype(np.uint8) for _ in range(7)]
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(mp4_encode(frames)), 32, 24, 1750)],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms long",
+    )
+    got = video_mean_phashes(media, n_sample=3).first().phash
+    idx = sorted({i * 6 // 2 for i in range(3)})  # -> [0, 3, 6]
+    mean = np.stack([frames[i] for i in idx]).astype(np.float64).sum(axis=0) / 3
+    assert got == phash64(mean)
