@@ -4675,6 +4675,18 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(media, max_hamming=10).orderBy("id_a", "id_b")
 
 
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs: decode each MP4, pHash the mean of up to
+    3 evenly spaced frames, then the 4-piece Hamming pigeonhole join.
+    Pinned oracle regenerates every video's frames from the id
+    formula, replays the sampling + mean rule, hashes with the naive
+    double-loop DCT, and models the pigeonhole condition explicitly."""
+    from ccl_spark.multimodal import synth_near_dup_videos, video_near_dup_pairs
+
+    media = synth_near_dup_videos(spark, 40, seed=42)
+    return video_near_dup_pairs(media, max_hamming=10).orderBy("id_a", "id_b")
+
+
 _DUMPED_AUDIO: set[int] = set()
 
 
@@ -6121,6 +6133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif": q_multimodal_gif,
         "multimodal_mp4": q_multimodal_mp4,
         "image_near_dup": q_image_near_dup,
+        "video_near_dup": q_video_near_dup,
         "audio_fingerprint": q_audio_fingerprint,
         "host_pagerank": q_host_pagerank,
         "neighborhood": q_neighborhood,
@@ -6998,6 +7011,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "multimodal_gif": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_gif_sf001.parquet'",
         "multimodal_mp4": f"SELECT * FROM '{_ORACLE_DIR}/pinned_multimodal_mp4_sf001.parquet'",
         "image_near_dup": f"SELECT * FROM '{_ORACLE_DIR}/pinned_image_near_dup_sf001.parquet'",
+        "video_near_dup": f"SELECT * FROM '{_ORACLE_DIR}/pinned_video_near_dup_sf001.parquet'",
         "audio_fingerprint": _audio_fingerprint_sql(),
         # exact BFS by recursive CTE; distances are contiguous 0..max
         # (any shortest path realizes every intermediate distance), so
