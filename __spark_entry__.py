@@ -4159,6 +4159,58 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(_t(spark, sf_dir, "documents"), n=4, boundary_mod=8)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document exact line dedup: derive a lined
+    corpus from the documents table (3-token lines — measured 19%
+    duplicate-line mass at sf0.01), keep the global first occurrence
+    of each line, reassemble.  Both engines derive the lined corpus
+    from the same token-group formula."""
+    from ccl_spark.dedup import line_dedup_corpus
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) as int) - 1),"
+                " i -> array_join(slice(split(text, ' '), i * 3 + 1, 3), ' '))"
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup_corpus(docs).orderBy("doc_id")
+
+
+_LINE_DEDUP_SQL = """
+WITH ldk AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           STRING_SPLIT(text, ' ') AS ws
+    FROM documents
+), ldi AS (
+    SELECT doc_id, ws,
+           UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(ws) / 3.0) AS BIGINT) - 1)) AS line_idx
+    FROM ldk
+), ldl AS (
+    SELECT doc_id, line_idx,
+           ARRAY_TO_STRING(ws[(line_idx * 3 + 1):((line_idx + 1) * 3)], ' ') AS line
+    FROM ldi
+), ldm AS (
+    SELECT doc_id, line_idx, line,
+           CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY line ORDER BY doc_id, line_idx) = 1
+                THEN 1 ELSE 0 END AS kept
+    FROM ldl
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       COALESCE(STRING_AGG(CASE WHEN kept = 1 THEN line END, CHR(10)
+                           ORDER BY line_idx), '') AS deduped_text
+FROM ldm
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document CDC chunk dedup with reassembly: global first
     occurrence of each content-defined chunk wins; documents rebuilt
@@ -6122,6 +6174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors": q_wl_colors,
         "cdc_chunks": q_cdc_chunks,
         "chunk_dedup": q_chunk_dedup,
+        "line_dedup": q_line_dedup,
         "densest": q_densest,
         "compression": q_compression,
         "ppr_sweep": q_ppr_sweep,
@@ -7000,6 +7053,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "wl_colors": _wl_sql(WL_ITERS, 20),
         "cdc_chunks": _cdc_sql(4, 8),
         "chunk_dedup": _chunk_dedup_sql(4, 8),
+        "line_dedup": _LINE_DEDUP_SQL,
         "densest": _densest_sql(DENSEST_ROUNDS),
         "ppr_sweep": _ppr_sweep_sql(PPR_ITERS, SWEEP_KMAX),
         "corpus_funnel": _corpus_funnel_sql(),

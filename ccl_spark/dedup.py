@@ -761,3 +761,68 @@ def chunk_dedup_corpus(
             ).alias("deduped_text"),
         )
     )
+
+
+def line_dedup_corpus(
+    docs: DataFrame,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = False,
+) -> DataFrame:
+    """Cross-document exact LINE dedup (the CCNet move, used verbatim
+    in most web-corpus pipelines): split every document on ``sep``,
+    keep only the global FIRST occurrence of each non-empty line
+    (ordered by ``(doc_id, line_idx)``), and reassemble each document
+    from its surviving lines — navigation chrome, cookie banners and
+    syndicated paragraphs are excised once per corpus while unique
+    prose survives.  ``normalize=True`` keys lines on their
+    lowercased, whitespace-collapsed form (CCNet's normalization)
+    while reassembling the ORIGINAL line text of the first owner.
+
+    Scale shape: one generator projection (posexplode of the split),
+    then ONE shuffle keyed by the line key for the first-occurrence
+    row_number and one per-doc rollup.  The shuffle necessarily
+    carries the line text (it is the reassembly payload), so keying
+    on the raw line adds no width over an xxhash64 key; a
+    pathological mega-duplicate line is one hot key — cap it with the
+    max-df trick from containment_pairs if it ever appears.
+
+    Returns ``(doc_id, n_lines, n_kept, deduped_text)`` — documents
+    whose every line is owned elsewhere survive as rows with
+    ``n_kept = 0`` and empty text (the pipeline's drop signal).
+    """
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+            "line_idx", "line"
+        ),
+    ).filter(F.trim("line") != "")
+    key = (
+        F.lower(F.regexp_replace(F.trim("line"), r"\s+", " "))
+        if normalize
+        else F.col("line")
+    )
+    wk = Window.partitionBy(key.alias("k")).orderBy("doc_id", "line_idx")
+    kept = lines.withColumn("kept", (F.row_number().over(wk) == 1).cast("int"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.array_sort(
+                F.collect_list(F.struct("line_idx", "kept", "line"))
+            ).alias("lk"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            F.array_join(
+                F.expr("transform(filter(lk, x -> x.kept = 1), x -> x.line)"),
+                sep,
+            ).alias("deduped_text"),
+        )
+    )

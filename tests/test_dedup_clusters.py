@@ -112,3 +112,71 @@ def test_containment_pairs_max_df_drops_boilerplate(spark):
     assert (100, 101) in pairs
     # the 20 boilerplate docs share only capped grams -> no flood
     assert all(a >= 100 for a, b in pairs), pairs
+
+
+def test_line_dedup_corpus_exact(spark):
+    from ccl_spark.dedup import line_dedup_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta\ncookie banner\nunique zero"),
+            (1, "cookie banner\nunique one\nalpha beta"),
+            (2, "cookie banner\nalpha beta"),  # fully duplicated
+            (3, "  \nunique three\n\ncookie banner"),  # blank lines dropped
+        ],
+        "doc_id long, text string",
+    )
+
+    # pure-Python replay of the rule: global first occurrence by
+    # (doc_id, line_idx) over non-blank lines
+    rows = []
+    for did, text in [(r.doc_id, r.text) for r in docs.collect()]:
+        for i, ln in enumerate(text.split("\n")):
+            if ln.strip():
+                rows.append((did, i, ln))
+    seen, expect = {}, {}
+    for did, i, ln in sorted(rows):
+        expect.setdefault(did, [0, 0, []])
+        expect[did][0] += 1
+        if ln not in seen:
+            seen[ln] = (did, i)
+            expect[did][1] += 1
+            expect[did][2].append(ln)
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.deduped_text)
+        for r in line_dedup_corpus(docs).collect()
+    }
+    assert got == {
+        d: (n, k, "\n".join(ls)) for d, (n, k, ls) in expect.items()
+    }
+    assert got[2] == (2, 0, "")  # fully-duplicated doc -> drop signal
+
+    # deterministic under repartition
+    again = {
+        r.doc_id: (r.n_lines, r.n_kept, r.deduped_text)
+        for r in line_dedup_corpus(docs.repartition(7)).collect()
+    }
+    assert again == got
+
+
+def test_line_dedup_corpus_normalize(spark):
+    from ccl_spark.dedup import line_dedup_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Cookie  Banner\nkeep zero"),
+            (1, "cookie banner\nkeep one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_kept, r.deduped_text)
+        for r in line_dedup_corpus(docs, normalize=True).collect()
+    }
+    # doc 0 owns the normalized key and keeps its ORIGINAL casing
+    assert got == {0: (2, "Cookie  Banner\nkeep zero"), 1: (1, "keep one")}
+    raw = {
+        r.doc_id: r.n_kept
+        for r in line_dedup_corpus(docs, normalize=False).collect()
+    }
+    assert raw == {0: 2, 1: 2}
