@@ -1353,6 +1353,69 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketches (k=32) of each language's token set +
+    all-pairs Jaccard / union-cardinality estimates from the sketches
+    alone.  The md5 15-hex-prefix hash replays exactly in SQL, so the
+    oracle rebuilds the identical sketches row-wise and the identical
+    rounded estimates."""
+    from ccl_spark.sketch import kmv_build_grouped, kmv_jaccard_pairs
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("lang").alias("group"),
+            F.explode(F.split("text", " ")).alias("key"),
+        )
+        .filter(F.col("key") != "")
+    )
+    return kmv_jaccard_pairs(kmv_build_grouped(toks, k=32), k=32).orderBy(
+        "group_a", "group_b"
+    )
+
+
+_KMV_JACCARD_SQL = """
+WITH kvt AS (
+    SELECT lang AS grp, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+), kvh AS (
+    SELECT DISTINCT grp, ('0x' || SUBSTRING(md5(tok), 1, 15))::BIGINT AS h
+    FROM kvt WHERE tok <> ''
+), kvs AS (
+    SELECT grp, h FROM (
+        SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM kvh
+    ) WHERE rn <= 32
+), kvp AS (
+    SELECT a.grp AS group_a, b.grp AS group_b
+    FROM (SELECT DISTINCT grp FROM kvs) a
+    JOIN (SELECT DISTINCT grp FROM kvs) b ON a.grp < b.grp
+), kvu AS (
+    SELECT p.group_a, p.group_b, s.h,
+           MAX(CASE WHEN s.grp = p.group_a THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN s.grp = p.group_b THEN 1 ELSE 0 END) AS in_b
+    FROM kvp p JOIN kvs s ON s.grp IN (p.group_a, p.group_b)
+    GROUP BY 1, 2, 3
+), kvr AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY group_a, group_b ORDER BY h) AS rn
+    FROM kvu
+), kvm AS (
+    SELECT group_a, group_b,
+           COUNT(*) AS n_merged,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_shared,
+           MAX(h) AS hmax
+    FROM kvr WHERE rn <= 32 GROUP BY 1, 2
+)
+SELECT group_a, group_b, n_merged, n_shared,
+       ROUND(n_shared / CAST(n_merged AS DOUBLE), 6) AS jaccard_est,
+       ROUND(CASE WHEN n_merged < 32 THEN CAST(n_merged AS DOUBLE)
+                  ELSE (n_merged - 1) * 1152921504606846976.0 / hmax
+             END, 6) AS union_est
+FROM kvm
+ORDER BY group_a, group_b
+"""
+
+
 def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog (m=64) distinct-user estimate over the event
     stream — md5 registers with an exact integer leading-zero CASE
@@ -6222,6 +6285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm": q_charlm,
         "cms_heavy": q_cms_heavy,
         "hll": q_hll,
+        "kmv_jaccard": q_kmv_jaccard,
         "hll_groups": q_hll_groups,
         "bloom": q_bloom,
         "redirects": q_redirects,
@@ -7228,6 +7292,7 @@ FROM nr, er
 """,
         "salsa": _salsa_sql(3, 20),
         "hll": _hll_sql(6),
+        "kmv_jaccard": _KMV_JACCARD_SQL,
         "hll_groups": _hll_groups_sql(6),
         "cms_heavy": """
 WITH tf AS (SELECT token FROM (

@@ -275,3 +275,121 @@ def hll_estimate_grouped(registers: DataFrame, b: int = 6) -> DataFrame:
         ).alias("estimate"),
         (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV / bottom-k distinct-value sketch (Bar-Yossef et al. 2002; Beyer
+# et al. 2007 "On Synopses for Distinct-Value Estimation")
+# --------------------------------------------------------------------------
+
+_KMV_SPACE = 16 ** 15  # md5 15-hex-digit prefix -> uniform in [0, 16^15)
+
+
+def _kmv_hash(key_col: str) -> F.Column:
+    """Uniform 60-bit hash of a key: md5 15-hex prefix as BIGINT —
+    the same integer is reproducible in ANSI SQL (DuckDB:
+    ('0x' || substring(md5(k), 1, 15))::BIGINT), so KMV estimates
+    replay bit-for-bit across engines."""
+    return F.expr(
+        f"cast(conv(substring(md5({key_col}), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def kmv_build_grouped(
+    df: DataFrame,
+    group_col: str = "group",
+    key_col: str = "key",
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct key hashes,
+    as ``(group, hashes array<bigint> ascending)``.  Scale shape: one
+    distinct on (group, hash) then one window top-k — Spark's
+    WindowGroupLimit pushes the rank filter into the sort, so each
+    group streams instead of materializing its full hash set; the
+    sketch is at most k rows per group regardless of corpus size and
+    merges by union + re-truncate (kmv_merge_all)."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("kmv_build_grouped: k must be >= 2")
+    hashed = (
+        df.select(
+            F.col(group_col).alias("group"), _kmv_hash(key_col).alias("h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("group").orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return topk.groupBy("group").agg(
+        F.array_sort(F.collect_list("h")).alias("hashes")
+    )
+
+
+def kmv_merge_all(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Fold every group's sketch into ONE corpus-level sketch: the k
+    smallest of the union of all retained hashes (exactly the sketch
+    of the union of the underlying key sets — KMV's mergeability).
+    Returns a single-row ``(hashes)`` frame."""
+    return (
+        sketches.select(F.explode("hashes").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.array_sort(F.collect_list("h")).alias("hashes"))
+    )
+
+
+def kmv_jaccard_pairs(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """All-pairs Jaccard / union-cardinality estimates from per-group
+    KMV sketches: for groups a < b the merged sketch X is the k
+    smallest of hashes_a ∪ hashes_b; then
+
+      n_merged    = |X|            (< k means the union was seen whole)
+      n_shared    = |X ∩ A ∩ B|
+      jaccard_est = n_shared / n_merged          (exact when |X| < k)
+      union_est   = (|X|-1) * SPACE / max(X)     (|X| = k; else |X|)
+
+    Integer parts are exact; the two estimates are IEEE doubles
+    rounded to 6 decimals, so they replay identically in SQL.  Only
+    sketches join — the corpus is never re-read."""
+    a = sketches.select(
+        F.col("group").alias("group_a"), F.col("hashes").alias("ha")
+    )
+    b = sketches.select(
+        F.col("group").alias("group_b"), F.col("hashes").alias("hb")
+    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("ha", "hb"))), 1, k
+    )
+    pairs = (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .withColumn("merged", merged)
+        .withColumn("n_merged", F.size("merged").cast("long"))
+        .withColumn(
+            "n_shared",
+            F.size(
+                F.array_intersect(
+                    "merged", F.array_intersect("ha", "hb")
+                )
+            ).cast("long"),
+        )
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_merged",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_merged"), 6).alias("jaccard_est"),
+        F.round(
+            F.when(
+                F.col("n_merged") < k, F.col("n_merged").cast("double")
+            ).otherwise(
+                (F.col("n_merged") - 1)
+                * F.lit(float(_KMV_SPACE))
+                / F.element_at("merged", k)
+            ),
+            6,
+        ).alias("union_est"),
+    )

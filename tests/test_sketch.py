@@ -158,3 +158,81 @@ def test_hll_small_range_linear_counting(spark):
     assert row["n_zero"] >= 59
     exp = 64.0 * math.log(64.0 / row["n_zero"])
     assert abs(row["estimate"] - round(exp, 6)) < 1e-9
+
+
+def _py_kmv_hash(key: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_build_matches_python_replay(spark):
+    from ccl_spark.sketch import kmv_build_grouped
+
+    rows = [(f"g{i % 3}", f"key{j}") for i in range(3) for j in range(i * 7, i * 7 + 30)]
+    df = spark.createDataFrame(rows, "group string, key string")
+    got = {r.group: list(r.hashes) for r in kmv_build_grouped(df, k=8).collect()}
+
+    keys = {}
+    for g, k in rows:
+        keys.setdefault(g, set()).add(k)
+    expect = {
+        g: sorted({_py_kmv_hash(k) for k in ks})[:8] for g, ks in keys.items()
+    }
+    assert got == expect
+    # deterministic under repartition
+    again = {
+        r.group: list(r.hashes)
+        for r in kmv_build_grouped(df.repartition(5), k=8).collect()
+    }
+    assert again == got
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmv_build_grouped(df, k=1)
+
+
+def test_kmv_merge_equals_union_build(spark):
+    from ccl_spark.sketch import kmv_build_grouped, kmv_merge_all
+
+    rows = [("a", f"k{j}") for j in range(40)] + [("b", f"k{j}") for j in range(20, 70)]
+    df = spark.createDataFrame(rows, "group string, key string")
+    merged = kmv_merge_all(kmv_build_grouped(df, k=16), k=16).first().hashes
+    union = (
+        kmv_build_grouped(
+            df.selectExpr("'all' as group", "key"), k=16
+        ).first().hashes
+    )
+    assert list(merged) == list(union)
+
+
+def test_kmv_jaccard_pairs_exact_and_estimated(spark):
+    from ccl_spark.sketch import kmv_build_grouped, kmv_jaccard_pairs
+
+    # small sets, k larger than the union -> everything exact
+    rows = [("a", f"k{j}") for j in range(10)] + [("b", f"k{j}") for j in range(5, 15)]
+    df = spark.createDataFrame(rows, "group string, key string")
+    r = kmv_jaccard_pairs(kmv_build_grouped(df, k=64), k=64).first()
+    assert (r.group_a, r.group_b) == ("a", "b")
+    assert r.n_merged == 15 and r.n_shared == 5
+    assert abs(r.jaccard_est - 5 / 15) < 1e-6
+    assert r.union_est == 15.0
+
+    # k smaller than the union -> python replay of the estimator
+    rows = [("a", f"k{j}") for j in range(200)] + [
+        ("b", f"k{j}") for j in range(100, 300)
+    ]
+    df = spark.createDataFrame(rows, "group string, key string")
+    k = 32
+    r = kmv_jaccard_pairs(kmv_build_grouped(df, k=k), k=k).first()
+    ha = sorted({_py_kmv_hash(f"k{j}") for j in range(200)})[:k]
+    hb = sorted({_py_kmv_hash(f"k{j}") for j in range(100, 300)})[:k]
+    merged = sorted(set(ha) | set(hb))[:k]
+    shared = len(set(merged) & set(ha) & set(hb))
+    assert r.n_merged == k and r.n_shared == shared
+    assert abs(r.jaccard_est - round(shared / k, 6)) < 1e-9
+    assert abs(r.union_est - round((k - 1) * 16**15 / merged[-1], 6)) < 1e-6
+    # the estimates are in the right neighborhood of the truth
+    assert abs(r.jaccard_est - 100 / 300) < 0.15
+    assert abs(r.union_est - 300) < 120
