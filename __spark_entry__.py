@@ -3991,6 +3991,75 @@ GROUP BY LEAST(a.did, b.did), GREATEST(a.did, b.did)"""
 PART_K = 8
 
 
+def q_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral bisection of a two-clique dumbbell (K12 + K12 + one
+    bridge, vertices 0..23, formula-built in both engines): 10 rounds
+    of integer-exact anchored power iteration on cI - L recover the
+    clique halves.  Output is (vertex, side, pos) with pos the exact
+    Fiedler-score ordering — decimal scores never cross the engine
+    boundary."""
+    from pyspark.sql import Window
+
+    from ccl_spark.spectral import spectral_bisection
+
+    half = 12
+    edges = [
+        (b + i, b + j)
+        for b in (0, half)
+        for i in range(half)
+        for j in range(i + 1, half)
+    ] + [(half - 1, half)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = spectral_bisection(df, rounds=10)
+    w = Window.orderBy(F.col("score").desc(), "vertex")
+    return res.select(
+        "vertex",
+        "side",
+        F.row_number().over(w).cast("long").alias("pos"),
+    ).orderBy("vertex")
+
+
+def _spectral_sql(rounds: int) -> str:
+    """Unrolled anchored power iteration over the dumbbell formula
+    graph — MATERIALIZED CTEs (plain CTEs inline exponentially across
+    unrolled rounds)."""
+    parts = [
+        "WITH sbp AS MATERIALIZED (SELECT a.range AS i, b.range AS j"
+        " FROM range(12) a, range(12) b WHERE a.range < b.range),",
+        "sbe AS MATERIALIZED (SELECT CAST(src AS BIGINT) AS s,"
+        " CAST(dst AS BIGINT) AS d FROM (SELECT i AS src, j AS dst FROM sbp"
+        " UNION ALL SELECT i + 12, j + 12 FROM sbp"
+        " UNION ALL SELECT 11, 12)),",
+        "sbu AS MATERIALIZED (SELECT s, d FROM sbe UNION SELECT d, s FROM sbe),",
+        "sbd AS MATERIALIZED (SELECT s AS v, COUNT(*) AS deg FROM sbu GROUP BY s),",
+        "sbx0 AS MATERIALIZED (SELECT v, deg,"
+        " CAST(('0x' || SUBSTRING(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT"
+        " % 2001 - 1000 AS HUGEINT) AS x FROM sbd),",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"sbx{r - 1}"
+        parts.append(
+            f"sby{r} AS MATERIALIZED (SELECT t.v, t.deg,"
+            f" (24 - t.deg) * t.x + nb.ns AS y FROM {p} t JOIN"
+            f" (SELECT e.s AS v, SUM(x.x) AS ns FROM sbu e"
+            f" JOIN {p} x ON x.v = e.d GROUP BY e.s) nb ON nb.v = t.v),"
+        )
+        parts.append(
+            f"sbx{r} AS MATERIALIZED (SELECT v, deg,"
+            f" y - (SELECT y FROM sby{r} WHERE v = 0) AS x FROM sby{r}),"
+        )
+    last = f"sbx{rounds}"
+    parts.append(
+        f"sbf AS (SELECT v, x, CASE WHEN 24 * x > (SELECT SUM(x) FROM {last})"
+        f" THEN 1 ELSE 0 END AS side FROM {last})"
+    )
+    return "\n".join(parts) + (
+        "\nSELECT v AS vertex, side,"
+        " ROW_NUMBER() OVER (ORDER BY x DESC, v) AS pos"
+        " FROM sbf ORDER BY vertex"
+    )
+
+
 def q_partition_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioner quality A/B on the corpus graph: edge-cut and
     balance of (a) a hash partitioner (md5 coin % 8) and (b) an
@@ -6199,6 +6268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fresh (coloring ~11s, matching ~5s, core_numbers ~5s,
         # eccentricity ~5s standalone)
         "coloring": q_coloring,
+        "spectral": q_spectral,
         "matching": q_matching,
         "vertex_cover": q_vertex_cover,
         "mst": q_mst,
@@ -7122,6 +7192,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "ppr_sweep": _ppr_sweep_sql(PPR_ITERS, SWEEP_KMAX),
         "corpus_funnel": _corpus_funnel_sql(),
         "partition_cut": _partition_cut_sql(PART_K),
+        "spectral": _spectral_sql(10),
         "suffix_array": _suffix_array_sql(SA_ROUNDS),
         "longest_repeat": _longest_repeat_sql(SA_ROUNDS, 10),
         "verbatim_pairs": _verbatim_pairs_sql(SA_ROUNDS, 2),

@@ -632,3 +632,70 @@ def test_eigenvector_centrality_star(spark):
     by_v = {r["vertex"]: r for r in rows}
     assert by_v[99]["walks"] == 4 and by_v[99]["score"] == 1.0
     assert all(by_v[v]["walks"] == 0 for v in range(1, 5))
+
+
+def _dumbbell_cliques(half: int):
+    edges = []
+    for base in (0, half):
+        ids = list(range(base, base + half))
+        for i in range(half):
+            for j in range(i + 1, half):
+                edges.append((ids[i], ids[j]))
+    edges.append((half - 1, half))
+    return edges
+
+
+def test_spectral_bisection_recovers_clique_halves(spark):
+    from ccl_spark.spectral import spectral_bisection
+
+    edges = _dumbbell_cliques(12)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: (int(r.score), r.side) for r in spectral_bisection(df, rounds=10).collect()}
+
+    # pure-Python exact-integer replay of the documented iteration
+    import hashlib
+
+    n = 24
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in adj}
+    c = 2 * max(deg.values())
+    x = {
+        v: int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % 2001 - 1000
+        for v in range(n)
+    }
+    for _ in range(10):
+        y = {v: (c - deg[v]) * x[v] + sum(x[u] for u in adj[v]) for v in range(n)}
+        x = {v: y[v] - y[0] for v in range(n)}
+    S = sum(x.values())
+    expect = {v: (x[v], int(n * x[v] > S)) for v in range(n)}
+    assert got == expect
+
+    # the split is exactly the two cliques
+    sides = {v: s for v, (_, s) in got.items()}
+    assert {sides[v] for v in range(12)} != {sides[v] for v in range(12, 24)}
+    assert len({sides[v] for v in range(12)}) == 1
+    assert len({sides[v] for v in range(12, 24)}) == 1
+
+    # deterministic under repartition
+    again = {
+        r.vertex: (int(r.score), r.side)
+        for r in spectral_bisection(df.repartition(7), rounds=10).collect()
+    }
+    assert again == got
+
+
+def test_spectral_bisection_guards(spark):
+    import pytest
+
+    from ccl_spark.spectral import spectral_bisection
+
+    df = spark.createDataFrame(_dumbbell_cliques(12), "src long, dst long")
+    with pytest.raises(ValueError):
+        spectral_bisection(df, rounds=0)
+    with pytest.raises(ValueError):
+        spectral_bisection(df, rounds=40)  # blows the decimal(38) budget
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert spectral_bisection(empty).count() == 0
