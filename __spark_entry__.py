@@ -4060,6 +4060,58 @@ def _spectral_sql(rounds: int) -> str:
     )
 
 
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability over the event stream: contacts
+    are consecutive same-type events (LEAD chains, event_id tiebreak,
+    floored epoch seconds — the proven unix_timestamp/FLOOR(epoch)
+    cross-engine pair), the source is the user of the globally first
+    event, horizon 8 hops.  A contact is usable only if its time is
+    >= the arrival at its source — the temporal-graph semantics plain
+    reachability gets wrong."""
+    from pyspark.sql import Window
+
+    from ccl_spark.chains import temporal_reachability
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    contacts = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+            F.lead(F.unix_timestamp("ts")).over(w).alias("t"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    source = int(
+        ev.orderBy("ts", "event_id").select("user_id").first().user_id
+    )
+    return temporal_reachability(contacts, source, max_hops=8).orderBy("vertex")
+
+
+def _temporal_reach_sql(hops: int) -> str:
+    parts = [
+        "WITH trc AS MATERIALIZED (SELECT user_id AS u,"
+        " LEAD(user_id) OVER w AS v, LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS t"
+        " FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),",
+        "trc2 AS MATERIALIZED (SELECT u, v, t FROM trc"
+        " WHERE v IS NOT NULL AND u <> v),",
+        "tra0 AS (SELECT (SELECT user_id FROM events ORDER BY ts, event_id"
+        " LIMIT 1) AS vertex, CAST(0 AS BIGINT) AS arrival),",
+    ]
+    for r in range(1, hops + 1):
+        p = f"tra{r - 1}"
+        parts.append(
+            f"tra{r} AS MATERIALIZED (SELECT vertex, MIN(arrival) AS arrival"
+            f" FROM (SELECT vertex, arrival FROM {p}"
+            f" UNION ALL SELECT c.v, c.t FROM {p} a JOIN trc2 c"
+            f" ON c.u = a.vertex AND c.t >= a.arrival) GROUP BY vertex),"
+        )
+    joined = "\n".join(parts)
+    return joined.rstrip(",") + (
+        f"\nSELECT vertex, arrival FROM tra{hops} ORDER BY vertex"
+    )
+
+
 def q_partition_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioner quality A/B on the corpus graph: edge-cut and
     balance of (a) a hash partitioner (md5 coin % 8) and (b) an
@@ -6269,6 +6321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eccentricity ~5s standalone)
         "coloring": q_coloring,
         "spectral": q_spectral,
+        "temporal_reach": q_temporal_reach,
         "matching": q_matching,
         "vertex_cover": q_vertex_cover,
         "mst": q_mst,
@@ -7193,6 +7246,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "corpus_funnel": _corpus_funnel_sql(),
         "partition_cut": _partition_cut_sql(PART_K),
         "spectral": _spectral_sql(10),
+        "temporal_reach": _temporal_reach_sql(8),
         "suffix_array": _suffix_array_sql(SA_ROUNDS),
         "longest_repeat": _longest_repeat_sql(SA_ROUNDS, 10),
         "verbatim_pairs": _verbatim_pairs_sql(SA_ROUNDS, 2),

@@ -125,3 +125,80 @@ def sssp(
             if merged.filter("improved").limit(1).count() == 0:
                 return dist
     raise RuntimeError(f"sssp did not converge in {max_rounds} rounds")
+
+
+def temporal_reachability(
+    contacts: DataFrame,
+    source: int,
+    start_t: int = 0,
+    max_hops: int | None = 8,
+    src: str = "src",
+    dst: str = "dst",
+    t_col: str = "t",
+    max_rounds: int = 256,
+    check_every: int = 1,
+) -> DataFrame:
+    """Earliest-arrival times over a temporal contact table
+    ``(src, dst, t)`` — the time-respecting reachability of temporal
+    graphs: a contact is usable only if its time is >= the current
+    arrival at its source (instantaneous relay allowed), so
+    information can never ride a contact that happened before it got
+    there.  Synchronous relaxation, the sssp shape with ``min(t)``
+    replacing ``min(dist + w)``:
+
+        arr_{r+1}(v) = min(arr_r(v),
+                           min over contacts (u, v, t), t >= arr_r(u): t)
+
+    Integer times (epoch micros) keep every arrival an exact long.
+
+    ``max_hops=H`` bounds the horizon to H hops (one relaxation round
+    per hop, no convergence probe) — the scale framing for long
+    temporal chains, where the exact fixpoint needs as many rounds as
+    the longest time-respecting path (same trade as betweenness'
+    ``max_depth``).  ``max_hops=None`` runs to the fixpoint with a
+    per-``check_every`` improvement probe and raises on ``max_rounds``
+    exhaustion.
+
+    Returns ``(vertex, arrival)`` for every vertex reachable under
+    the horizon; the source row carries ``start_t``.
+    """
+    c = contacts.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        F.col(t_col).cast("long").alias("t"),
+    ).localCheckpoint(eager=True)
+    spark = c.sparkSession
+    arr = spark.createDataFrame(
+        [(int(source), int(start_t))], "vertex long, arrival long"
+    )
+    rounds = max_hops if max_hops is not None else max_rounds
+    if rounds < 1:
+        raise ValueError("temporal_reachability: horizon must be >= 1")
+    for r in range(rounds):
+        cand = (
+            arr.join(c, (arr["vertex"] == c["u"]) & (c["t"] >= arr["arrival"]))
+            .select(c["v"].alias("vertex"), c["t"].alias("nt"))
+            .groupBy("vertex")
+            .agg(F.min("nt").alias("nt"))
+        )
+        merged = (
+            arr.join(cand, "vertex", "full_outer")
+            .select(
+                "vertex",
+                F.least("arrival", "nt").alias("arrival"),
+                (
+                    F.col("arrival").isNull()
+                    | (F.col("nt").isNotNull() & (F.col("nt") < F.col("arrival")))
+                ).alias("improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        arr = merged.select("vertex", "arrival")
+        if max_hops is None and (r + 1) % check_every == 0:
+            if merged.filter("improved").limit(1).count() == 0:
+                return arr
+    if max_hops is None:
+        raise RuntimeError(
+            f"temporal_reachability did not converge in {max_rounds} rounds"
+        )
+    return arr

@@ -92,3 +92,56 @@ def test_sssp_weighted_vs_dijkstra(spark):
     )
     got = {r["vertex"]: r["dist"] for r in sssp(df, 0, weight_col="w").collect()}
     assert got == _py_sssp(edges, 0, weights)
+
+
+def _py_temporal(contacts, source, start_t, rounds):
+    arr = {source: start_t}
+    for _ in range(rounds):
+        new = dict(arr)
+        for u, v, t in contacts:
+            if u in arr and t >= arr[u] and t < new.get(v, t + 1):
+                new[v] = t
+        arr = new
+    return arr
+
+
+def test_temporal_reachability_time_respecting(spark):
+    from ccl_spark.chains import temporal_reachability
+
+    # (1,2,5) is unusable: information reaches 1 only at t=10
+    contacts = [(0, 1, 10), (1, 2, 5), (1, 2, 20), (2, 3, 20), (0, 4, 3)]
+    df = spark.createDataFrame(contacts, "src long, dst long, t long")
+    got = {r.vertex: r.arrival for r in temporal_reachability(df, 0, max_hops=8).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 20, 4: 3}
+    assert got == _py_temporal(contacts, 0, 0, 8)
+
+    # fixpoint mode agrees and stops on its own
+    conv = {
+        r.vertex: r.arrival
+        for r in temporal_reachability(df, 0, max_hops=None, check_every=2).collect()
+    }
+    assert conv == got
+
+
+def test_temporal_reachability_horizon_and_guards(spark):
+    import pytest
+
+    from ccl_spark.chains import temporal_reachability
+
+    chain = [(i, i + 1, 10 * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(chain, "src long, dst long, t long")
+    # horizon 3 sees exactly 3 hops
+    got = {r.vertex: r.arrival for r in temporal_reachability(df, 0, max_hops=3).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30}
+    assert got == _py_temporal(chain, 0, 0, 3)
+    # determinism under repartition
+    again = {
+        r.vertex: r.arrival
+        for r in temporal_reachability(df.repartition(5), 0, max_hops=3).collect()
+    }
+    assert again == got
+
+    with pytest.raises(ValueError):
+        temporal_reachability(df, 0, max_hops=0)
+    with pytest.raises(RuntimeError):
+        temporal_reachability(df, 0, max_hops=None, max_rounds=2)
