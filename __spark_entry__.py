@@ -3993,9 +3993,9 @@ PART_K = 8
 
 def q_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral bisection of a two-clique dumbbell (K12 + K12 + one
-    bridge, vertices 0..23, formula-built in both engines): 10 rounds
+    bridge, vertices 0..23, formula-built in both engines): 8 rounds
     of integer-exact anchored power iteration on cI - L recover the
-    clique halves.  Output is (vertex, side, pos) with pos the exact
+    clique halves (split stable from round 5; pytest pins round 10).  Output is (vertex, side, pos) with pos the exact
     Fiedler-score ordering — decimal scores never cross the engine
     boundary."""
     from pyspark.sql import Window
@@ -4010,7 +4010,7 @@ def q_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(i + 1, half)
     ] + [(half - 1, half)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    res = spectral_bisection(df, rounds=10)
+    res = spectral_bisection(df, rounds=8)
     w = Window.orderBy(F.col("score").desc(), "vertex")
     return res.select(
         "vertex",
@@ -4019,7 +4019,39 @@ def q_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vertex")
 
 
-def _spectral_sql(rounds: int) -> str:
+def q_alg_conn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic-connectivity estimate of the dumbbell formula graph:
+    integer Rayleigh quotient at the mean-centered round-8 spectral
+    iterate — exact decimal sums, one rounded division at the end."""
+    from ccl_spark.spectral import algebraic_connectivity_estimate
+
+    half = 12
+    edges = [
+        (b + i, b + j)
+        for b in (0, half)
+        for i in range(half)
+        for j in range(i + 1, half)
+    ] + [(half - 1, half)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return algebraic_connectivity_estimate(df, rounds=8)
+
+
+def _alg_conn_sql(rounds: int) -> str:
+    """Rayleigh-quotient tail over the shared unrolled iteration."""
+    last = f"sbx{rounds}"
+    tail = (
+        f"sbt AS (SELECT SUM(x) AS sx FROM {last}),\n"
+        f"sbyc AS (SELECT v, 24 * x - (SELECT sx FROM sbt) AS y FROM {last}),\n"
+        "sbnum AS (SELECT SUM((a.y - b.y) * (a.y - b.y)) AS num FROM sbu e"
+        " JOIN sbyc a ON a.v = e.s JOIN sbyc b ON b.v = e.d WHERE e.s < e.d),\n"
+        "sbden AS (SELECT SUM(y * y) AS den FROM sbyc)\n"
+        "SELECT ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)"
+        " AS lambda2_est FROM sbnum, sbden"
+    )
+    return "\n".join(_spectral_cte_parts(rounds)) + "\n" + tail
+
+
+def _spectral_cte_parts(rounds: int) -> list[str]:
     """Unrolled anchored power iteration over the dumbbell formula
     graph — MATERIALIZED CTEs (plain CTEs inline exponentially across
     unrolled rounds)."""
@@ -4048,7 +4080,12 @@ def _spectral_sql(rounds: int) -> str:
             f"sbx{r} AS MATERIALIZED (SELECT v, deg,"
             f" y - (SELECT y FROM sby{r} WHERE v = 0) AS x FROM sby{r}),"
         )
+    return parts
+
+
+def _spectral_sql(rounds: int) -> str:
     last = f"sbx{rounds}"
+    parts = _spectral_cte_parts(rounds)
     parts.append(
         f"sbf AS (SELECT v, x, CASE WHEN 24 * x > (SELECT SUM(x) FROM {last})"
         f" THEN 1 ELSE 0 END AS side FROM {last})"
@@ -6322,6 +6359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring": q_coloring,
         "spectral": q_spectral,
         "temporal_reach": q_temporal_reach,
+        "alg_conn": q_alg_conn,
         "matching": q_matching,
         "vertex_cover": q_vertex_cover,
         "mst": q_mst,
@@ -7245,8 +7283,9 @@ FROM p WHERE s <> d GROUP BY s, d
         "ppr_sweep": _ppr_sweep_sql(PPR_ITERS, SWEEP_KMAX),
         "corpus_funnel": _corpus_funnel_sql(),
         "partition_cut": _partition_cut_sql(PART_K),
-        "spectral": _spectral_sql(10),
+        "spectral": _spectral_sql(8),
         "temporal_reach": _temporal_reach_sql(8),
+        "alg_conn": _alg_conn_sql(8),
         "suffix_array": _suffix_array_sql(SA_ROUNDS),
         "longest_repeat": _longest_repeat_sql(SA_ROUNDS, 10),
         "verbatim_pairs": _verbatim_pairs_sql(SA_ROUNDS, 2),

@@ -61,8 +61,30 @@ def spectral_bisection(
     direction.  Deterministic: bit-identical across partitionings and
     replayable in ANSI SQL.
     """
+    und, x, n = _fiedler_iterate(edges, rounds, src, dst, "spectral_bisection")
+    if x is None:
+        return edges.sparkSession.createDataFrame(
+            [], f"vertex long, score {_DEC}, side int"
+        )
+    total = x.agg(F.sum("x").cast(_DEC).alias("sx"))
+    return (
+        x.crossJoin(F.broadcast(total))
+        .select(
+            "vertex",
+            F.col("x").alias("score"),
+            (F.lit(n) * F.col("x") > F.col("sx")).cast("int").alias("side"),
+        )
+    )
+
+
+def _fiedler_iterate(
+    edges: DataFrame, rounds: int, src: str, dst: str, who: str
+):
+    """Shared anchored power iteration: returns ``(und, x, n)`` with
+    ``x`` the (vertex, deg, x) iterate after ``rounds`` — or
+    ``(und, None, 0)`` on an empty graph."""
     if rounds < 1:
-        raise ValueError("spectral_bisection: rounds must be >= 1")
+        raise ValueError(f"{who}: rounds must be >= 1")
     und = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
     deg = und.groupBy(F.col("s").alias("vertex")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
@@ -73,15 +95,13 @@ def spectral_bisection(
         F.min("vertex").alias("v0"),
     ).first()
     if stats.dmax is None:
-        return edges.sparkSession.createDataFrame(
-            [], f"vertex long, score {_DEC}, side int"
-        )
+        return und, None, 0
     dmax, n, v0 = int(stats.dmax), int(stats.n), int(stats.v0)
     c = 2 * dmax
     bits = 11 + rounds * math.log2(max(2 * dmax, 2))
     if bits > 120:
         raise ValueError(
-            f"spectral_bisection: {rounds} rounds at dmax={dmax} needs "
+            f"{who}: {rounds} rounds at dmax={dmax} needs "
             f"~{bits:.0f} bits > decimal(38) budget; lower rounds"
         )
 
@@ -117,13 +137,62 @@ def spectral_bisection(
             )
             .localCheckpoint(eager=True)
         )
+    return und, x, n
 
+
+def algebraic_connectivity_estimate(
+    edges: DataFrame,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One-row ``(lambda2_est double)`` — the Rayleigh quotient of the
+    graph Laplacian at the (mean-centered) spectral iterate:
+
+        λ2 ≈ yᵀL y / yᵀy  with  y = n·x − Σx
+
+    (x carries an arbitrary constant offset from anchoring; the
+    numerator Σ_{u<v∈E}(y_u−y_v)² is offset-invariant but the
+    denominator is not, so center exactly with integers first).  Both
+    sums are exact decimal(38,0); only the final division is floating
+    point, rounded to 6dp — so the estimate replays bit-for-bit in
+    SQL.  An upper bound that tightens toward the true algebraic
+    connectivity as ``rounds`` grows; the default 8 keeps the squared
+    sums inside the decimal(38) budget for |x| up to ~2^48.
+    """
+    und, x, n = _fiedler_iterate(
+        edges, rounds, src, dst, "algebraic_connectivity_estimate"
+    )
+    if x is None:
+        return edges.sparkSession.createDataFrame([], "lambda2_est double")
     total = x.agg(F.sum("x").cast(_DEC).alias("sx"))
-    return (
+    y = (
         x.crossJoin(F.broadcast(total))
         .select(
             "vertex",
-            F.col("x").alias("score"),
-            (F.lit(n) * F.col("x") > F.col("sx")).cast("int").alias("side"),
+            (F.lit(n) * F.col("x") - F.col("sx")).cast(_DEC).alias("y"),
         )
+        .localCheckpoint(eager=True)
+    )
+    num = (
+        und.filter(F.col("s") < F.col("d"))
+        .join(y.select(F.col("vertex").alias("s"), F.col("y").alias("ys")), "s")
+        .join(y.select(F.col("vertex").alias("d"), F.col("y").alias("yd")), "d")
+        .agg(
+            F.sum(
+                ((F.col("ys") - F.col("yd")) * (F.col("ys") - F.col("yd"))).cast(
+                    _DEC
+                )
+            )
+            .cast(_DEC)
+            .alias("num")
+        )
+    )
+    den = y.agg(
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast(_DEC).alias("den")
+    )
+    return num.crossJoin(den).select(
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("lambda2_est")
     )

@@ -699,3 +699,46 @@ def test_spectral_bisection_guards(spark):
         spectral_bisection(df, rounds=40)  # blows the decimal(38) budget
     empty = spark.createDataFrame([], "src long, dst long")
     assert spectral_bisection(empty).count() == 0
+
+
+def test_algebraic_connectivity_estimate(spark):
+    import hashlib
+
+    import numpy as np
+
+    from ccl_spark.spectral import algebraic_connectivity_estimate
+
+    edges = _dumbbell_cliques(12)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = algebraic_connectivity_estimate(df, rounds=8).first().lambda2_est
+
+    # exact python replay of the integer pipeline
+    n = 24
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in adj}
+    c = 2 * max(deg.values())
+    x = {
+        v: int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % 2001 - 1000
+        for v in range(n)
+    }
+    for _ in range(8):
+        yv = {v: (c - deg[v]) * x[v] + sum(x[u] for u in adj[v]) for v in range(n)}
+        x = {v: yv[v] - yv[0] for v in range(n)}
+    S = sum(x.values())
+    y = {v: n * x[v] - S for v in range(n)}
+    und = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    num = sum((y[a] - y[b]) ** 2 for a, b in und if a < b)
+    den = sum(v * v for v in y.values())
+    assert got == round(num / den, 6)
+
+    # a genuine upper bound, close to the true lambda2 for this graph
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[a, b] = A[b, a] = 1
+    L = np.diag(A.sum(1)) - A
+    lam2 = sorted(np.linalg.eigvalsh(L))[1]
+    assert got >= lam2 - 1e-9
+    assert got < lam2 * 1.5
