@@ -4097,6 +4097,41 @@ def _spectral_sql(rounds: int) -> str:
     )
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift localization over the event stream at 6-hour
+    buckets: the single point maximizing cumulative drift from the
+    global mean rate — integer-scaled cusum so the argmax is exact."""
+    from ccl_spark.analytics import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"), bucket_seconds=21600)
+
+
+_CHANGEPOINT_SQL = """
+WITH cpt AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+cpl AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax FROM cpt),
+cpb AS (SELECT (t - (SELECT tmin FROM cpl)) // 21600 AS b, COUNT(*) AS c
+        FROM cpt GROUP BY 1),
+cps AS (SELECT UNNEST(GENERATE_SERIES(0,
+            (SELECT (tmax - tmin) // 21600 FROM cpl))) AS b),
+cpc AS (SELECT s.b, COALESCE(cpb.c, 0) AS c
+        FROM cps s LEFT JOIN cpb ON cpb.b = s.b),
+cpx AS (SELECT b, c, SUM(c) OVER (ORDER BY b) AS cumc,
+               (SELECT SUM(c) FROM cpc) AS s,
+               (SELECT COUNT(*) FROM cpc) AS n
+        FROM cpc)
+SELECT b AS cp_bucket,
+       CAST(n * cumc - (b + 1) * s AS BIGINT) AS cusum,
+       CAST(n AS BIGINT) AS n_buckets,
+       CAST(s AS BIGINT) AS total,
+       ROUND(cumc / CAST(b + 1 AS DOUBLE), 6) AS rate_before,
+       ROUND((s - cumc) / CAST(n - b - 1 AS DOUBLE), 6) AS rate_after
+FROM cpx
+WHERE b < n - 1
+ORDER BY ABS(CAST(n * cumc - (b + 1) * s AS BIGINT)) DESC, b
+LIMIT 1
+"""
+
+
 def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-respecting reachability over the event stream: contacts
     are consecutive same-type events (LEAD chains, event_id tiebreak,
@@ -6360,6 +6395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral": q_spectral,
         "temporal_reach": q_temporal_reach,
         "alg_conn": q_alg_conn,
+        "changepoint": q_changepoint,
         "matching": q_matching,
         "vertex_cover": q_vertex_cover,
         "mst": q_mst,
@@ -7286,6 +7322,7 @@ FROM p WHERE s <> d GROUP BY s, d
         "spectral": _spectral_sql(8),
         "temporal_reach": _temporal_reach_sql(8),
         "alg_conn": _alg_conn_sql(8),
+        "changepoint": _CHANGEPOINT_SQL,
         "suffix_array": _suffix_array_sql(SA_ROUNDS),
         "longest_repeat": _longest_repeat_sql(SA_ROUNDS, 10),
         "verbatim_pairs": _verbatim_pairs_sql(SA_ROUNDS, 2),

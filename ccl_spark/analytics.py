@@ -523,3 +523,98 @@ def interevent_burstiness(
         .otherwise(F.round((rt - F.col("s")) / (rt + F.col("s")), 6))
         .alias("burstiness"),
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    t_col: str = "ts",
+    bucket_seconds: int = 21600,
+) -> DataFrame:
+    """Single level-shift localization by CUSUM over event-rate
+    buckets (Page 1954): bucket the stream into fixed windows from the
+    first event (EMPTY buckets included — a rate collapse is a shift
+    too), then find the bucket k maximizing |Σ_{i<=k}(c_i − S/n)|,
+    the classic cumulative drift from the global mean rate.  Scaling
+    by n keeps everything integer: cusum_k = n·(Σ_{i<=k} c_i) −
+    (k+1)·S, so the argmax (ties → smallest bucket) is exact and
+    engine-independent; the last bucket's cusum is 0 by construction.
+
+    Where burst_windows flags locally-hot windows, this finds the one
+    point where the BEFORE/AFTER mean rates differ most — the monitor
+    primitive for "when did the crawler slow down / the feed switch".
+
+    Scale shape: one bucket aggregation, a sequence-explode for the
+    empty buckets (bounded by the time range, not the event count),
+    one ordered cumulative window over n buckets (n is small — this
+    is a summary, shard by stream key for per-key monitoring), and an
+    ordered limit 1.
+
+    Returns ONE row ``(cp_bucket, cusum, n_buckets, total,
+    rate_before, rate_after)`` — rates are exact-integer divisions
+    rounded to 6dp; ``rate_after`` covers (cp_bucket, n).  The last
+    bucket is excluded from the argmax (its cusum is identically 0
+    and its after-range is empty), so a single-bucket stream returns
+    an empty frame.
+    """
+    t = F.unix_timestamp(F.col(t_col))
+    base = events.select(t.alias("t"))
+    lo = base.agg(
+        F.min("t").alias("tmin"), F.max("t").alias("tmax")
+    )
+    bucketed = (
+        base.crossJoin(F.broadcast(lo))
+        .select(
+            F.expr(f"(t - tmin) div {bucket_seconds}").alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spine = lo.select(
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr(f"(tmax - tmin) div {bucket_seconds}"),
+            )
+        ).alias("b")
+    )
+    counts = spine.join(bucketed, "b", "left").select(
+        "b", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            "s",
+            "n",
+            F.sum("c").over(w).cast("long").alias("cumc"),
+        )
+        .select(
+            "b",
+            "s",
+            "n",
+            "cumc",
+            (F.col("n") * F.col("cumc") - (F.col("b") + 1) * F.col("s")).alias(
+                "cusum"
+            ),
+        )
+    )
+    return (
+        cum.filter(F.col("b") < F.col("n") - 1)
+        .orderBy(F.abs("cusum").desc(), "b")
+        .limit(1)
+        .select(
+            F.col("b").alias("cp_bucket"),
+            "cusum",
+            F.col("n").alias("n_buckets"),
+            F.col("s").alias("total"),
+            F.round(F.col("cumc") / (F.col("b") + 1), 6).alias("rate_before"),
+            F.round(
+                (F.col("s") - F.col("cumc")) / (F.col("n") - F.col("b") - 1), 6
+            ).alias("rate_after"),
+        )
+    )

@@ -341,3 +341,51 @@ def test_burstiness_rejects_bad_min_gaps(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp, event_id long")
     with pytest.raises(ValueError):
         interevent_burstiness(df, min_gaps=1)
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    import datetime as dt
+
+    from ccl_spark.analytics import cusum_changepoint
+
+    # 1 event per 10s for 600s, then 1 per 2s for 600s: shift at t=600
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(seconds=10 * i) for i in range(60)]
+    ts += [base + dt.timedelta(seconds=600 + 2 * i) for i in range(300)]
+    df = spark.createDataFrame([(t,) for t in ts], "ts timestamp")
+    r = cusum_changepoint(df, bucket_seconds=60).first()
+
+    # pure-Python replay
+    secs = sorted(int(t.timestamp()) for t in ts)
+    tmin, tmax = secs[0], secs[-1]
+    n = (tmax - tmin) // 60 + 1
+    c = [0] * n
+    for t in secs:
+        c[(t - tmin) // 60] += 1
+    S = sum(c)
+    best = None
+    cum = 0
+    for k in range(n - 1):
+        cum += c[k]
+        cs = n * cum - (k + 1) * S
+        if best is None or abs(cs) > abs(best[1]):
+            best = (k, cs, cum)
+    k, cs, cum = best
+    assert (r.cp_bucket, r.cusum, r.n_buckets, r.total) == (k, cs, n, S)
+    assert r.rate_before == round(cum / (k + 1), 6)
+    assert r.rate_after == round((S - cum) / (n - k - 1), 6)
+    # the detected point is the planted shift (bucket 9 = t in [540,600))
+    assert k == 9
+    # per-bucket rates: 6 events/min before, 30 events/min after
+    assert r.rate_before == 6.0 and r.rate_after == 30.0
+
+    # empty-bucket handling: a gap counts as zero-rate buckets
+    sparse = spark.createDataFrame(
+        [(base,), (base + dt.timedelta(seconds=300),)], "ts timestamp"
+    )
+    r2 = cusum_changepoint(sparse, bucket_seconds=60).first()
+    assert r2.n_buckets == 6 and r2.total == 2
+
+    # single-bucket stream -> empty frame
+    one = spark.createDataFrame([(base,)], "ts timestamp")
+    assert cusum_changepoint(one, bucket_seconds=60).count() == 0
