@@ -8,7 +8,10 @@ bench_scaling.py (shared parquet input, fresh JVM per level, min of
 reps).
 
 The hash stage is a pure mapInPandas scan — ZERO exchanges — so it
-bounds what this box allows for shuffle-free stages: any gap from
+bounds what this box allows for shuffle-free stages (the input is
+repartitioned to 128 before the checkpoint: a 128MB-split parquet
+read yields ~12 partitions of this table, which starves 16 cores and
+masquerades as bad scaling): any gap from
 1.0 efficiency here is the hardware (SMT / memory bandwidth), not
 the plan.  Contrast with the shuffle-bound CC rows in
 BENCH/BASELINE.md.
@@ -48,7 +51,7 @@ from ccl_spark.multimodal import video_mean_phashes, video_near_dup_pairs
 
 execs = int(sys.argv[1]); path = sys.argv[2]; reps = int(sys.argv[3])
 spark = get_spark("phash_scaling", master=f"local-cluster[{{execs}},4,10240]")
-media = spark.read.parquet(path).localCheckpoint(eager=True)
+media = spark.read.parquet(path).repartition(128).localCheckpoint(eager=True)
 n_media = media.count()
 
 def _settle():
