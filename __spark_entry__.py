@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ccl_spark.cc import connected_components
 from ccl_spark.datagen import generate_pages
@@ -6368,6 +6368,140 @@ FROM documents
 """
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference ratings (MM, 8 iterations) over
+    pairwise event-type duels: adjacent events of one user (ordered
+    by ts, event_id) duel, the higher value wins; same-type and
+    tied-value adjacencies are skipped."""
+    from ccl_spark.analytics import bradley_terry
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    adj = ev.select(
+        "event_type",
+        "value",
+        F.lead("event_type").over(w).alias("nt"),
+        F.lead("value").over(w).alias("nv"),
+    ).filter(
+        F.col("nt").isNotNull()
+        & (F.col("event_type") != F.col("nt"))
+        & (F.col("value") != F.col("nv"))
+    )
+    comps = adj.select(
+        F.when(F.col("value") > F.col("nv"), F.col("event_type"))
+        .otherwise(F.col("nt"))
+        .alias("winner"),
+        F.when(F.col("value") > F.col("nv"), F.col("nt"))
+        .otherwise(F.col("event_type"))
+        .alias("loser"),
+    )
+    return bradley_terry(comps, iters=8)
+
+
+def _bradley_terry_sql(iters: int) -> str:
+    parts = [
+        """
+comps AS MATERIALIZED (
+    SELECT CASE WHEN value > nv THEN event_type ELSE nt END AS win,
+           CASE WHEN value > nv THEN nt ELSE event_type END AS lose
+    FROM (
+        SELECT event_type, value,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt,
+               LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv
+        FROM events
+    ) x
+    WHERE nt IS NOT NULL AND event_type <> nt AND value <> nv
+),
+btp AS (
+    SELECT LEAST(win, lose) AS i, GREATEST(win, lose) AS j,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM comps GROUP BY 1, 2
+),
+btopp AS MATERIALIZED (SELECT i, j, n FROM btp UNION ALL SELECT j, i, n FROM btp),
+btwins AS (SELECT win AS item, CAST(COUNT(*) AS DOUBLE) AS wins FROM comps GROUP BY 1),
+btitems AS (SELECT DISTINCT win AS item FROM comps UNION SELECT lose FROM comps),
+btn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM btitems),
+btw0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS w FROM btitems)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+btd{k} AS MATERIALIZED (
+    SELECT o.i AS item, SUM(o.n / (wi.w + wj.w)) AS den
+    FROM btopp o
+    JOIN btw{k - 1} wi ON o.i = wi.item
+    JOIN btw{k - 1} wj ON o.j = wj.item
+    GROUP BY o.i
+),
+btr{k} AS MATERIALIZED (
+    SELECT w.item,
+           (COALESCE(wn.wins, CAST(0.0 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+           / (COALESCE(d.den, CAST(0.0 AS DOUBLE))
+              + CAST(2.0 AS DOUBLE) / (w.w + CAST(1.0 AS DOUBLE))) AS raw
+    FROM btw{k - 1} w
+    LEFT JOIN btwins wn ON w.item = wn.item
+    LEFT JOIN btd{k} d ON w.item = d.item
+),
+btw{k} AS MATERIALIZED (
+    SELECT item, raw * (SELECT n FROM btn) / (SELECT SUM(raw) FROM btr{k}) AS w
+    FROM btr{k}
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT item, ROUND(w, 6) AS rating FROM btw{iters}"
+    )
+
+
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style deterministic layered neighbor sampling from 5
+    seeds with fanouts (3, 2) on the symmetrized small graph — the
+    md5-ranked sample replays bit-identically in SQL."""
+    from ccl_spark.walks import neighbor_sample
+
+    return neighbor_sample(
+        _edges_small(spark, sf_dir), seeds=[0, 5, 10, 15, 20], fanouts=(3, 2)
+    )
+
+
+_NEIGHBOR_SAMPLE_SQL = f"""
+WITH e AS ({_EDGES_SQL}),
+und AS (
+    SELECT src AS s, dst AS d FROM e WHERE src <> dst
+    UNION
+    SELECT dst, src FROM e WHERE src <> dst
+),
+f0 AS (SELECT * FROM (VALUES (0, 0), (5, 5), (10, 10), (15, 15), (20, 20)) AS t(seed, node)),
+c1 AS (
+    SELECT s, d, ROW_NUMBER() OVER (
+        PARTITION BY s
+        ORDER BY md5('1' || '|' || CAST(s AS VARCHAR) || '|' || CAST(d AS VARCHAR)), d
+    ) AS rn
+    FROM und WHERE s IN (SELECT node FROM f0)
+),
+h1 AS (
+    SELECT DISTINCT f0.seed, c1.s AS src, c1.d AS dst
+    FROM f0 JOIN c1 ON f0.node = c1.s WHERE c1.rn <= 3
+),
+f1 AS (SELECT DISTINCT seed, dst AS node FROM h1),
+c2 AS (
+    SELECT s, d, ROW_NUMBER() OVER (
+        PARTITION BY s
+        ORDER BY md5('2' || '|' || CAST(s AS VARCHAR) || '|' || CAST(d AS VARCHAR)), d
+    ) AS rn
+    FROM und WHERE s IN (SELECT DISTINCT node FROM f1)
+),
+h2 AS (
+    SELECT DISTINCT f1.seed, c2.s AS src, c2.d AS dst
+    FROM f1 JOIN c2 ON f1.node = c2.s WHERE c2.rn <= 2
+)
+SELECT CAST(seed AS BIGINT) AS seed, CAST(1 AS BIGINT) AS hop, src, dst FROM h1
+UNION ALL
+SELECT CAST(seed AS BIGINT), CAST(2 AS BIGINT), src, dst FROM h2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -6581,6 +6715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": q_salsa,
         "frontier": q_frontier,
         "inverted_index": q_inverted_index,
+        "bradley_terry": q_bradley_terry,
+        "neighbor_sample": q_neighbor_sample,
     }
 
 
@@ -7697,4 +7833,6 @@ SELECT term, COUNT(DISTINCT doc) AS n_docs, COUNT(*) AS n_postings,
                   ORDER BY doc, pos) AS postings
 FROM rk GROUP BY term
 """,
+        "bradley_terry": _bradley_terry_sql(8),
+        "neighbor_sample": _NEIGHBOR_SAMPLE_SQL,
     }

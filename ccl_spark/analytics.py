@@ -618,3 +618,99 @@ def cusum_changepoint(
             ).alias("rate_after"),
         )
     )
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    iters: int = 8,
+    winner: str = "winner",
+    loser: str = "loser",
+) -> DataFrame:
+    """Bradley-Terry preference ratings from pairwise comparisons via
+    the MM algorithm (Hunter 2004) — the standard aggregation for
+    preference data (RLHF reward prep, search-result interleaving,
+    A/B duels): rating w_i such that P(i beats j) = w_i/(w_i+w_j).
+
+    Each MM step sets ``w_i' = W_i / sum_j n_ij/(w_i+w_j)`` (W_i =
+    wins of i, n_ij = comparisons between i and j), then rescales so
+    ratings sum to the item count.  A one-win/one-loss virtual duel
+    against a fixed rating-1 ghost regularizes items with zero wins
+    or zero losses (W_i += 1, denominator += 2/(w_i+1)), keeping every
+    rating finite and positive — the standard add-one smoothing.
+
+    Execution shape (100-TB story): the raw comparison log is reduced
+    ONCE to the (i, j, n) duel-count table and the per-item win table
+    (two shuffles over the log); every MM iteration then runs on the
+    duel table — two equi-joins against the current rating table and
+    one aggregate, all JVM-side, state = one row per item.  Iteration
+    count is fixed (MM converges geometrically), so both engines run
+    the identical float expression tree and agree to well under the
+    6dp the output is rounded to.
+
+    Returns ``(item, rating)``, rating rounded to 6dp.
+    """
+    comps = comparisons.select(
+        F.col(winner).cast("string").alias("win"),
+        F.col(loser).cast("string").alias("lose"),
+    ).filter(F.col("win") != F.col("lose"))
+    pairs = (
+        comps.groupBy(
+            F.least("win", "lose").alias("i"), F.greatest("win", "lose").alias("j")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    opp = pairs.select("i", "j", "n").unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n")
+    )
+    wins = comps.groupBy(F.col("win").alias("item")).agg(
+        F.count(F.lit(1)).cast("double").alias("wins")
+    )
+    items = (
+        comps.select(F.col("win").alias("item"))
+        .unionByName(comps.select(F.col("lose").alias("item")))
+        .distinct()
+    )
+    n_items = items.count()
+    # the MM loop's state is one row per item — tiny relative to the
+    # comparison log the two reduces above already collapsed — so the
+    # iteration joins run broadcast with the duel table reduced to a
+    # handful of partitions (no 32-way exchanges for a ratings table)
+    opp = opp.coalesce(4).localCheckpoint(eager=True)
+    wins = wins.coalesce(1).localCheckpoint(eager=True)
+    w = items.coalesce(1).select("item", F.lit(1.0).alias("w"))
+    for _ in range(iters):
+        den = (
+            opp.join(
+                F.broadcast(w.select(F.col("item").alias("i"), F.col("w").alias("wi"))),
+                "i",
+            )
+            .join(
+                F.broadcast(w.select(F.col("item").alias("j"), F.col("w").alias("wj"))),
+                "j",
+            )
+            .groupBy(F.col("i").alias("item"))
+            .agg(F.sum(F.col("n") / (F.col("wi") + F.col("wj"))).alias("den"))
+        )
+        raw = (
+            w.join(F.broadcast(wins), "item", "left")
+            .join(F.broadcast(den), "item", "left")
+            .select(
+                "item",
+                (
+                    (F.coalesce(F.col("wins"), F.lit(0.0)) + F.lit(1.0))
+                    / (
+                        F.coalesce(F.col("den"), F.lit(0.0))
+                        + F.lit(2.0) / (F.col("w") + F.lit(1.0))
+                    )
+                ).alias("raw"),
+            )
+        )
+        # raw feeds both the rescale total and the next rating table —
+        # materialize it, or the doubly-referenced lineage doubles the
+        # plan every iteration (2^iters blowup)
+        raw = raw.localCheckpoint(eager=True)
+        total = raw.agg(F.sum("raw").alias("tot"))
+        w = raw.crossJoin(F.broadcast(total)).select(
+            "item", (F.col("raw") * F.lit(float(n_items)) / F.col("tot")).alias("w")
+        )
+    return w.select("item", F.round("w", 6).alias("rating"))

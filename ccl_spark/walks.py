@@ -217,3 +217,75 @@ def node2vec_walks(
     return state.select(
         F.col("v0").alias("start"), F.col("rep").cast("long").alias("rep"), "walk"
     )
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    seeds: list[int],
+    fanouts: tuple[int, ...] = (3, 2),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """GraphSAGE-style layered neighbor sampling (Hamilton et al.
+    2017): from each seed, draw at most ``fanouts[h]`` neighbors per
+    frontier vertex at hop ``h+1`` on the symmetrized graph, expanding
+    hop by hop.
+
+    Sampling is *deterministically pseudo-random*: neighbors of a
+    vertex are ranked by ``md5(hop|src|dst)`` (a hash both Spark and
+    ANSI SQL compute identically on the same concatenated string), so
+    the sampled block is reproducible bit-for-bit across engines,
+    partitionings and retries — every executor that re-runs a task
+    draws the same neighborhood, which is what makes GNN minibatch
+    shards cacheable and the operator oracle-testable.  Two seeds
+    whose frontiers share a vertex share its sample (the rank is
+    keyed on (hop, vertex), not on the seed), so hub work is done
+    once per hop regardless of how many seeds reach the hub.
+
+    Execution shape (100-TB story): per hop, one semi-join restricts
+    the adjacency to frontier vertices *before* the ranking window
+    runs (the window partition key is the vertex, so a partition
+    never exceeds one vertex's degree), then one equi-join attributes
+    sampled edges back to seeds.  State is O(#seeds x prod(fanouts))
+    rows — never per-edge.
+
+    Returns ``(seed, hop, src, dst)`` sampled edges, hop = 1-based.
+    """
+    und = _symmetrized(edges, src, dst).select(
+        F.col("s").alias("e_src"), F.col("d").alias("e_dst")
+    )
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(int(s), int(s)) for s in seeds], "seed long, node long"
+    )
+    out = None
+    for hop, fan in enumerate(fanouts, 1):
+        active = frontier.select(F.col("node").alias("e_src")).distinct()
+        cand = und.join(active, "e_src", "left_semi")
+        rn = F.row_number().over(
+            Window.partitionBy("e_src").orderBy(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(hop)),
+                        F.col("e_src").cast("string"),
+                        F.col("e_dst").cast("string"),
+                    )
+                ),
+                "e_dst",
+            )
+        )
+        sampled = cand.withColumn("rn", rn).filter(F.col("rn") <= fan)
+        hopped = (
+            frontier.join(sampled, frontier.node == sampled.e_src)
+            .select(
+                "seed",
+                F.lit(hop).cast("long").alias("hop"),
+                F.col("e_src").alias("src"),
+                F.col("e_dst").alias("dst"),
+            )
+            .distinct()
+        )
+        out = hopped if out is None else out.unionByName(hopped)
+        frontier = hopped.select("seed", F.col("dst").alias("node")).distinct()
+    return out

@@ -389,3 +389,48 @@ def test_cusum_changepoint_planted_shift(spark):
     # single-bucket stream -> empty frame
     one = spark.createDataFrame([(base,)], "ts timestamp")
     assert cusum_changepoint(one, bucket_seconds=60).count() == 0
+
+
+def test_bradley_terry_matches_python_mm(spark):
+    from collections import Counter
+
+    from ccl_spark.analytics import bradley_terry
+
+    comps = [
+        ("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"), ("c", "b"),
+        ("a", "d"), ("d", "b"), ("c", "d"), ("a", "c"), ("b", "d"),
+    ]
+    df = spark.createDataFrame(comps, "winner string, loser string")
+    got = {r.item: r.rating for r in bradley_terry(df, iters=8).collect()}
+
+    wins = Counter(w for w, _ in comps)
+    duels = Counter(tuple(sorted(p)) for p in comps)
+    items = sorted({x for p in comps for x in p})
+    w = {i: 1.0 for i in items}
+    for _ in range(8):
+        raw = {}
+        for i in items:
+            den = sum(
+                n / (w[i] + w[a if a != i else b])
+                for (a, b), n in duels.items()
+                if i in (a, b)
+            )
+            raw[i] = (wins.get(i, 0) + 1.0) / (den + 2.0 / (w[i] + 1.0))
+        tot = sum(raw[i] for i in items)
+        w = {i: raw[i] * len(items) / tot for i in items}
+
+    assert set(got) == set(items)
+    for i in items:
+        assert got[i] == pytest.approx(round(w[i], 6), abs=2e-6)
+    # the dominant item ranks first; ratings average to 1 by the rescale
+    assert max(got, key=got.get) == "a"
+    assert sum(got.values()) == pytest.approx(len(items), abs=1e-4)
+
+
+def test_bradley_terry_symmetric_data_is_flat(spark):
+    from ccl_spark.analytics import bradley_terry
+
+    comps = [("x", "y"), ("y", "x"), ("y", "z"), ("z", "y"), ("z", "x"), ("x", "z")]
+    df = spark.createDataFrame(comps, "winner string, loser string")
+    vals = [r.rating for r in bradley_terry(df, iters=8).collect()]
+    assert all(v == pytest.approx(1.0, abs=1e-6) for v in vals)

@@ -138,3 +138,50 @@ def test_node2vec_bias_extremes(spark):
         for i in range(2, len(path)):
             if path[i - 1] not in (0, 5):
                 assert path[i] != path[i - 2]
+
+
+def test_neighbor_sample_matches_python_replay(spark):
+    import hashlib
+
+    from ccl_spark.walks import neighbor_sample
+
+    raw = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    seeds, fanouts = [0, 5], (2, 2)
+    got = {
+        (r.seed, r.hop, r.src, r.dst)
+        for r in neighbor_sample(edges, seeds=seeds, fanouts=fanouts).collect()
+    }
+
+    und = {}
+    for s, d in raw:
+        und.setdefault(s, set()).add(d)
+        und.setdefault(d, set()).add(s)
+
+    def sample(hop, node, fan):
+        ranked = sorted(
+            und.get(node, ()),
+            key=lambda d: (
+                hashlib.md5(f"{hop}|{node}|{d}".encode()).hexdigest(),
+                d,
+            ),
+        )
+        return ranked[:fan]
+
+    want = set()
+    frontier = {(s, s) for s in seeds}
+    for hop, fan in enumerate(fanouts, 1):
+        nxt = set()
+        for seed, node in frontier:
+            for d in sample(hop, node, fan):
+                want.add((seed, hop, node, d))
+                nxt.add((seed, d))
+        frontier = nxt
+    assert got == want
+
+    # fanout bound holds per (hop, vertex)
+    per = {}
+    for seed, hop, s, d in got:
+        per.setdefault((hop, s), set()).add(d)
+    for (hop, _), ds in per.items():
+        assert len(ds) <= fanouts[hop - 1]
