@@ -6502,6 +6502,99 @@ SELECT CAST(seed AS BIGINT), CAST(2 AS BIGINT), src, dst FROM h2
 """
 
 
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained on the full
+    document corpus (label = lang), scoring docs 0-59: the full
+    (doc, class) log-posterior matrix plus the argmax flag under the
+    deterministic (rounded score DESC, label) tie-break."""
+    from ccl_spark.textops import naive_bayes_classify, naive_bayes_train
+
+    docs = _t(spark, sf_dir, "documents")
+    class_stats, token_counts, vocab = naive_bayes_train(docs)
+    n = docs.count()
+    return naive_bayes_classify(
+        docs.filter(F.col("doc_id") < 60), class_stats, token_counts, vocab, n
+    )
+
+
+_NAIVE_BAYES_SQL = """
+WITH toks AS MATERIALIZED (
+    SELECT lang AS label, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+tc AS MATERIALIZED (
+    SELECT token, label, COUNT(*) AS c FROM toks
+    WHERE token <> '' GROUP BY token, label
+),
+cs AS (
+    SELECT label, SUM(c) AS total_tokens FROM tc GROUP BY label
+),
+nd AS (SELECT lang AS label, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+v AS (SELECT COUNT(DISTINCT token) AS vocab FROM tc),
+n AS (SELECT COUNT(*) AS n_train FROM documents),
+dt AS (
+    SELECT doc_id, token, COUNT(*) AS cnt
+    FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents WHERE doc_id < 60
+    ) x
+    WHERE token <> ''
+    GROUP BY doc_id, token
+),
+scored AS (
+    SELECT dt.doc_id, cs.label,
+           ROUND(
+               LN(CAST(nd.n_docs AS DOUBLE)) - LN(CAST((SELECT n_train FROM n) AS DOUBLE))
+               + SUM(dt.cnt * (LN(COALESCE(tc.c, 0) + CAST(1.0 AS DOUBLE))
+                               - LN(CAST(cs.total_tokens + (SELECT vocab FROM v) AS DOUBLE)))),
+               6
+           ) AS score
+    FROM dt
+    CROSS JOIN cs
+    JOIN nd ON nd.label = cs.label
+    LEFT JOIN tc ON tc.token = dt.token AND tc.label = cs.label
+    GROUP BY dt.doc_id, cs.label, nd.n_docs, cs.total_tokens
+)
+SELECT doc_id, label, score,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) = 1 AS best
+FROM scored
+"""
+
+
+def q_lp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused link-prediction training features (common neighbors,
+    Adamic-Adar, resource allocation, Jaccard, preferential
+    attachment) for the top-30 non-adjacent pairs — one wedge pass."""
+    from ccl_spark.graphstats import link_prediction_features
+
+    return link_prediction_features(_edges_small(spark, sf_dir), k=30)
+
+
+_LP_FEATURES_SQL = f"""
+WITH {_UND_SQL},
+deg AS (SELECT u AS w, COUNT(*) AS d FROM und GROUP BY u),
+nb AS (SELECT und.u AS w, und.v AS n, deg.d AS dw
+       FROM und JOIN deg ON und.u = deg.w
+       WHERE deg.d >= 2 AND deg.d <= 10000),
+pr AS (SELECT a.n AS u, b.n AS v, COUNT(*) AS common,
+              SUM(CAST(1.0 AS DOUBLE) / LN(a.dw)) AS aa,
+              SUM(CAST(1.0 AS DOUBLE) / a.dw) AS ra
+       FROM nb a JOIN nb b ON a.w = b.w AND a.n < b.n GROUP BY 1, 2),
+ex AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM und),
+feat AS (SELECT pr.u, pr.v, pr.common, pr.aa, pr.ra, du.d AS du, dv.d AS dv
+         FROM pr
+         JOIN deg du ON pr.u = du.w
+         JOIN deg dv ON pr.v = dv.w
+         WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.u = pr.u AND ex.v = pr.v))
+SELECT u, v, common, ROUND(aa, 6) AS aa, ROUND(ra, 6) AS ra,
+       ROUND(CAST(common AS DOUBLE) / (du + dv - common), 6) AS jaccard,
+       du * dv AS pa
+FROM feat
+ORDER BY common DESC, u, v
+LIMIT 30
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -6717,6 +6810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "bradley_terry": q_bradley_terry,
         "neighbor_sample": q_neighbor_sample,
+        "naive_bayes": q_naive_bayes,
+        "lp_features": q_lp_features,
     }
 
 
@@ -7835,4 +7930,6 @@ FROM rk GROUP BY term
 """,
         "bradley_terry": _bradley_terry_sql(8),
         "neighbor_sample": _NEIGHBOR_SAMPLE_SQL,
+        "naive_bayes": _NAIVE_BAYES_SQL,
+        "lp_features": _LP_FEATURES_SQL,
     }

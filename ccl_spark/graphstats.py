@@ -1157,3 +1157,70 @@ def degree_rank_correlation(
         )
         .alias("tau_b"),
     )
+
+
+def link_prediction_features(
+    edges: DataFrame,
+    k: int = 30,
+    max_degree: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Training-feature table for a learned link predictor: for the
+    top-k non-adjacent candidate pairs (ranked by common-neighbor
+    count, the cheapest-to-compute signal), emit the full classic
+    feature set in ONE wedge pass — common neighbors, Adamic-Adar,
+    resource allocation, neighborhood Jaccard, preferential
+    attachment (deg(u)*deg(v)).
+
+    Where ``adamic_adar``/``jaccard_links`` each score one index,
+    this fuses all wedge-derived aggregates into a single
+    (u, v) groupBy over the capped wedge join (same hub cap and
+    scale story as the module doc), then joins the degree table once
+    for Jaccard/PA — the feature-extraction shape a 100-TB link
+    prediction pipeline actually runs, not one pass per feature.
+
+    Returns ``(u, v, common, aa, ra, jaccard, pa)``; floats rounded
+    to 6dp; deterministic (common DESC, u, v) tie-break.
+    """
+    und = _symmetrized(edges, src, dst)
+    deg = und.groupBy(F.col("s").alias("w")).agg(F.count(F.lit(1)).alias("d"))
+    nb = und.select(F.col("s").alias("w"), F.col("d").alias("n")).join(
+        deg.filter((F.col("d") >= 2) & (F.col("d") <= max_degree)), "w"
+    )
+    a = nb.select("w", F.col("n").alias("u"), F.col("d").alias("dw"))
+    b = nb.select("w", F.col("n").alias("v"))
+    pr = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("dw").cast("double"))).alias("aa"),
+            F.sum(F.lit(1.0) / F.col("dw").cast("double")).alias("ra"),
+        )
+    )
+    degv = deg.select(F.col("w").alias("vv"), "d")
+    existing = und.select(
+        F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v")
+    ).distinct()
+    return (
+        pr.join(existing, ["u", "v"], "left_anti")
+        .join(degv.select(F.col("vv").alias("u"), F.col("d").alias("du")), "u")
+        .join(degv.select(F.col("vv").alias("v"), F.col("d").alias("dv")), "v")
+        .orderBy(F.col("common").desc(), "u", "v")
+        .limit(k)
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round("aa", 6).alias("aa"),
+            F.round("ra", 6).alias("ra"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            (F.col("du") * F.col("dv")).alias("pa"),
+        )
+    )

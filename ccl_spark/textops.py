@@ -1264,3 +1264,102 @@ def ctfidf_terms(
         .filter(F.col("rn") <= k_terms)
         .select(F.col("cls").alias(class_col), "term", "score")
     )
+
+
+def naive_bayes_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Multinomial Naive Bayes trainer (the classic supervised text
+    classifier — McCallum & Nigam 1998) with add-one smoothing.
+
+    Tokens are the corpus's whitespace tokens (the same tokenizer as
+    ``vocabulary``).  Returns ``(class_stats, token_counts, vocab)``:
+    ``class_stats`` = (label, n_docs, total_tokens) — one row per
+    class; ``token_counts`` = (token, label, c) observed class-
+    conditional counts; ``vocab`` = distinct-token count V.  The
+    log-likelihood of token t in class y is
+    ``ln(c(t,y)+1) - ln(T_y + V)`` — everything downstream derives
+    from integer counts, so the model is exactly reproducible.
+
+    Execution shape (100-TB story): ONE shuffle reduces the exploded
+    token stream to (token, label) counts — the model is vocab x
+    classes, orders of magnitude smaller than the corpus; class stats
+    fold map-side from the same pass.
+    """
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    token_counts = toks.groupBy("token", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    class_stats = token_counts.groupBy("label").agg(F.sum("c").alias("total_tokens"))
+    n_docs = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    class_stats = class_stats.join(n_docs, "label")
+    vocab = token_counts.select("token").distinct().count()
+    return class_stats, token_counts, vocab
+
+
+def naive_bayes_classify(
+    docs: DataFrame,
+    class_stats: DataFrame,
+    token_counts: DataFrame,
+    vocab: int,
+    n_train_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a ``naive_bayes_train`` model: for each
+    (doc, class), ``ln(n_y) - ln(N) + sum_t cnt_t * (ln(c(t,y)+1) -
+    ln(T_y+V))`` over the doc's token multiset (unseen tokens fall
+    back to the smoothed zero count).  Returns one row per (doc,
+    class): ``(doc_id, label, score, best)`` with score rounded to
+    6dp and ``best`` marking the argmax under the deterministic
+    (rounded score DESC, label) tie-break.
+
+    Execution shape: doc tokens aggregate per (doc, token) once, then
+    cross the (small) class list and broadcast-join the model's
+    (token, label) counts — the corpus is touched once; no
+    per-class corpus passes.
+    """
+    doc_toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    labels = class_stats.select("label", "total_tokens", "n_docs")
+    scored = (
+        doc_toks.crossJoin(F.broadcast(labels))
+        .join(F.broadcast(token_counts), ["token", "label"], "left")
+        .withColumn("c0", F.coalesce(F.col("c"), F.lit(0)))
+        .groupBy("doc_id", "label", "total_tokens", "n_docs")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * (
+                    F.log(F.col("c0") + F.lit(1).cast("double"))
+                    - F.log((F.col("total_tokens") + F.lit(vocab)).cast("double"))
+                )
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "label",
+            F.round(
+                F.log(F.col("n_docs").cast("double"))
+                - F.log(F.lit(float(n_train_docs)))
+                + F.col("ll"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "label")
+    return scored.withColumn("best", F.row_number().over(w) == 1)

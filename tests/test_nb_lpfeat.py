@@ -1,0 +1,95 @@
+"""Pure-Python oracles for the Naive Bayes classifier and the fused
+link-prediction feature table."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def test_naive_bayes_matches_python(spark):
+    from ccl_spark.textops import naive_bayes_classify, naive_bayes_train
+
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the dog ate the bone", "en"),
+        (2, "le chat dort sur le lit", "fr"),
+        (3, "le chien mange le os", "fr"),
+        (4, "the cat and the dog", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cs, tc, vocab = naive_bayes_train(docs)
+    got = {
+        (r.doc_id, r.label): (r.score, r.best)
+        for r in naive_bayes_classify(docs, cs, tc, vocab, len(rows)).collect()
+    }
+
+    # python replay
+    counts, totals, ndocs = {}, {}, {}
+    for _, text, lang in rows:
+        ndocs[lang] = ndocs.get(lang, 0) + 1
+        for t in text.lower().split(" "):
+            if t:
+                counts[(t, lang)] = counts.get((t, lang), 0) + 1
+                totals[lang] = totals.get(lang, 0) + 1
+    V = len({t for t, _ in counts})
+    for doc_id, text, _ in rows:
+        toks = [t for t in text.lower().split(" ") if t]
+        scores = {}
+        for y in ndocs:
+            s = math.log(ndocs[y]) - math.log(len(rows))
+            for t in toks:
+                s += math.log(counts.get((t, y), 0) + 1.0) - math.log(totals[y] + V)
+            scores[y] = round(s, 6)
+        best = min(scores, key=lambda y: (-scores[y], y))
+        for y in ndocs:
+            g_score, g_best = got[(doc_id, y)]
+            assert g_score == pytest.approx(scores[y], abs=2e-6)
+            assert g_best == (y == best)
+
+    # sanity: english docs classify english with the separable vocab
+    assert got[(0, "en")][1] and got[(2, "fr")][1]
+
+
+def test_lp_features_matches_python(spark):
+    from ccl_spark.graphstats import link_prediction_features
+
+    raw = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        (r.u, r.v): (r.common, r.aa, r.ra, r.jaccard, r.pa)
+        for r in link_prediction_features(edges, k=100).collect()
+    }
+
+    adj = {}
+    for s, d in raw:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    existing = {tuple(sorted(p)) for p in raw}
+    verts = sorted(adj)
+    want = {}
+    for i, u in enumerate(verts):
+        for v in verts[i + 1:]:
+            if (u, v) in existing:
+                continue
+            commons = adj[u] & adj[v]
+            if not commons:
+                continue
+            aa = sum(1.0 / math.log(len(adj[w])) for w in commons)
+            ra = sum(1.0 / len(adj[w]) for w in commons)
+            jac = len(commons) / (len(adj[u]) + len(adj[v]) - len(commons))
+            want[(u, v)] = (
+                len(commons),
+                round(aa, 6),
+                round(ra, 6),
+                round(jac, 6),
+                len(adj[u]) * len(adj[v]),
+            )
+    assert set(got) == set(want)
+    for p, (cn, aa, ra, jac, pa) in want.items():
+        g = got[p]
+        assert g[0] == cn and g[4] == pa
+        assert g[1] == pytest.approx(aa, abs=2e-6)
+        assert g[2] == pytest.approx(ra, abs=2e-6)
+        assert g[3] == pytest.approx(jac, abs=2e-6)
