@@ -6595,6 +6595,90 @@ LIMIT 30
 """
 
 
+def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic (gamma=2 DDSketch) quantile estimates p50/p90/p99 of
+    event value per event type — integer bit-length bucketing, so the
+    sketch and its quantile picks replay exactly in SQL."""
+    from ccl_spark.sketch import ddsketch_build, ddsketch_quantiles
+
+    sk = ddsketch_build(_t(spark, sf_dir, "events"), "event_type", "value")
+    return ddsketch_quantiles(sk).withColumnRenamed("group", "event_type")
+
+
+_DDSKETCH_SQL = """
+WITH q AS (SELECT event_type AS grp, CAST(ROUND(value * 100) AS BIGINT) AS q FROM events),
+sk AS (SELECT grp, CAST(CASE WHEN q <= 0 THEN 0 ELSE length(bin(q)) END AS BIGINT) AS bucket,
+              COUNT(*) AS cnt
+       FROM q GROUP BY 1, 2),
+tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM sk GROUP BY grp),
+cum AS (SELECT grp, bucket, SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum FROM sk),
+ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS p),
+pick AS (SELECT c.grp, ps.p, t.n, MIN(c.bucket) AS b
+         FROM cum c JOIN tot t ON c.grp = t.grp CROSS JOIN ps
+         WHERE c.cum >= CEIL(ps.p * t.n)
+         GROUP BY c.grp, ps.p, t.n)
+SELECT grp AS event_type, p,
+       ((1::BIGINT << CAST(b AS INT)) - 1) / CAST(100 AS DOUBLE) AS est,
+       n
+FROM pick
+"""
+
+
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types by HLL
+    inclusion-exclusion (union sketch = per-bucket register MAX) —
+    audience overlap from sketches alone."""
+    from ccl_spark.sketch import hll_build_grouped, hll_overlap_pairs
+
+    regs = hll_build_grouped(_t(spark, sf_dir, "events"), "event_type", "user_id", b=6)
+    return hll_overlap_pairs(regs, b=6)
+
+
+def _hll_overlap_sql(b: int) -> str:
+    from ccl_spark.sketch import HLL_HASH_BITS
+
+    m = 1 << b
+    w = HLL_HASH_BITS - b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    branches = " ".join(
+        f"WHEN (h // {m}) >= {1 << (w - i)} THEN {i}" for i in range(1, w + 1)
+    )
+    raw = f"(CAST({alpha!r} AS DOUBLE) * {m * m}) / (s + ({m} - n_present))"
+    est_case = f"""ROUND(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND n_present < {m}
+             THEN CAST({float(m)!r} AS DOUBLE)
+                  * LN(CAST({float(m)!r} AS DOUBLE) / ({m} - n_present))
+             ELSE {raw} END, 6)"""
+    return f"""
+WITH h AS (SELECT event_type AS grp,
+                  ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ',hll'),
+                   1, 13))::BIGINT AS h FROM events),
+reg AS MATERIALIZED (SELECT grp, h % {m} AS bucket,
+               MAX(CASE {branches} ELSE {w + 1} END) AS rho
+        FROM h GROUP BY 1, 2),
+est AS (SELECT grp, {est_case} AS estimate
+        FROM (SELECT grp, COUNT(*) AS n_present,
+                     COALESCE(SUM(POWER(2.0, -rho)), 0.0) AS s
+              FROM reg GROUP BY grp) x),
+prs AS (SELECT a.grp AS g1, b.grp AS g2
+        FROM (SELECT DISTINCT grp FROM reg) a, (SELECT DISTINCT grp FROM reg) b
+        WHERE a.grp < b.grp),
+un AS (SELECT g1, g2, bucket, MAX(rho) AS rho FROM (
+           SELECT prs.g1, prs.g2, r.bucket, r.rho FROM prs JOIN reg r ON r.grp = prs.g1
+           UNION ALL
+           SELECT prs.g1, prs.g2, r.bucket, r.rho FROM prs JOIN reg r ON r.grp = prs.g2
+       ) z GROUP BY 1, 2, 3),
+eu AS (SELECT g1, g2, {est_case} AS est_union
+       FROM (SELECT g1, g2, COUNT(*) AS n_present,
+                    COALESCE(SUM(POWER(2.0, -rho)), 0.0) AS s
+             FROM un GROUP BY g1, g2) y)
+SELECT eu.g1, eu.g2, ea.estimate AS est_a, eb.estimate AS est_b, eu.est_union,
+       ROUND(ea.estimate + eb.estimate - eu.est_union, 6) AS overlap
+FROM eu
+JOIN est ea ON ea.grp = eu.g1
+JOIN est eb ON eb.grp = eu.g2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -6812,6 +6896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": q_neighbor_sample,
         "naive_bayes": q_naive_bayes,
         "lp_features": q_lp_features,
+        "ddsketch": q_ddsketch,
+        "hll_overlap": q_hll_overlap,
     }
 
 
@@ -7932,4 +8018,6 @@ FROM rk GROUP BY term
         "neighbor_sample": _NEIGHBOR_SAMPLE_SQL,
         "naive_bayes": _NAIVE_BAYES_SQL,
         "lp_features": _LP_FEATURES_SQL,
+        "ddsketch": _DDSKETCH_SQL,
+        "hll_overlap": _hll_overlap_sql(6),
     }

@@ -17,7 +17,7 @@ by e·N/width with probability 1−(1/e)^depth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _bucket(token_col: str, row_col: str, width: int) -> F.Column:
@@ -392,4 +392,164 @@ def kmv_jaccard_pairs(sketches: DataFrame, k: int = 64) -> DataFrame:
             ),
             6,
         ).alias("union_est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dyadic (power-of-two-bucket) mergeable quantile sketch — a DDSketch
+# (Masson et al. 2019) with gamma = 2 and integer bucket indexing, so
+# every step is integer-exact and the sketch replays identically in
+# any SQL engine.
+# --------------------------------------------------------------------------
+
+
+def ddsketch_build(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantize: int = 100,
+) -> DataFrame:
+    """Per-group dyadic quantile sketch: values are quantized to
+    integers (``round(value * quantize)``), and each integer q > 0
+    lands in bucket = its bit length (q in [2^(b-1), 2^b)); q <= 0
+    lands in bucket 0.  The sketch is ``(group, bucket, cnt)`` — at
+    most ~64 rows per group regardless of data size, and sketches
+    merge EXACTLY by per-(group, bucket) count addition (the
+    property histograms/DDSketch are built for: shard-parallel
+    build + tree merge at 100 TB, no global sort).
+
+    Quantile estimates carry the dyadic guarantee: the true quantile
+    lies in the reported bucket, so the upper-bound estimate is at
+    most 2x the true value (relative error bounded by gamma = 2).
+    Bucket indexing is ``length(bin(q))`` — pure integer bit length,
+    bit-identical in Spark and ANSI SQL, no float log2 boundary
+    rounding (the HLL rho lesson).
+    """
+    q = F.round(F.col(value_col) * quantize).cast("long")
+    return (
+        values.select(F.col(group_col).alias("group"), q.alias("q"))
+        .select(
+            "group",
+            F.when(F.col("q") <= 0, F.lit(0))
+            .otherwise(F.expr("length(bin(q))"))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("group", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ddsketch_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two dyadic sketches: per-(group, bucket) count sum —
+    associative and commutative, so shard sketches fold in any order
+    to exactly the sketch of the union."""
+    return (
+        a.unionByName(b)
+        .groupBy("group", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def ddsketch_quantiles(
+    sketch: DataFrame,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    quantize: int = 100,
+) -> DataFrame:
+    """Quantile estimates from a dyadic sketch: for each p, the
+    smallest bucket whose cumulative count reaches ``ceil(p * n)``,
+    reported as the bucket's upper bound ``(2^bucket - 1)/quantize``
+    — deterministic integer selection, one float division at the end.
+
+    Returns ``(group, p, est, n)``.
+    """
+    tot = sketch.groupBy("group").agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy("group").orderBy("bucket")
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w))
+    pdf = tot.select(
+        "group",
+        "n",
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+    )
+    picked = (
+        cum.join(pdf, "group")
+        .filter(F.col("cum") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("group", "p", "n")
+        .agg(F.min("bucket").alias("b"))
+    )
+    return picked.select(
+        "group",
+        "p",
+        F.expr(f"(shiftleft(1L, cast(b as int)) - 1) / cast({quantize} as double)").alias(
+            "est"
+        ),
+        "n",
+    )
+
+
+def hll_overlap_pairs(registers: DataFrame, b: int = 6) -> DataFrame:
+    """Pairwise set-overlap estimates between groups from their HLL
+    registers by inclusion-exclusion: ``|A ∩ B| ≈ est(A) + est(B) -
+    est(A ∪ B)``, where the union sketch is the per-bucket register
+    MAX — the audience-overlap primitive (shared users between two
+    hosts/segments) computed entirely from per-group sketches, never
+    touching the raw key sets again.
+
+    Returns ``(g1, g2, est_a, est_b, est_union, overlap)`` for every
+    unordered group pair, all estimates rounded to 6dp.  Group count
+    is assumed aggregation-sized (pairs are quadratic in groups, not
+    in data).
+    """
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = hll_estimate_grouped(registers, b).select("group", "estimate")
+    groups = registers.select("group").distinct()
+    pairs = (
+        groups.select(F.col("group").alias("g1"))
+        .crossJoin(groups.select(F.col("group").alias("g2")))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    r1 = pairs.join(
+        registers.select(F.col("group").alias("g1"), "bucket", "rho"), "g1"
+    ).select("g1", "g2", "bucket", "rho")
+    r2 = pairs.join(
+        registers.select(F.col("group").alias("g2"), "bucket", "rho"), "g2"
+    ).select("g1", "g2", "bucket", "rho")
+    un = (
+        r1.unionByName(r2)
+        .groupBy("g1", "g2", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = un.groupBy("g1", "g2").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_present"),
+    )
+    raw = F.lit(alpha * m * m) / (
+        F.col("s_present") + (F.lit(m) - F.col("n_present"))
+    )
+    eu = agg.select(
+        "g1",
+        "g2",
+        F.round(
+            F.when(
+                (raw <= F.lit(2.5 * m)) & (F.col("n_present") < F.lit(m)),
+                F.lit(float(m))
+                * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_present"))),
+            ).otherwise(raw),
+            6,
+        ).alias("est_union"),
+    )
+    return (
+        eu.join(est.select(F.col("group").alias("g1"), F.col("estimate").alias("est_a")), "g1")
+        .join(est.select(F.col("group").alias("g2"), F.col("estimate").alias("est_b")), "g2")
+        .select(
+            "g1",
+            "g2",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6).alias(
+                "overlap"
+            ),
+        )
     )

@@ -236,3 +236,70 @@ def test_kmv_jaccard_pairs_exact_and_estimated(spark):
     # the estimates are in the right neighborhood of the truth
     assert abs(r.jaccard_est - 100 / 300) < 0.15
     assert abs(r.union_est - 300) < 120
+
+
+def test_ddsketch_merge_equals_build_and_error_bound(spark):
+    from ccl_spark.sketch import ddsketch_build, ddsketch_merge, ddsketch_quantiles
+
+    rows = [("g", float(v)) for v in range(1, 401)] + [
+        ("h", float(v * v) / 7.0) for v in range(1, 200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    whole = ddsketch_build(df, "grp", "value")
+
+    # shard-fold == union-build (exact mergeability)
+    s1 = ddsketch_build(df.filter("value < 100"), "grp", "value")
+    s2 = ddsketch_build(df.filter("value >= 100"), "grp", "value")
+    folded = ddsketch_merge(s1, s2)
+    a = {(r.group, r.bucket): r.cnt for r in whole.collect()}
+    b = {(r.group, r.bucket): r.cnt for r in folded.collect()}
+    assert a == b
+
+    # dyadic guarantee: estimate is >= true quantile and < 2x (plus
+    # quantization slack)
+    est = {
+        (r.group, r.p): r.est for r in ddsketch_quantiles(whole).collect()
+    }
+    import math
+
+    for grp in ("g", "h"):
+        vals = sorted(v for g, v in rows if g == grp)
+        for p in (0.5, 0.9, 0.99):
+            true = vals[math.ceil(p * len(vals)) - 1]
+            e = est[(grp, p)]
+            assert e >= true - 0.01
+            assert e <= 2.0 * true + 0.01
+
+    # zero/negative values land in bucket 0 with estimate 0
+    z = ddsketch_build(
+        spark.createDataFrame([("z", 0.0), ("z", -3.0)], "grp string, value double"),
+        "grp",
+        "value",
+    )
+    qz = ddsketch_quantiles(z, ps=(0.5,)).first()
+    assert qz.est == 0.0 and qz.n == 2
+
+
+def test_hll_overlap_tracks_true_intersections(spark):
+    from ccl_spark.sketch import hll_build_grouped, hll_overlap_pairs
+
+    # A = 0..599, B = 300..899 (300 shared), C = 2000..2099 (disjoint)
+    rows = (
+        [("A", i) for i in range(600)]
+        + [("B", i) for i in range(300, 900)]
+        + [("C", i) for i in range(2000, 2100)]
+    )
+    df = spark.createDataFrame(rows, "grp string, uid long")
+    regs = hll_build_grouped(df, "grp", "uid", b=6)
+    got = {(r.g1, r.g2): r for r in hll_overlap_pairs(regs, b=6).collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    # b=6 HLL: ~13% relative error; the shared-300 pair must read far
+    # above the disjoint pairs
+    assert ab.overlap > 100
+    assert abs(ab.est_a - 600) < 200 and abs(ab.est_b - 600) < 200
+    assert got[("A", "C")].overlap < ab.overlap
+    assert got[("B", "C")].overlap < ab.overlap
+    # inclusion-exclusion identity holds on the rounded outputs
+    for r in got.values():
+        assert r.overlap == round(r.est_a + r.est_b - r.est_union, 6)
