@@ -6679,6 +6679,46 @@ JOIN est eb ON eb.grp = eu.g2
 """
 
 
+_SESSIONS_SQL = """
+WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, ts FROM events),
+m AS (SELECT user_id, ts,
+      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e),
+s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+       ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization's fold algebra: events split into 3
+    NON-time-ordered shards (event_id % 3), each sessionized alone,
+    then interval-merged — must equal from-scratch sessionization
+    (same oracle as the batch `sessions` query)."""
+    from ccl_spark.streaming import merge_session_tables, sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "event_id"
+    )
+    parts = [
+        sessionize(ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+                   gap="30 minutes")
+        for i in range(3)
+    ]
+    merged = merge_session_tables(
+        parts[0].unionByName(parts[1]).unionByName(parts[2])
+    )
+    return merged.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -6898,6 +6938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_features": q_lp_features,
         "ddsketch": q_ddsketch,
         "hll_overlap": q_hll_overlap,
+        "session_fold": q_session_fold,
     }
 
 
@@ -7547,18 +7588,8 @@ FROM m
         # an event at exactly prev + gap still merges (Spark merges
         # sessions whose [start, last+gap] ranges touch), and
         # session_end = last event + gap.
-        "sessions": """
-WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, ts FROM events),
-m AS (SELECT user_id, ts,
-      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e),
-s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-       ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-       CAST(COUNT(*) AS BIGINT) AS n_events
-FROM s GROUP BY user_id, sid
-""",
+        "sessions": _SESSIONS_SQL,
+        "session_fold": _SESSIONS_SQL,
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

@@ -30,7 +30,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
@@ -500,3 +500,89 @@ def streaming_pagerank(
         pr_fold_batch(batch_df, batch_id, root, src, dst, damping, tol)
 
     return edge_stream.writeStream.foreachBatch(fold)
+
+
+def merge_session_tables(sessions: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Merge overlapping-or-touching sessions of one key (classic
+    gaps-and-islands): sessions sorted by start break into islands
+    where a start exceeds the running max of prior ends; each island
+    collapses to (min start, max end, summed n_events).
+
+    This is the fold algebra of incremental sessionization: a session
+    [first, last+gap] from one microbatch touches a session from
+    another exactly when some event of one is within ``gap`` of an
+    event of the other, so interval merging reproduces global
+    sessionization REGARDLESS of how events were split across batches
+    (even out of order) — order-insensitive, associative, idempotent.
+    One shuffle on the key; state is one row per open session."""
+    w = Window.partitionBy(key_col).orderBy("session_start", "session_end")
+    prev_end = F.max("session_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_end.isNull() | (F.col("session_start") > prev_end), 1
+    ).otherwise(0)
+    sid = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        sessions.withColumn("sid", sid)
+        .groupBy(key_col, "sid")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .drop("sid")
+    )
+
+
+def latest_sessions(spark, root: str, before: int | None = None):
+    """(version, sessions DataFrame) of the newest COMPLETE session
+    snapshot under ``root``, or None — same _SUCCESS / strictly-below
+    replay contract as every fold here."""
+    versions = _complete_versions(spark, root, "sessions_v", before)
+    if not versions:
+        return None
+    best = versions[-1]
+    return best, spark.read.parquet(f"{root}/sessions_v{best}")
+
+
+def session_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> None:
+    """One incremental-sessionization microbatch fold, REPLAY-
+    IDEMPOTENT: sessionize the batch alone, union with the newest
+    snapshot strictly below this batch_id, interval-merge, write
+    ``root/sessions_v{batch_id}``. Because the merge algebra is
+    order-insensitive, the final snapshot equals from-scratch
+    sessionize() over all events seen (test_streaming parity)."""
+    spark = batch_df.sparkSession
+    batch_s = sessionize(batch_df, key_col=key_col, ts_col=ts_col, gap=gap)
+    latest = latest_sessions(spark, root, before=batch_id)
+    allcat = batch_s if latest is None else latest[1].unionByName(batch_s)
+    merged = merge_session_tables(allcat, key_col)
+    merged.write.mode("overwrite").parquet(f"{root}/sessions_v{batch_id}")
+
+
+def streaming_sessions(
+    event_stream: DataFrame,
+    root: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+):
+    """Continuous sessionization fold: each microbatch's sessions
+    interval-merge into the persisted session table (the unbounded-
+    retention complement of sessionize(watermark=...), which must
+    close state; here closed sessions can still reopen if a late
+    event bridges them — correct for crawl/event archives folded in
+    arbitrary order). Returns the DataStreamWriter."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        session_fold_batch(batch_df, batch_id, root, key_col, ts_col, gap)
+
+    return event_stream.writeStream.foreachBatch(fold)

@@ -411,3 +411,65 @@ def test_pr_fold_batch_replay_idempotent(spark, tmp_path):
     second = {r.vertex: r.rank for r in r2.collect()}
     assert v1 == v2 == 1
     assert first == second
+
+
+def test_session_fold_parity_and_replay(spark, tmp_path):
+    """Incremental sessionization: fold events in 3 NON-time-ordered
+    batches; the final snapshot equals from-scratch sessionize() over
+    all events; replaying a batch (crash between parquet write and
+    checkpoint commit) leaves the result unchanged."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ccl_spark.streaming import (
+        latest_sessions,
+        merge_session_tables,
+        session_fold_batch,
+        sessionize,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: two sessions (25-min steps merge; a 31-min hole breaks)
+    for i in range(4):
+        rows.append((1, base + dt.timedelta(minutes=25 * i)))
+    rows.append((1, base + dt.timedelta(minutes=25 * 3 + 31)))
+    # user 2: events exactly 30 minutes apart — the gap boundary
+    rows.append((2, base))
+    rows.append((2, base + dt.timedelta(minutes=30)))
+    # user 3: single event
+    rows.append((3, base + dt.timedelta(hours=5)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(ev, gap="30 minutes").collect()
+    )
+
+    root = str(tmp_path / "sess")
+    for b in range(3):
+        batch = ev.filter(F.pmod(F.col("user_id") + F.xxhash64("ts"), F.lit(3)) == b)
+        session_fold_batch(batch, b, root)
+    _, final = latest_sessions(spark, root)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in final.collect()
+    )
+    assert got == want
+
+    # replay batch 1: fold must only read snapshots strictly below 1
+    batch1 = ev.filter(F.pmod(F.col("user_id") + F.xxhash64("ts"), F.lit(3)) == 1)
+    session_fold_batch(batch1, 1, root)
+    # ...and the final (v2) snapshot still reflects everything
+    v, final2 = latest_sessions(spark, root)
+    assert v == 2
+    got2 = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in final2.collect()
+    )
+    assert got2 == want
+
+    # merge is idempotent: re-merging the merged table is a no-op
+    m1 = merge_session_tables(final2)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, final2.collect()))
