@@ -6502,23 +6502,54 @@ SELECT CAST(seed AS BIGINT), CAST(2 AS BIGINT), src, dst FROM h2
 """
 
 
+_NB_MEMO: dict[tuple, DataFrame] = {}
+
+
 def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained on the full
     document corpus (label = lang), scoring docs 0-59: the full
     (doc, class) log-posterior matrix plus the argmax flag under the
-    deterministic (rounded score DESC, label) tie-break."""
+    deterministic (rounded score DESC, label) tie-break.  Memoized —
+    nb_eval consumes the same matrix."""
     from ccl_spark.textops import naive_bayes_classify, naive_bayes_train
 
-    docs = _t(spark, sf_dir, "documents")
-    class_stats, token_counts, vocab = naive_bayes_train(docs)
-    n = docs.count()
-    return naive_bayes_classify(
-        docs.filter(F.col("doc_id") < 60), class_stats, token_counts, vocab, n
+    key = (sf_dir,)
+    if key not in _NB_MEMO:
+        docs = _t(spark, sf_dir, "documents")
+        class_stats, token_counts, vocab = naive_bayes_train(docs)
+        n = docs.count()
+        _NB_MEMO[key] = naive_bayes_classify(
+            docs.filter(F.col("doc_id") < 60), class_stats, token_counts, vocab, n
+        ).localCheckpoint(eager=True)
+    return _NB_MEMO[key]
+
+
+def q_nb_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the Naive Bayes argmax
+    predictions (docs 0-59) against the true lang labels — the
+    classifier-evaluation tail, sharing the memoized posterior
+    matrix."""
+    from ccl_spark.retrieval import classification_report
+
+    preds = q_naive_bayes(spark, sf_dir).filter("best").select("doc_id", "label")
+    return classification_report(preds, _t(spark, sf_dir, "documents"))
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum (Mann-Whitney) ROC AUC with exact tie handling for
+    'does n_chars predict lang == en' — no global row_number: ranks
+    come from the cumulative count over DISTINCT scores."""
+    from ccl_spark.retrieval import auc_rank
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
     )
+    return auc_rank(docs)
 
 
-_NAIVE_BAYES_SQL = """
-WITH toks AS MATERIALIZED (
+_NB_CTES = """
+toks AS MATERIALIZED (
     SELECT lang AS label, unnest(string_split(lower(text), ' ')) AS token
     FROM documents
 ),
@@ -6555,9 +6586,75 @@ scored AS (
     LEFT JOIN tc ON tc.token = dt.token AND tc.label = cs.label
     GROUP BY dt.doc_id, cs.label, nd.n_docs, cs.total_tokens
 )
+"""
+
+_NAIVE_BAYES_SQL = (
+    "WITH " + _NB_CTES + """
 SELECT doc_id, label, score,
        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) = 1 AS best
 FROM scored
+"""
+)
+
+_NB_EVAL_SQL = (
+    "WITH " + _NB_CTES + """,
+preds AS (SELECT doc_id, label AS pred
+          FROM (SELECT doc_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, label) AS rn
+                FROM scored) z
+          WHERE rn = 1),
+jj AS (SELECT d.lang AS truth, p.pred FROM preds p JOIN documents d USING (doc_id)),
+classes AS (SELECT DISTINCT lang AS label FROM documents),
+tpc AS (SELECT truth AS label, COUNT(*) AS tp FROM jj WHERE truth = pred GROUP BY 1),
+fpc AS (SELECT pred AS label, COUNT(*) AS fp FROM jj WHERE truth <> pred GROUP BY 1),
+fnc AS (SELECT truth AS label, COUNT(*) AS fn FROM jj WHERE truth <> pred GROUP BY 1),
+cc AS (SELECT c.label, COALESCE(tpc.tp, 0) AS tp, COALESCE(fpc.fp, 0) AS fp,
+              COALESCE(fnc.fn, 0) AS fn
+       FROM classes c
+       LEFT JOIN tpc USING (label)
+       LEFT JOIN fpc USING (label)
+       LEFT JOIN fnc USING (label))
+SELECT label, tp, fp, fn,
+       ROUND(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS precision,
+       ROUND(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS recall,
+       ROUND(CASE WHEN (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+                             ELSE CAST(0.0 AS DOUBLE) END)
+                     + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+                             ELSE CAST(0.0 AS DOUBLE) END) > 0
+             THEN CAST(2.0 AS DOUBLE)
+                  * (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+                          ELSE CAST(0.0 AS DOUBLE) END)
+                  * (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+                          ELSE CAST(0.0 AS DOUBLE) END)
+                  / ((CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+                           ELSE CAST(0.0 AS DOUBLE) END)
+                     + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+                             ELSE CAST(0.0 AS DOUBLE) END))
+             ELSE CAST(0.0 AS DOUBLE) END, 6) AS f1
+FROM cc
+"""
+)
+
+_AUC_SQL = """
+WITH per AS (SELECT CAST(n_chars AS DOUBLE) AS s, COUNT(*) AS cnt,
+                    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+             FROM documents GROUP BY 1),
+rk AS (SELECT s, cnt, pos,
+              COALESCE(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cum_before
+       FROM per),
+agg AS (SELECT SUM(pos * (cum_before + (cnt + 1) / CAST(2.0 AS DOUBLE))) AS r_pos,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+        FROM rk)
+SELECT ROUND((r_pos - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE)
+              / CAST(2.0 AS DOUBLE))
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc,
+       n_pos, n_neg
+FROM agg
 """
 
 
@@ -6939,6 +7036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch": q_ddsketch,
         "hll_overlap": q_hll_overlap,
         "session_fold": q_session_fold,
+        "nb_eval": q_nb_eval,
+        "auc": q_auc,
     }
 
 
@@ -7590,6 +7689,8 @@ FROM m
         # session_end = last event + gap.
         "sessions": _SESSIONS_SQL,
         "session_fold": _SESSIONS_SQL,
+        "nb_eval": _NB_EVAL_SQL,
+        "auc": _AUC_SQL,
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

@@ -166,3 +166,120 @@ def ranking_metrics(
             ).alias("ndcg"),
         )
     )
+
+
+def classification_report(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "label",
+    truth_col: str = "lang",
+) -> DataFrame:
+    """Per-class precision/recall/F1 from a prediction table and a
+    truth table — the evaluation tail of any corpus classifier
+    (language ID, quality, topic).  One equi-join on the id and one
+    aggregate per class; counts are exact integers, the three float
+    divisions happen once per class at the end (guarded to 0 on empty
+    denominators).
+
+    Returns ``(label, tp, fp, fn, precision, recall, f1)``, floats
+    rounded to 6dp, one row per truth class.
+    """
+    j = truth.select(
+        F.col(id_col).alias("id"), F.col(truth_col).alias("truth")
+    ).join(
+        pred.select(F.col(id_col).alias("id"), F.col(pred_col).alias("pred")),
+        "id",
+    )
+    classes = truth.select(F.col(truth_col).alias("label")).distinct()
+    tp = j.filter(F.col("truth") == F.col("pred")).groupBy(
+        F.col("truth").alias("label")
+    ).agg(F.count(F.lit(1)).alias("tp"))
+    fp = j.filter(F.col("truth") != F.col("pred")).groupBy(
+        F.col("pred").alias("label")
+    ).agg(F.count(F.lit(1)).alias("fp"))
+    fn = j.filter(F.col("truth") != F.col("pred")).groupBy(
+        F.col("truth").alias("label")
+    ).agg(F.count(F.lit(1)).alias("fn"))
+    out = (
+        classes.join(tp, "label", "left")
+        .join(fp, "label", "left")
+        .join(fn, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.col("fp"), F.lit(0)).alias("fp"),
+            F.coalesce(F.col("fn"), F.lit(0)).alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
+def auc_rank(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """ROC AUC by the rank-sum (Mann-Whitney) identity with exact tie
+    handling: ``AUC = (R+ - n+(n+ + 1)/2) / (n+ n-)`` where R+ is the
+    sum of average ranks of the positives.
+
+    Scale shape: NO global row_number over the corpus — scores reduce
+    to per-distinct-score (count, positives) first (one shuffle), and
+    ranks come from a cumulative sum over the DISTINCT score table
+    (orders of magnitude smaller; tie groups share the average rank
+    ``cum_before + (cnt + 1)/2`` exactly, halves being binary-exact).
+
+    Returns a single row ``(auc, n_pos, n_neg)``, auc rounded to 6dp.
+    """
+    per = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn(
+        "avg_rank",
+        F.col("cum_before") + (F.col("cnt") + F.lit(1)) / F.lit(2.0),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("pos") * F.col("avg_rank")).alias("r_pos"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+    )
+    return agg.select(
+        F.round(
+            (
+                F.col("r_pos")
+                - F.col("n_pos").cast("double")
+                * (F.col("n_pos") + F.lit(1)).cast("double")
+                / F.lit(2.0)
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+    )

@@ -1299,7 +1299,7 @@ def naive_bayes_train(
     n_docs = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    class_stats = class_stats.join(n_docs, "label")
+    class_stats = class_stats.join(F.broadcast(n_docs), "label")
     vocab = token_counts.select("token").distinct().count()
     return class_stats, token_counts, vocab
 

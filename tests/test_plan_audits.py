@@ -383,3 +383,52 @@ def test_linkpred_eval_no_all_pairs(spark):
     plan = _executed(link_prediction_eval(e, k=5))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nb_classify_is_broadcast_and_jvm_only(spark):
+    """Naive Bayes classify: the corpus is touched once; the model
+    joins are BROADCAST hash joins (vocab x classes is model-sized,
+    never shuffled against the corpus) and nothing falls back to
+    row-at-a-time Python."""
+    from ccl_spark.textops import naive_bayes_classify, naive_bayes_train
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common", "en" if i % 2 else "de")
+         for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    cs, tc, v = naive_bayes_train(docs)
+    plan = _executed(naive_bayes_classify(docs, cs, tc, v, 40))
+    assert "BatchEvalPython" not in plan
+    # class list rides a broadcast nested-loop cross join; the model
+    # counts a broadcast hash join; nothing sort-merge-joins the corpus
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_ddsketch_build_single_exchange(spark):
+    """The sketch build is one groupBy — exactly one shuffle exchange
+    over the value stream, everything else codegen."""
+    from ccl_spark.sketch import ddsketch_build
+
+    vals = spark.createDataFrame(
+        [("g", float(i % 97) + 0.5) for i in range(500)], "grp string, value double"
+    )
+    plan = _executed(ddsketch_build(vals, "grp", "value"))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_lp_features_single_wedge_aggregate(spark):
+    """All five link-prediction features come out of ONE wedge
+    aggregate: the plan contains exactly one HashAggregate pair keyed
+    on (u, v) — not one aggregation per feature."""
+    from ccl_spark.graphstats import link_prediction_features
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 23) for i in range(60)], "src long, dst long"
+    )
+    plan = _executed(link_prediction_features(edges, k=10))
+    # ONE aggregate computes all three wedge sums together
+    assert "functions=[count(1), sum((1.0 / ln" in plan
+    assert "BatchEvalPython" not in plan

@@ -253,3 +253,58 @@ def test_ranking_metrics_perfect(spark):
     df = spark.createDataFrame(rows, "query_id string, item_id long, rank long")
     r = ranking_metrics(df, df, 5).first()
     assert (r.recall, r.mrr, r.ndcg) == (1.0, 1.0, 1.0)
+
+
+def test_classification_report_matches_hand_counts(spark):
+    from ccl_spark.retrieval import classification_report
+
+    truth = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")],
+        "doc_id long, lang string",
+    )
+    pred = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "a"), (3, "b"), (4, "a"), (5, "c")],
+        "doc_id long, label string",
+    )
+    got = {r.label: r for r in classification_report(pred, truth).collect()}
+    # a: tp=2 fp=1 fn=1 -> p=2/3 r=2/3 f1=2/3
+    assert (got["a"].tp, got["a"].fp, got["a"].fn) == (2, 1, 1)
+    assert got["a"].precision == round(2 / 3, 6)
+    assert got["a"].f1 == round(2 / 3, 6)
+    # b: tp=1 fp=1 fn=1
+    assert (got["b"].tp, got["b"].fp, got["b"].fn) == (1, 1, 1)
+    assert got["b"].recall == 0.5
+    # c: perfect
+    assert (got["c"].precision, got["c"].recall, got["c"].f1) == (1.0, 1.0, 1.0)
+
+    # class never predicted and never correct: all-zero guard path
+    truth2 = spark.createDataFrame([(0, "x"), (1, "y")], "doc_id long, lang string")
+    pred2 = spark.createDataFrame([(0, "y"), (1, "y")], "doc_id long, label string")
+    g2 = {r.label: r for r in classification_report(pred2, truth2).collect()}
+    assert (g2["x"].tp, g2["x"].fp, g2["x"].fn) == (0, 0, 1)
+    assert g2["x"].precision == 0.0 and g2["x"].recall == 0.0 and g2["x"].f1 == 0.0
+
+
+def test_auc_rank_matches_pairwise_definition(spark):
+    from ccl_spark.retrieval import auc_rank
+
+    # scores with ties across classes
+    rows = [
+        (1.0, 0), (2.0, 0), (2.0, 1), (3.0, 0), (3.0, 1), (3.0, 1),
+        (4.0, 1), (5.0, 0), (5.0, 1), (6.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = auc_rank(df).first()
+
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    want = round(wins / (len(pos) * len(neg)), 6)
+    assert r.auc == want
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+
+    # perfect separation -> 1.0; inverted -> 0.0
+    perf = spark.createDataFrame([(1.0, 0), (2.0, 0), (3.0, 1)], "score double, label int")
+    assert auc_rank(perf).first().auc == 1.0
+    inv = spark.createDataFrame([(3.0, 0), (1.0, 1)], "score double, label int")
+    assert auc_rank(inv).first().auc == 0.0
