@@ -6816,6 +6816,84 @@ def q_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (t-24h) forecast baseline over hourly event
+    counts per type, with a zero-filled hour spine: exact MAE/RMSE/
+    bias per type."""
+    from ccl_spark.analytics import seasonal_naive_eval
+
+    return seasonal_naive_eval(_t(spark, sf_dir, "events")).withColumnRenamed(
+        "group", "event_type"
+    )
+
+
+_FORECAST_SQL = """
+WITH c AS (SELECT event_type AS g, date_trunc('hour', ts) AS h, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+span AS (SELECT g, MIN(h) AS h0, MAX(h) AS h1 FROM c GROUP BY g),
+spine AS (SELECT g, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+f AS (SELECT s.g, s.h, COALESCE(c.n, 0) AS actual
+      FROM spine s LEFT JOIN c ON s.g = c.g AND s.h = c.h),
+lagged AS (SELECT g, h + INTERVAL 24 HOUR AS h, actual AS pred FROM f),
+j AS (SELECT a.g, a.actual, b.pred FROM f a JOIN lagged b ON a.g = b.g AND a.h = b.h)
+SELECT g AS event_type, COUNT(*) AS n_eval,
+       ROUND(SUM(ABS(actual - pred)) / CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+       ROUND(SQRT(SUM((actual - pred) * (actual - pred))
+                  / CAST(COUNT(*) AS DOUBLE)), 6) AS rmse,
+       ROUND(SUM(actual - pred) / CAST(COUNT(*) AS DOUBLE), 6) AS bias
+FROM j GROUP BY g
+"""
+
+
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 and raw-TF top-20 candidate
+    lists for the fixed query set — the standard hybrid-retrieval
+    combiner; fused sums have <=2 terms so scores are engine-exact."""
+    from ccl_spark.retrieval import bm25_topk, rrf_fuse, tf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    wq = Window.partitionBy("query_id")
+    bm = bm25_topk(docs, q, k=20).withColumn(
+        "rank", F.row_number().over(wq.orderBy(F.desc("score"), F.asc("doc_id")))
+    )
+    tf = tf_topk(docs, q, k=20).withColumn(
+        "rank", F.row_number().over(wq.orderBy(F.desc("tf_sum"), F.asc("doc_id")))
+    )
+    return rrf_fuse([bm, tf], k_const=60, topk=10)
+
+
+def _rrf_sql() -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+WITH bm AS ({_bm25_sql(20)}),
+brk AS (SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM bm),
+q2(query_id, term) AS (SELECT DISTINCT * FROM (VALUES {vals})),
+tok2 AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+tfs AS (SELECT q2.query_id, t.doc_id, COUNT(*) AS tf_sum
+        FROM tok2 t JOIN q2 ON q2.term = t.term
+        WHERE t.term <> '' GROUP BY 1, 2),
+trk AS (SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY tf_sum DESC, doc_id) AS rank
+        FROM tfs),
+u AS (SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM brk
+      UNION ALL
+      SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+      FROM trk WHERE rank <= 20),
+f AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS rrf FROM u GROUP BY 1, 2),
+rk2 AS (SELECT query_id, doc_id, rrf,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rrf DESC, doc_id) AS rn
+        FROM f)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id, rrf
+FROM rk2 WHERE rn <= 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7038,6 +7116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_fold": q_session_fold,
         "nb_eval": q_nb_eval,
         "auc": q_auc,
+        "forecast": q_forecast,
+        "rrf": q_rrf,
     }
 
 
@@ -7691,6 +7771,8 @@ FROM m
         "session_fold": _SESSIONS_SQL,
         "nb_eval": _NB_EVAL_SQL,
         "auc": _AUC_SQL,
+        "forecast": _FORECAST_SQL,
+        "rrf": _rrf_sql(),
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

@@ -714,3 +714,59 @@ def bradley_terry(
             "item", (F.col("raw") * F.lit(float(n_items)) / F.col("tot")).alias("w")
         )
     return w.select("item", F.round("w", 6).alias("rating"))
+
+
+def seasonal_naive_eval(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    season_hours: int = 24,
+) -> DataFrame:
+    """Forecast-quality baseline over event-rate series: hourly counts
+    per group, seasonal-naive prediction (count one season earlier),
+    and exact error metrics — the sanity floor every real forecaster
+    must beat, and the standard drift probe for event pipelines.
+
+    Missing hours COUNT AS ZERO: the per-group hour spine is generated
+    from min..max (a calendar join, not a data join), so quiet hours
+    aren't silently dropped from the evaluation.  Errors are integer
+    count differences; the only float ops are the three final
+    divisions (and one sqrt), so both engines agree to 6dp.
+
+    Execution shape (100-TB story): one shuffle reduces events to
+    (group, hour) counts — everything after runs on the series table
+    (hours x groups), orders of magnitude smaller; the spine explodes
+    from one row per group.
+
+    Returns ``(group, n_eval, mae, rmse, bias)``.
+    """
+    c = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.date_trunc("hour", F.col(ts_col)).alias("h"),
+        )
+        .groupBy("g", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = c.groupBy("g").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = span.select(
+        "g", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    filled = spine.join(c, ["g", "h"], "left").select(
+        "g", "h", F.coalesce(F.col("n"), F.lit(0)).alias("actual")
+    )
+    lagged = filled.select(
+        "g",
+        (F.col("h") + F.expr(f"interval {season_hours} hours")).alias("h"),
+        F.col("actual").alias("pred"),
+    )
+    j = filled.join(lagged, ["g", "h"])
+    err = F.col("actual") - F.col("pred")
+    return j.groupBy(F.col("g").alias("group")).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.round(F.sum(F.abs(err)) / F.count(F.lit(1)).cast("double"), 6).alias("mae"),
+        F.round(
+            F.sqrt(F.sum(err * err) / F.count(F.lit(1)).cast("double")), 6
+        ).alias("rmse"),
+        F.round(F.sum(err) / F.count(F.lit(1)).cast("double"), 6).alias("bias"),
+    )

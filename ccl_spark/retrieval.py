@@ -283,3 +283,77 @@ def auc_rank(
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    score-free combiner for hybrid retrieval (BM25 + embedding + ...):
+    each ranker contributes ``1/(k + rank)`` for the documents it
+    returns, fused by sum; k=60 is the canonical damping.
+
+    Each input frame is ``(query_id, doc_id, rank)`` (rank 1-based;
+    absent docs simply contribute nothing).  Per (query, doc) the sum
+    has at most len(rankings) terms of integer-denominator reciprocals,
+    so the fused score is engine-exact.  Union + one aggregate — the
+    candidate lists are top-k-bounded per ranker, never corpus-sized.
+
+    Returns ``(query_id, doc_id, rrf)`` top-``topk`` per query, rrf
+    rounded to 6dp, (rrf DESC, doc_id) tie-break.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = [
+        r.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.lit(1.0) / (F.lit(k_const) + F.col("rank"))).alias("c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 6).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "doc_id", "rrf")
+    )
+
+
+def tf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Raw term-frequency ranker (the cheap first-stage retriever RRF
+    typically fuses with a scored one): top-``k`` docs per query by
+    summed query-term count, (count DESC, doc_id) tie-break.  Returns
+    ``(query_id, doc_id, tf_sum)``."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    q = queries.select(
+        F.col("query_id").cast("long").alias("query_id"), "term"
+    ).distinct()
+    scored = (
+        toks.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf_sum"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("tf_sum"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "tf_sum")
+    )

@@ -434,3 +434,34 @@ def test_bradley_terry_symmetric_data_is_flat(spark):
     df = spark.createDataFrame(comps, "winner string, loser string")
     vals = [r.rating for r in bradley_terry(df, iters=8).collect()]
     assert all(v == pytest.approx(1.0, abs=1e-6) for v in vals)
+
+
+def test_seasonal_naive_eval_hand_computed(spark):
+    from ccl_spark.analytics import seasonal_naive_eval
+
+    base = datetime.datetime(2026, 3, 1, 0, 0, 0)
+    rows = []
+    # day 1: hour h gets h events (h = 0..23); day 2: hour h gets h+1
+    for h in range(24):
+        rows += [("a", base + datetime.timedelta(hours=h, seconds=s)) for s in range(h)]
+        rows += [
+            ("a", base + datetime.timedelta(hours=24 + h, seconds=s))
+            for s in range(h + 1)
+        ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = seasonal_naive_eval(ev).first()
+    # hour 0 of day 1 has no events -> spine starts at day-1 hour 1;
+    # eval rows are day-2 hours 1..24-of-spine... the spine is
+    # [min, max] = [d1h1, d2h23]; predictions exist for h >= d1h1+24h
+    # = d2h1..d2h23: 23 eval points, each error (h+1) - h = +1
+    assert r.n_eval == 23
+    assert r.mae == 1.0 and r.rmse == 1.0 and r.bias == 1.0
+
+    # zero-filled hole: a group with one early + one late event
+    rows2 = [("b", base), ("b", base + datetime.timedelta(hours=30))]
+    r2 = seasonal_naive_eval(spark.createDataFrame(
+        rows2, "event_type string, ts timestamp")).first()
+    # spine 31 hours, eval = hours 24..30 (7 points); actuals are 0
+    # except h30=1; preds (h-24) are 1 at h24 else 0
+    assert r2.n_eval == 7
+    assert r2.mae == round(2 / 7, 6) and r2.bias == 0.0

@@ -308,3 +308,33 @@ def test_auc_rank_matches_pairwise_definition(spark):
     assert auc_rank(perf).first().auc == 1.0
     inv = spark.createDataFrame([(3.0, 0), (1.0, 1)], "score double, label int")
     assert auc_rank(inv).first().auc == 0.0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from ccl_spark.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank long"
+    )
+    got = {r.doc_id: r.rrf for r in rrf_fuse([a, b], k_const=60, topk=10).collect()}
+    assert got[11] == round(1 / 62 + 1 / 61, 6)  # in both lists
+    assert got[10] == round(1 / 61, 6)
+    assert got[12] == round(1 / 63, 6)
+    assert got[13] == round(1 / 62, 6)
+    # doc 11 wins: appears in both rankers
+    assert max(got, key=got.get) == 11
+
+
+def test_tf_topk_counts_and_ties(spark):
+    from ccl_spark.retrieval import tf_topk
+
+    docs = spark.createDataFrame(
+        [(0, "x x y"), (1, "x y y"), (2, "z z z")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(1, "x"), (1, "y")], "query_id long, term string")
+    got = [(r.doc_id, r.tf_sum) for r in tf_topk(docs, q, k=10)
+           .orderBy("doc_id").collect()]
+    assert got == [(0, 3), (1, 3)]  # doc 2 has no query terms
