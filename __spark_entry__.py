@@ -6894,6 +6894,78 @@ FROM rk2 WHERE rn <= 10
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per document from integer word/sentence/
+    vowel-run counts — single codegen projection, no shuffle."""
+    from ccl_spark.textops import readability_scores
+
+    return readability_scores(_t(spark, sf_dir, "documents"))
+
+
+_READABILITY_SQL = """
+WITH c AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_words,
+           GREATEST(CAST(1 AS BIGINT),
+                    CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT))
+               AS n_sentences,
+           GREATEST(CAST(1 AS BIGINT),
+                    CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+                         - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+                         AS BIGINT)) AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE)
+               * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - CAST(84.6 AS DOUBLE)
+               * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             6) AS flesch
+FROM c WHERE n_words > 0
+"""
+
+
+def q_ann_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: coarse 4-dim truncated dot -> top-50 candidates,
+    exact full-dim integer-quantized re-rank -> top-10."""
+    from ccl_spark.similarity import ann_two_stage
+
+    return ann_two_stage(_t(spark, sf_dir, "embeddings"))
+
+
+_ANN_TWOSTAGE_SQL = """
+WITH ex AS (
+    SELECT vec_id, UNNEST(embedding) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+qx AS (SELECT x, i FROM ex WHERE vec_id = 0),
+coarse AS (
+    SELECT CAST(ex.vec_id AS BIGINT) AS vec_id,
+           CAST(SUM(CAST(ROUND(CAST(ex.x AS DOUBLE) * 1000, 0) AS BIGINT)
+               * CAST(ROUND(CAST(qx.x AS DOUBLE) * 1000, 0) AS BIGINT)) AS BIGINT)
+               AS coarse_dot
+    FROM ex JOIN qx USING (i)
+    WHERE ex.vec_id <> 0 AND ex.i <= 4
+    GROUP BY ex.vec_id
+    ORDER BY coarse_dot DESC, vec_id ASC LIMIT 50
+),
+exact AS (
+    SELECT coarse.vec_id, coarse.coarse_dot,
+           CAST(SUM(CAST(ROUND(CAST(ex.x AS DOUBLE) * 1000, 0) AS BIGINT)
+               * CAST(ROUND(CAST(qx.x AS DOUBLE) * 1000, 0) AS BIGINT)) AS BIGINT)
+               AS dot
+    FROM coarse
+    JOIN ex ON ex.vec_id = coarse.vec_id
+    JOIN qx USING (i)
+    GROUP BY coarse.vec_id, coarse.coarse_dot
+)
+SELECT vec_id, coarse_dot, dot FROM exact ORDER BY dot DESC, vec_id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7118,6 +7190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc": q_auc,
         "forecast": q_forecast,
         "rrf": q_rrf,
+        "readability": q_readability,
+        "ann_twostage": q_ann_twostage,
     }
 
 
@@ -7773,6 +7847,8 @@ FROM m
         "auc": _AUC_SQL,
         "forecast": _FORECAST_SQL,
         "rrf": _rrf_sql(),
+        "readability": _READABILITY_SQL,
+        "ann_twostage": _ANN_TWOSTAGE_SQL,
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

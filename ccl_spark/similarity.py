@@ -911,3 +911,59 @@ def pca_power_top(
         v.crossJoin(F.broadcast(ray))
         .select("i", F.round("v", 6).alias("v"), F.round("rayleigh", 6).alias("rayleigh"))
     )
+
+
+def ann_two_stage(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    coarse_dims: int = 4,
+    coarse_k: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage retrieval (the matryoshka / truncate-then-rerank
+    pattern): stage 1 scans the corpus with a CHEAP dot product over
+    only the first ``coarse_dims`` dimensions and keeps ``coarse_k``
+    candidates; stage 2 re-ranks just those candidates with the exact
+    full-dimension dot product.
+
+    At 100 TB the point is bandwidth: the coarse pass reads a
+    ``coarse_dims/dim`` slice of the vector column (columnar formats
+    make the truncation nearly free) and the expensive exact scoring
+    touches ``coarse_k`` rows instead of the corpus.  Both stages use
+    the repo's integer-quantized dot (round(x*1000) products in int64),
+    so ranking replays exactly in SQL.
+
+    Returns ``(vec_id, coarse_dot, dot)`` top-``k`` by exact dot
+    (DESC, vec_id) among the stage-1 candidates.
+    """
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(q))
+
+    def _qdot(a: str, b: str) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) * "
+            "CAST(ROUND(CAST(y AS DOUBLE) * 1000, 0) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+
+    coarse = (
+        corpus.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "embedding",
+            "qe",
+            _qdot(f"slice(embedding, 1, {coarse_dims})",
+                  f"slice(qe, 1, {coarse_dims})").alias("coarse_dot"),
+        )
+        .orderBy(F.desc("coarse_dot"), F.asc("vec_id"))
+        .limit(coarse_k)
+    )
+    return (
+        coarse.select(
+            "vec_id", "coarse_dot", _qdot("embedding", "qe").alias("dot")
+        )
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1363,3 +1363,60 @@ def naive_bayes_classify(
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "label")
     return scored.withColumn("best", F.row_number().over(w) == 1)
+
+
+def readability_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch Reading Ease per document — the classic readability
+    signal in web-text quality filtering (alongside the Gopher rules):
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)``.
+
+    All three inputs are integer counts from pure regex/string ops
+    (words = whitespace tokens; sentences = [.!?] characters, floored
+    at 1; syllables = maximal vowel-group runs, the standard cheap
+    approximation) — a single JVM-codegen projection over the corpus,
+    no shuffle at all; the two float divisions happen once per row.
+
+    Returns ``(doc_id, n_words, n_sentences, n_syllables, flesch)``
+    with flesch rounded to 6dp.
+    """
+    lower = F.lower(F.col(text_col))
+    words = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    ).cast("long")
+    sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.length(F.regexp_replace(F.col(text_col), "[^.!?]", "")).cast("long"),
+    )
+    collapsed = F.regexp_replace(lower, "[aeiouy]+", "V")
+    removed = F.regexp_replace(lower, "[aeiouy]+", "")
+    syllables = F.greatest(
+        F.lit(1).cast("long"),
+        (F.length(collapsed) - F.length(removed)).cast("long"),
+    )
+    out = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+            - F.lit(84.6)
+            * (
+                F.col("n_syllables").cast("double")
+                / F.col("n_words").cast("double")
+            ),
+            6,
+        ).alias("flesch"),
+    )

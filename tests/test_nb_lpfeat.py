@@ -93,3 +93,52 @@ def test_lp_features_matches_python(spark):
         assert g[1] == pytest.approx(aa, abs=2e-6)
         assert g[2] == pytest.approx(ra, abs=2e-6)
         assert g[3] == pytest.approx(jac, abs=2e-6)
+
+
+def test_readability_hand_computed(spark):
+    from ccl_spark.textops import readability_scores
+
+    docs = spark.createDataFrame(
+        [(0, "The cat sat. The dog ran!"), (1, "aaa"), (2, "xyz qrs")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in readability_scores(docs).collect()}
+    # doc 0: 6 words, 2 sentences, syllable runs: e,a,a,e,o,a = 6
+    r0 = got[0]
+    assert (r0.n_words, r0.n_sentences, r0.n_syllables) == (6, 2, 6)
+    want = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    assert r0.flesch == want
+    # doc 1: one word, no sentence punct (floor 1), one vowel run
+    assert (got[1].n_words, got[1].n_sentences, got[1].n_syllables) == (1, 1, 1)
+    # doc 2: zero vowels -> syllables floored at 1
+    assert got[2].n_syllables == 1
+
+
+def test_ann_two_stage_contains_exact_top_when_coarse_recalls(spark):
+    import random
+
+    from ccl_spark.similarity import ann_two_stage
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # coarse_k = corpus size -> stage 2 IS the exact brute force
+    got = [r.vec_id for r in ann_two_stage(emb, coarse_dims=4, coarse_k=59, k=5).collect()]
+
+    import numpy as np
+
+    q = np.round(np.array(rows[0][1], dtype=np.float64) * 1000)
+    def dot(v):
+        return int((np.round(np.array(v, dtype=np.float64) * 1000) * q).sum())
+    # replicate float32 storage: cast through float32 before quantizing
+    def dot32(v):
+        a = np.round(np.array(v, dtype=np.float32).astype(np.float64) * 1000)
+        b = np.round(np.array(rows[0][1], dtype=np.float32).astype(np.float64) * 1000)
+        return int((a * b).sum())
+    want = sorted(((dot32(v), -i) for i, v in rows if i != 0), reverse=True)[:5]
+    assert got == [-i for _, i in want]
+
+    # with a small coarse_k the output is still k rows from the candidate set
+    small = ann_two_stage(emb, coarse_dims=4, coarse_k=10, k=5).collect()
+    assert len(small) == 5
+    assert all(r.dot >= small[-1].dot for r in small)
