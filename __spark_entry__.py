@@ -6966,6 +6966,55 @@ SELECT vec_id, coarse_dot, dot FROM exact ORDER BY dot DESC, vec_id ASC LIMIT 10
 """
 
 
+PERCOLATION_PS = (20, 50, 80)
+
+
+def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation curve on the corpus graph: deterministic
+    md5-coin edge retention at p=20/50/80%, giant CC size per slice —
+    the random-failure complement of the attack-robustness curve."""
+    from ccl_spark.graphstats import edge_percolation
+
+    e = _corpus_edges(spark, 1000)
+    _dump_edges(spark, 1000)
+    return edge_percolation(e, ps=PERCOLATION_PS)
+
+
+def _percolation_sql() -> str:
+    src = f"'{_ORACLE_DIR}/corpus_edges_1000.parquet'"
+    blocks = []
+    for p in PERCOLATION_PS:
+        blocks.append(
+            f"""
+SELECT CAST({p} AS BIGINT) AS p, n_edges, n_vertices, giant_size FROM (
+WITH RECURSIVE
+e{p} AS (SELECT src, dst FROM {src}),
+und{p} AS (SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e{p} UNION ALL SELECT dst, src FROM e{p})
+    WHERE u <> v),
+surv{p} AS MATERIALIZED (
+    SELECT u, v FROM und{p}
+    WHERE u < v
+      AND ('0x' || substring(md5(CAST(u AS VARCHAR) || ',' ||
+           CAST(v AS VARCHAR) || ',perc'), 1, 15))::BIGINT % 100 < {p}),
+sym{p} AS (SELECT u, v FROM surv{p} UNION ALL SELECT v, u FROM surv{p}),
+sv{p} AS (SELECT DISTINCT u AS vertex FROM sym{p}),
+reach{p}(vertex, l) AS (
+    SELECT vertex, vertex FROM sv{p}
+    UNION
+    SELECT s.u, r.l FROM sym{p} s JOIN reach{p} r ON s.v = r.vertex
+    WHERE r.l < s.u),
+comp{p} AS MATERIALIZED (SELECT vertex, MIN(l) AS component
+                         FROM reach{p} GROUP BY vertex)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM surv{p}) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM comp{p}) AS n_vertices,
+       (SELECT CAST(COALESCE(MAX(cs), 0) AS BIGINT) FROM (
+            SELECT COUNT(*) AS cs FROM comp{p} GROUP BY component)) AS giant_size
+)"""
+        )
+    return " UNION ALL ".join(blocks)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7192,6 +7241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf": q_rrf,
         "readability": q_readability,
         "ann_twostage": q_ann_twostage,
+        "percolation": q_percolation,
     }
 
 
@@ -7849,6 +7899,7 @@ FROM m
         "rrf": _rrf_sql(),
         "readability": _READABILITY_SQL,
         "ann_twostage": _ANN_TWOSTAGE_SQL,
+        "percolation": _percolation_sql(),
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

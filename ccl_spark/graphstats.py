@@ -1224,3 +1224,62 @@ def link_prediction_features(
             (F.col("du") * F.col("dv")).alias("pa"),
         )
     )
+
+
+def edge_percolation(
+    edges: DataFrame,
+    ps: tuple[int, ...] = (20, 50, 80),
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "perc",
+) -> DataFrame:
+    """Bond-percolation robustness curve — the RANDOM-failure
+    complement of :func:`attack_robustness`: for each retention
+    percentage ``p``, keep each undirected edge independently with
+    probability p/100 and report the surviving edge/vertex counts and
+    the giant-component size.  Comparing the two curves is the
+    standard resilience characterization of a crawled link graph
+    (scale-free graphs survive random failure but not targeted
+    attack).
+
+    The coin is a deterministic md5 draw on the CANONICAL (min, max)
+    vertex pair (both directions of an edge live or die together),
+    so every p-slice is reproducible bit-for-bit across engines and
+    retries, and slices are NESTED (an edge kept at p=20 is kept at
+    every higher p) — the curve is monotone by construction, not just
+    in expectation.  Per ``p``: one filter + one CC fixpoint on the
+    shrinking survivor graph.
+
+    Returns ``(p, n_edges, n_vertices, giant_size)``.
+    """
+    from functools import reduce
+
+    from .cc import connected_components
+
+    und = _symmetrized(edges, src, dst)
+    canon = und.filter(F.col("s") < F.col("d"))
+    coin = F.expr(
+        "pmod(cast(conv(substring(md5(concat(cast(s as string), ',', "
+        f"cast(d as string), ',{salt}')), 1, 15), 16, 10) as bigint), 100)"
+    )
+    canon = canon.withColumn("coin", coin).localCheckpoint(eager=True)
+    out = []
+    for p in ps:
+        surv = canon.filter(F.col("coin") < p).select("s", "d")
+        comp = connected_components(surv, src="s", dst="d")
+        row = (
+            surv.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            .crossJoin(comp.agg(F.count(F.lit(1)).cast("long").alias("n_vertices")))
+            .crossJoin(
+                comp.groupBy("component")
+                .agg(F.count(F.lit(1)).alias("cs"))
+                .agg(
+                    F.coalesce(F.max("cs"), F.lit(0)).cast("long").alias("giant_size")
+                )
+            )
+        )
+        out.append(
+            row.select(F.lit(p).cast("long").alias("p"), "n_edges", "n_vertices",
+                       "giant_size")
+        )
+    return reduce(lambda a, b: a.unionByName(b), out)

@@ -490,3 +490,56 @@ def test_degree_rank_correlation_exact(spark):
     # all-tied degrees -> guarded 0.0 (2-cycle: every deg is 1)
     cyc = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
     assert degree_rank_correlation(cyc).first().tau_b == 0.0
+
+
+def test_edge_percolation_matches_python_replay(spark):
+    import hashlib
+
+    from ccl_spark.graphstats import edge_percolation
+
+    raw = [(i, (i * 3 + 1) % 17) for i in range(40)] + [(100, 101), (101, 102)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r.p: (r.n_edges, r.n_vertices, r.giant_size)
+           for r in edge_percolation(edges, ps=(30, 70, 100)).collect()}
+
+    # python replay with the same md5 coin
+    und = set()
+    for s, d in raw:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+
+    def coin(u, v):
+        h = hashlib.md5(f"{u},{v},perc".encode()).hexdigest()[:15]
+        return int(h, 16) % 100
+
+    def cc_stats(kept):
+        adj = {}
+        for u, v in kept:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        seen, giant = set(), 0
+        for s in adj:
+            if s in seen:
+                continue
+            stack, comp = [s], 0
+            seen.add(s)
+            while stack:
+                x = stack.pop()
+                comp += 1
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            giant = max(giant, comp)
+        return len(adj), giant
+
+    prev_kept = set()
+    for p in (30, 70, 100):
+        kept = {e for e in und if coin(*e) < p}
+        nv, giant = cc_stats(kept)
+        assert got[p] == (len(kept), nv, giant)
+        # nested slices: monotone by construction
+        assert prev_kept <= kept
+        prev_kept = kept
+    # p=100 keeps everything
+    assert got[100][0] == len(und)
