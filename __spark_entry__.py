@@ -7015,6 +7015,44 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM surv{p}) AS n_edges,
     return " UNION ALL ".join(blocks)
 
 
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR training-table prep: BM25 top-20 candidates per fixed query
+    joined once with tf_sum / length / readability features."""
+    from ccl_spark.retrieval import ltr_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    return ltr_features(docs, q, k=20)
+
+
+def _ltr_features_sql() -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+WITH bm AS ({_bm25_sql(20)}),
+cand AS (SELECT query_id, doc_id, score,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+         FROM bm),
+q3(query_id, term) AS (SELECT DISTINCT * FROM (VALUES {vals})),
+tok3 AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+tfs AS (SELECT q3.query_id, t.doc_id, COUNT(*) AS tf_sum
+        FROM tok3 t JOIN q3 ON q3.term = t.term
+        WHERE t.term <> '' GROUP BY 1, 2),
+rd AS ({_READABILITY_SQL}),
+lens AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars FROM documents)
+SELECT c.query_id, c.doc_id, CAST(c.rank AS BIGINT) AS rank, c.score AS bm25,
+       CAST(COALESCE(tfs.tf_sum, 0) AS BIGINT) AS tf_sum,
+       lens.n_chars,
+       CAST(COALESCE(rd.n_words, 0) AS BIGINT) AS n_words,
+       COALESCE(rd.flesch, CAST(0.0 AS DOUBLE)) AS flesch
+FROM cand c
+LEFT JOIN tfs ON tfs.query_id = c.query_id AND tfs.doc_id = c.doc_id
+JOIN lens ON lens.doc_id = c.doc_id
+LEFT JOIN rd ON rd.doc_id = c.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7242,6 +7280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "ann_twostage": q_ann_twostage,
         "percolation": q_percolation,
+        "ltr_features": q_ltr_features,
     }
 
 
@@ -7900,6 +7939,7 @@ FROM m
         "readability": _READABILITY_SQL,
         "ann_twostage": _ANN_TWOSTAGE_SQL,
         "percolation": _percolation_sql(),
+        "ltr_features": _ltr_features_sql(),
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

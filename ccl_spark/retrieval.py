@@ -357,3 +357,67 @@ def tf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "doc_id", "tf_sum")
     )
+
+
+def ltr_features(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Learning-to-rank training-table prep: BM25 candidate generation
+    (top-``k`` per query) joined ONCE with the per-candidate lexical
+    and quality features a ranker trains on — BM25 score and rank,
+    summed query-term frequency, and the document's length and Flesch
+    readability.
+
+    This is the feature-extraction shape of a web-scale ranking
+    pipeline: the corpus is tokenized once (BM25's own pass), the
+    candidate set is k-bounded per query, and every feature join is
+    against either that candidate set or a per-doc table — nothing
+    re-scans the corpus per feature.
+
+    Returns ``(query_id, doc_id, rank, bm25, tf_sum, n_chars,
+    n_words, flesch)``.
+    """
+    from ccl_spark.textops import readability_scores
+
+    bm = bm25_topk(docs, queries, k=k, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    cand = bm.withColumn("rank", F.row_number().over(w))
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    q = queries.select(
+        F.col("query_id").cast("long").alias("query_id"), "term"
+    ).distinct()
+    tfs = (
+        toks.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf_sum"))
+    )
+    rd = readability_scores(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", "n_words", "flesch"
+    )
+    lens = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    return (
+        cand.join(tfs, ["query_id", "doc_id"], "left")
+        .join(lens, "doc_id")
+        .join(rd, "doc_id", "left")
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("score").alias("bm25"),
+            F.coalesce(F.col("tf_sum"), F.lit(0)).cast("long").alias("tf_sum"),
+            "n_chars",
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(F.col("flesch"), F.lit(0.0)).alias("flesch"),
+        )
+    )

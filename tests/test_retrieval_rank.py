@@ -338,3 +338,33 @@ def test_tf_topk_counts_and_ties(spark):
     got = [(r.doc_id, r.tf_sum) for r in tf_topk(docs, q, k=10)
            .orderBy("doc_id").collect()]
     assert got == [(0, 3), (1, 3)]  # doc 2 has no query terms
+
+
+def test_ltr_features_join_consistency(spark):
+    from ccl_spark.retrieval import bm25_topk, ltr_features
+    from ccl_spark.textops import readability_scores
+
+    docs = spark.createDataFrame(
+        [(0, "spark joins data. fast data joins!"),
+         (1, "data data data"),
+         (2, "nothing relevant here at all"),
+         (3, "joins of data and data")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "data"), (1, "joins")], "query_id long, term string")
+    feats = {r.doc_id: r for r in ltr_features(docs, q, k=4).collect()}
+
+    # candidate set == bm25 top-k; ranks are 1..n by (score desc, doc_id)
+    bm = {r.doc_id: r.score for r in bm25_topk(docs, q, k=4).collect()}
+    assert set(feats) == set(bm)
+    for d, r in feats.items():
+        assert r.bm25 == bm[d]
+    ranks = sorted((r.rank, r.doc_id) for r in feats.values())
+    assert [x[0] for x in ranks] == list(range(1, len(feats) + 1))
+
+    # tf_sum is the raw query-term count; n_chars/flesch match the doc tables
+    assert feats[1].tf_sum == 3 and feats[3].tf_sum == 3  # 2x data + joins
+    rd = {r.doc_id: r.flesch for r in readability_scores(docs).collect()}
+    for d, r in feats.items():
+        assert r.flesch == rd[d]
+        assert r.n_chars > 0 and r.n_words > 0
