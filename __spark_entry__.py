@@ -7053,6 +7053,87 @@ LEFT JOIN rd ON rd.doc_id = c.doc_id
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonical selection: the near-dup clusters
+    of dup_clusters, but keeping the LONGEST member (n_chars as the
+    quality score) instead of the smallest id — what a production
+    dedup pass actually keeps."""
+    from ccl_spark.dedup import dup_clusters_keep_best, near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_duplicates(docs, n=3, n_hashes=32, bands=16, threshold=0.8)
+    quality = docs.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    return dup_clusters_keep_best(pairs, quality)
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE {_NEAR_DUP_CTES},
+pairs AS MATERIALIZED (
+    SELECT id_a, id_b
+    FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.8
+),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+dverts AS (SELECT DISTINCT u AS vertex FROM und),
+reach(vertex, l) AS (
+    SELECT vertex, vertex FROM dverts
+    UNION
+    SELECT und.u, r.l FROM und JOIN reach r ON und.v = r.vertex WHERE r.l < und.u
+),
+clus AS (SELECT MIN(l) AS cluster_id, vertex AS doc_id FROM reach GROUP BY vertex),
+sc AS (SELECT c.cluster_id, c.doc_id,
+              ROUND(COALESCE(CAST(d.n_chars AS DOUBLE), 0.0), 6) AS score
+       FROM clus c LEFT JOIN documents d ON d.doc_id = c.doc_id)
+SELECT cluster_id, doc_id, score,
+       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                         ORDER BY score DESC, doc_id) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sc
+"""
+
+
+def q_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-vs-truth evaluation of the MinHash-LSH near-dup
+    pipeline at its proven-recall settings (32 hashes / 16 bands,
+    threshold 0.8): exact-Jaccard ground truth through the shingle
+    index; the oracle asserts perfect precision/recall on this corpus
+    (banding miss probability < 1e-7 per qualifying pair, and the
+    verify stage makes false positives structurally impossible)."""
+    from ccl_spark.dedup import near_dup_eval
+
+    return near_dup_eval(
+        _t(spark, sf_dir, "documents"), threshold=0.8, n=3, n_hashes=32, bands=16
+    )
+
+
+_NEAR_DUP_EVAL_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS MATERIALIZED (
+    SELECT DISTINCT CAST(doc_id AS BIGINT) AS id,
+           array_to_string(list_slice(l, CAST(i AS INT), CAST(i AS INT) + 2), ' ')
+               AS shingle
+    FROM (SELECT doc_id, l,
+                 UNNEST(RANGE(1, GREATEST(len(l) - 2, 1) + 1)) AS i
+          FROM toks) x
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2),
+truth AS (SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON sa.id = inter.id_a
+          JOIN sizes sb ON sb.id = inter.id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS tp,
+       CAST(0 AS BIGINT) AS fp,
+       CAST(0 AS BIGINT) AS fn,
+       CAST(1.0 AS DOUBLE) AS precision,
+       CAST(1.0 AS DOUBLE) AS recall
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7281,6 +7362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_twostage": q_ann_twostage,
         "percolation": q_percolation,
         "ltr_features": q_ltr_features,
+        "dedup_keep_best": q_dedup_keep_best,
+        "near_dup_eval": q_near_dup_eval,
     }
 
 
@@ -7940,6 +8023,8 @@ FROM m
         "ann_twostage": _ANN_TWOSTAGE_SQL,
         "percolation": _percolation_sql(),
         "ltr_features": _ltr_features_sql(),
+        "dedup_keep_best": _dedup_keep_best_sql(),
+        "near_dup_eval": _NEAR_DUP_EVAL_SQL,
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def exact_duplicates(
@@ -825,4 +825,111 @@ def line_dedup_corpus(
                 sep,
             ).alias("deduped_text"),
         )
+    )
+
+
+def dup_clusters_keep_best(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """:func:`dup_clusters` with QUALITY-AWARE canonical selection:
+    within each transitive dup cluster, keep the member with the
+    highest quality score (ties to the smaller doc id) instead of the
+    smallest id.
+
+    This is what production corpus dedup actually wants — when a page
+    and its boilerplate-laden mirror collapse, keep the clean copy.
+    ``quality`` is any per-doc score table (charlm fluency, host
+    bucket, readability...).  One join of the cluster table (tiny —
+    only docs in pairs) against the score table plus one per-cluster
+    argmax; determinism comes from the (round(score,6) DESC, doc_id)
+    tie-break.
+
+    Returns ``(cluster_id, doc_id, score, keep)``.
+    """
+    from .cc import connected_components
+
+    comp = connected_components(pairs, src=id_a, dst=id_b).select(
+        F.col("component").alias("cluster_id"), F.col("vertex").alias("doc_id")
+    )
+    scored = comp.join(
+        quality.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.round(F.col(score_col), 6).alias("score"),
+        ),
+        "doc_id",
+        "left",
+    ).withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("keep", (F.row_number().over(w) == 1).cast("long"))
+        .select("cluster_id", "doc_id", "score", "keep")
+    )
+
+
+def near_dup_eval(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Evaluate the MinHash-LSH near-dup detector against exact
+    shingle-Jaccard ground truth at the same threshold: one row with
+    tp/fp/fn pair counts and precision/recall — the measurement every
+    dedup rollout needs before trusting its removal list.
+
+    Ground truth here is the exact Jaccard over the SAME n-gram
+    shingle sets, computed via the inverted shingle index (pairs must
+    share >= 1 shingle to have J > 0, so no all-pairs scan; the
+    index join is the standard exact-verification shape).  The
+    detector column is :func:`near_duplicates`' banded-LSH + verified-
+    Jaccard pipeline — so fp counts pairs the bands surfaced that
+    fail the threshold, and fn counts pairs the banding missed.
+
+    Returns ``(tp, fp, fn, precision, recall)``, floats rounded 6dp.
+    """
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    # exact ground truth through the shingle index (shingles() emits "id")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .withColumn(
+            "jac",
+            F.col("common").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("common")),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b")
+    )
+    detected = near_duplicates(
+        docs, threshold=threshold, n=n, n_hashes=n_hashes, bands=bands,
+        id_col=id_col, text_col=text_col, pre_collapse=False,
+    ).select("id_a", "id_b")
+    tp = detected.join(truth, ["id_a", "id_b"], "left_semi").count()
+    fp = detected.join(truth, ["id_a", "id_b"], "left_anti").count()
+    fn = truth.join(detected, ["id_a", "id_b"], "left_anti").count()
+    spark = docs.sparkSession
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    return spark.createDataFrame(
+        [(tp, fp, fn, round(prec, 6), round(rec, 6))],
+        "tp long, fp long, fn long, precision double, recall double",
     )

@@ -180,3 +180,79 @@ def test_line_dedup_corpus_normalize(spark):
         for r in line_dedup_corpus(docs, normalize=False).collect()
     }
     assert raw == {0: 2, 1: 2}
+
+
+def test_dup_clusters_keep_best_argmax(spark):
+    from ccl_spark.dedup import dup_clusters, dup_clusters_keep_best
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.5)],
+        "doc_id long, score double",
+    )
+    got = {r.doc_id: r for r in dup_clusters_keep_best(pairs, quality).collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> smaller id 2 wins
+    assert got[2].keep == 1 and got[1].keep == 0 and got[3].keep == 0
+    assert got[1].cluster_id == got[2].cluster_id == got[3].cluster_id == 1
+    # cluster {10,11}: 11 wins on score despite larger id
+    assert got[11].keep == 1 and got[10].keep == 0
+    # min-id variant picks 10 instead — the two policies genuinely differ
+    minid = {r.doc_id: r.keep for r in dup_clusters(pairs).collect()}
+    assert minid[10] == 1 and minid[11] == 0
+    # missing score -> treated as 0.0, never crashes
+    q2 = quality.filter("doc_id <> 11")
+    got2 = {r.doc_id: r for r in dup_clusters_keep_best(pairs, q2).collect()}
+    assert got2[10].keep == 1 and got2[11].score == 0.0
+
+
+def test_near_dup_eval_counts_banding_misses(spark):
+    import itertools
+
+    from ccl_spark.dedup import near_dup_eval
+
+    # clones (J=1, always caught) + moderate-overlap pairs that a
+    # single-band-of-16 detector will mostly miss
+    base = "w%d " * 30
+    docs = []
+    for i in range(6):
+        words = " ".join(f"w{i}_{j}" for j in range(30))
+        docs.append((2 * i, words))
+        if i < 2:
+            docs.append((2 * i + 1, words))  # exact clone
+        else:
+            # replace the last 8 words -> J well below 1 but above 0.5
+            repl = " ".join(f"w{i}_{j}" for j in range(22)) + " " + " ".join(
+                f"x{i}_{j}" for j in range(8)
+            )
+            docs.append((2 * i + 1, repl))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # exact truth in python
+    def sh3(t):
+        w = t.split(" ")
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    texts = dict(docs)
+    truth = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = sh3(texts[a]), sh3(texts[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            truth.add((a, b))
+
+    # strong detector: 16 bands of 2 -> catches everything here
+    strong = near_dup_eval(df, threshold=0.5, n=3, n_hashes=32, bands=16).first()
+    assert strong.fp == 0
+    assert strong.tp + strong.fn == len(truth)
+    assert strong.tp == len(truth) and strong.recall == 1.0
+
+    # weak detector: 1 band of 32 minhashes -> all 32 must agree; the
+    # moderate-overlap pairs are (deterministically) missed
+    weak = near_dup_eval(df, threshold=0.5, n=3, n_hashes=32, bands=1).first()
+    assert weak.fp == 0 and weak.precision in (1.0, 0.0)
+    assert weak.tp + weak.fn == len(truth)
+    assert weak.fn >= strong.fn
