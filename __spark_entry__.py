@@ -7134,6 +7134,53 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS tp,
 """
 
 
+def q_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the (event_type, date) quasi-identifier:
+    distinct-user coverage per combination, violation flag at k=5."""
+    from ccl_spark.privacy import k_anonymity
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "d", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    return k_anonymity(ev, ["event_type", "d"], k=5).withColumnRenamed("d", "day")
+
+
+_K_ANON_SQL = """
+SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN COUNT(DISTINCT user_id) < 5 THEN 1 ELSE 0 END AS BIGINT)
+           AS violates
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type counts with deterministic inverse-CDF Laplace
+    noise (eps=1) — the epsilon-DP release primitive, md5-seeded so
+    the release replays bit-for-bit."""
+    from ccl_spark.privacy import dp_counts
+
+    return dp_counts(_t(spark, sf_dir, "events"), "event_type", eps=1.0)
+
+
+_DP_COUNTS_SQL = """
+WITH c AS (SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+nz AS (SELECT grp, n,
+              CAST(('0x' || substring(md5(grp || ',dp'), 1, 15))::BIGINT AS DOUBLE)
+              / CAST(1152921504606846976 AS DOUBLE) AS u
+       FROM c)
+SELECT grp AS "group", n,
+       ROUND(GREATEST(CAST(0.0 AS DOUBLE),
+             n + CAST(-1.0 AS DOUBLE) * SIGN(u - CAST(0.5 AS DOUBLE))
+                 * LN(CAST(1.0 AS DOUBLE)
+                      - CAST(2.0 AS DOUBLE) * ABS(u - CAST(0.5 AS DOUBLE)))), 6)
+           AS noisy_n
+FROM nz
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7364,6 +7411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         "dedup_keep_best": q_dedup_keep_best,
         "near_dup_eval": q_near_dup_eval,
+        "k_anon": q_k_anon,
+        "dp_counts": q_dp_counts,
     }
 
 
@@ -8025,6 +8074,8 @@ FROM m
         "ltr_features": _ltr_features_sql(),
         "dedup_keep_best": _dedup_keep_best_sql(),
         "near_dup_eval": _NEAR_DUP_EVAL_SQL,
+        "k_anon": _K_ANON_SQL,
+        "dp_counts": _DP_COUNTS_SQL,
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),
