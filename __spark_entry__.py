@@ -7204,6 +7204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # job-count-heavy round-loop queries run while the budget is
         # fresh (coloring ~11s, matching ~5s, core_numbers ~5s,
         # eccentricity ~5s standalone)
+        "percolation": q_percolation,
+        "near_dup_eval": q_near_dup_eval,
+        "dedup_keep_best": q_dedup_keep_best,
+        "bradley_terry": q_bradley_terry,
         "coloring": q_coloring,
         "spectral": q_spectral,
         "temporal_reach": q_temporal_reach,
@@ -7394,7 +7398,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": q_salsa,
         "frontier": q_frontier,
         "inverted_index": q_inverted_index,
-        "bradley_terry": q_bradley_terry,
         "neighbor_sample": q_neighbor_sample,
         "naive_bayes": q_naive_bayes,
         "lp_features": q_lp_features,
@@ -7407,10 +7410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf": q_rrf,
         "readability": q_readability,
         "ann_twostage": q_ann_twostage,
-        "percolation": q_percolation,
         "ltr_features": q_ltr_features,
-        "dedup_keep_best": q_dedup_keep_best,
-        "near_dup_eval": q_near_dup_eval,
         "k_anon": q_k_anon,
         "dp_counts": q_dp_counts,
     }
