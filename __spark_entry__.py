@@ -7181,6 +7181,48 @@ FROM nz
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution: purchases credited to
+    the earliest/latest click-or-view of the same user within 7 days;
+    the '(none)' row keeps credit totals equal to conversions."""
+    from ccl_spark.analytics import touch_attribution
+
+    return touch_attribution(_t(spark, sf_dir, "events"))
+
+
+_ATTRIBUTION_SQL = """
+WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS cid
+              FROM events WHERE event_type = 'purchase'),
+touches AS (SELECT user_id AS u, event_type AS touch_type, ts AS tts,
+                   event_id AS tid
+            FROM events WHERE event_type IN ('click', 'view')),
+matched AS (
+    SELECT c.cid, t.touch_type, t.tts, t.tid
+    FROM conv c JOIN touches t ON c.u = t.u
+    WHERE t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 7 DAY
+),
+firsts AS (SELECT touch_type, COUNT(*) AS first_touch FROM (
+    SELECT cid, touch_type,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts ASC, tid ASC) AS rn
+    FROM matched) x WHERE rn = 1 GROUP BY touch_type),
+lasts AS (SELECT touch_type, COUNT(*) AS last_touch FROM (
+    SELECT cid, touch_type,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rn
+    FROM matched) x WHERE rn = 1 GROUP BY touch_type),
+types(touch_type) AS (VALUES ('click'), ('view')),
+nones AS (SELECT COUNT(*) AS n FROM conv
+          WHERE cid NOT IN (SELECT DISTINCT cid FROM matched))
+SELECT t.touch_type,
+       CAST(COALESCE(f.first_touch, 0) AS BIGINT) AS first_touch,
+       CAST(COALESCE(l.last_touch, 0) AS BIGINT) AS last_touch
+FROM types t
+LEFT JOIN firsts f ON f.touch_type = t.touch_type
+LEFT JOIN lasts l ON l.touch_type = t.touch_type
+UNION ALL
+SELECT '(none)', CAST(n AS BIGINT), CAST(n AS BIGINT) FROM nones
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7413,6 +7455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         "k_anon": q_k_anon,
         "dp_counts": q_dp_counts,
+        "attribution": q_attribution,
     }
 
 
@@ -8076,6 +8119,7 @@ FROM m
         "near_dup_eval": _NEAR_DUP_EVAL_SQL,
         "k_anon": _K_ANON_SQL,
         "dp_counts": _DP_COUNTS_SQL,
+        "attribution": _ATTRIBUTION_SQL,
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

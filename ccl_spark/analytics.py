@@ -770,3 +770,91 @@ def seasonal_naive_eval(
         ).alias("rmse"),
         F.round(F.sum(err) / F.count(F.lit(1)).cast("double"), 6).alias("bias"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution — the classic
+    marketing-analytics query over an event stream: for every
+    conversion, find the qualifying touch events of the same user in
+    the preceding ``window_days``, credit the earliest (first-touch)
+    and latest (last-touch) one, and count credits per touch type.
+
+    Deterministic under timestamp collisions via the (ts, event_id)
+    tie-break.  One user-keyed equi-join bounded by the attribution
+    window plus two per-conversion window ranks — per-user event
+    density bounds the join fan-out, the conversion table is the
+    small side.  Conversions with no qualifying touch are reported in
+    the ``(touch_type = '(none)')`` row so credit totals always sum
+    to the conversion count.
+
+    Returns ``(touch_type, first_touch, last_touch)``.
+    """
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("cts"),
+        F.col(id_col).alias("cid"),
+    )
+    touches = events.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("touch_type"),
+        F.col(ts_col).alias("tts"),
+        F.col(id_col).alias("tid"),
+    )
+    j = conv.join(touches, "u", "left").filter(
+        F.col("tts").isNull()
+        | (
+            (F.col("tts") <= F.col("cts"))
+            & (F.col("tts") >= F.col("cts") - F.expr(f"interval {window_days} days"))
+        )
+    )
+    # conversions whose join found no in-window touch keep one NULL row
+    # only if the user had no touches at all; re-add the fully filtered
+    # ones via anti-join for the '(none)' bucket
+    matched = j.filter(F.col("tts").isNotNull())
+    none_cnt = conv.join(
+        matched.select("cid").distinct(), "cid", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cid")
+    first = (
+        matched.withColumn(
+            "rn", F.row_number().over(w.orderBy(F.asc("tts"), F.asc("tid")))
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("first_touch"))
+    )
+    last = (
+        matched.withColumn(
+            "rn", F.row_number().over(w.orderBy(F.desc("tts"), F.desc("tid")))
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("last_touch"))
+    )
+    types = matched.sparkSession.createDataFrame(
+        [(t,) for t in touch_types], "touch_type string"
+    )
+    credited = (
+        types.join(first, "touch_type", "left")
+        .join(last, "touch_type", "left")
+        .select(
+            "touch_type",
+            F.coalesce("first_touch", F.lit(0)).cast("long").alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).cast("long").alias("last_touch"),
+        )
+    )
+    none_row = none_cnt.select(
+        F.lit("(none)").alias("touch_type"),
+        F.col("n").cast("long").alias("first_touch"),
+        F.col("n").cast("long").alias("last_touch"),
+    )
+    return credited.unionByName(none_row)

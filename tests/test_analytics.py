@@ -505,3 +505,34 @@ def test_dp_counts_noise_matches_inverse_cdf(spark):
     tight = {r.group: r.noisy_n for r in dp_counts(df, "seg", eps=10.0).collect()}
     for g in true:
         assert abs(tight[g] - true[g]) <= abs(got[g].noisy_n - true[g]) + 1e-9
+
+
+def test_touch_attribution_hand_computed(spark):
+    from ccl_spark.analytics import touch_attribution
+
+    base = datetime.datetime(2026, 4, 1)
+
+    def ev(i, u, t, dt_h):
+        return (i, u, t, base + datetime.timedelta(hours=dt_h))
+
+    rows = [
+        # user 1: view(1h) -> click(2h) -> purchase(3h): first=view last=click
+        ev(1, 1, "view", 1), ev(2, 1, "click", 2), ev(3, 1, "purchase", 3),
+        # user 2: click 8 days before purchase -> out of window -> (none)
+        ev(4, 2, "click", 0), ev(5, 2, "purchase", 24 * 8 + 1),
+        # user 3: touchless purchase -> (none)
+        ev(6, 3, "purchase", 5),
+        # user 4: single view then purchase: first=last=view
+        ev(7, 4, "view", 0), ev(8, 4, "purchase", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r.touch_type: (r.first_touch, r.last_touch)
+           for r in touch_attribution(df).collect()}
+    assert got["view"] == (2, 1)   # first for users 1 and 4; last for 4
+    assert got["click"] == (0, 1)  # last for user 1 only
+    assert got["(none)"] == (2, 2)
+    # credit conservation: each column sums to the conversion count
+    assert sum(v[0] for v in got.values()) == 4
+    assert sum(v[1] for v in got.values()) == 4
