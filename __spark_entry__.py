@@ -7223,6 +7223,60 @@ SELECT '(none)', CAST(n AS BIGINT), CAST(n AS BIGINT) FROM nones
 """
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening paths (first 3 event types per
+    gap-delimited session) — clickstream path mining."""
+    from ccl_spark.analytics import top_session_paths
+
+    return top_session_paths(_t(spark, sf_dir, "events"), n=3, k=20)
+
+
+_TOP_PATHS_SQL = """
+WITH m AS (SELECT user_id, event_id, event_type, ts,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM events),
+s AS (SELECT user_id, event_id, event_type, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+r AS (SELECT user_id, sid, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+      FROM s),
+p AS (SELECT user_id, sid, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
+def q_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV per acquisition cohort (cents-exact running
+    sums over the retention week bins)."""
+    from ccl_spark.analytics import cohort_ltv
+
+    return cohort_ltv(_t(spark, sf_dir, "events"))
+
+
+_LTV_SQL = """
+WITH act AS (SELECT user_id AS u,
+        date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+first AS (SELECT u, MIN(wk) AS cohort_week FROM act GROUP BY u),
+per AS (SELECT first.cohort_week, act.wk - first.cohort_week AS week_offset,
+               CAST(COUNT(DISTINCT act.u) AS BIGINT) AS n_users,
+               CAST(SUM(act.cents) AS BIGINT) AS wc
+        FROM act JOIN first ON first.u = act.u
+        GROUP BY 1, 2)
+SELECT cohort_week, week_offset, n_users,
+       ROUND(wc / 100.0, 2) AS week_value,
+       ROUND(CAST(SUM(wc) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0, 2) AS cum_value
+FROM per
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7456,6 +7510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anon": q_k_anon,
         "dp_counts": q_dp_counts,
         "attribution": q_attribution,
+        "top_paths": q_top_paths,
+        "ltv": q_ltv,
     }
 
 
@@ -8120,6 +8176,8 @@ FROM m
         "k_anon": _K_ANON_SQL,
         "dp_counts": _DP_COUNTS_SQL,
         "attribution": _ATTRIBUTION_SQL,
+        "top_paths": _TOP_PATHS_SQL,
+        "ltv": _LTV_SQL,
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

@@ -858,3 +858,105 @@ def touch_attribution(
         F.col("n").cast("long").alias("last_touch"),
     )
     return credited.unionByName(none_row)
+
+
+def top_session_paths(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-``k`` session-opening paths: the first ``n`` event types of
+    every gap-delimited session, concatenated in (ts, event_id) order
+    — the clickstream path-mining query behind "how do sessions
+    start".  Sessions are the same inclusive-gap islands as
+    ``sessionize`` (break when the gap EXCEEDS ``gap_minutes``).
+
+    Two user-keyed windows (break flag -> running session id, then
+    in-session rank) and one path aggregate; sessions shorter than
+    ``n`` events contribute their full (shorter) path.  Deterministic
+    (count DESC, path) tie-break.  Returns ``(path, n_sessions)``.
+    """
+    wu = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # full-precision timestamp comparison (casting to long FLOORS
+    # seconds in Spark while epoch() keeps fractions in SQL engines —
+    # the interval form sidesteps the mismatch, like sessionize)
+    brk = F.when(
+        F.col(ts_col)
+        > F.lag(F.col(ts_col)).over(wu) + F.expr(f"interval {gap_minutes} minutes"),
+        1,
+    ).otherwise(0)
+    sess = events.withColumn("brk", brk).withColumn(
+        "sid", F.sum("brk").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy(user_col, "sid").orderBy(ts_col, id_col)
+    paths = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= n)
+        .groupBy(user_col, "sid")
+        .agg(
+            F.concat_ws(
+                ">", F.array_sort(
+                    F.collect_list(F.struct("rn", F.col(type_col).alias("t")))
+                ).getField("t")
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(k)
+    )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    epoch: str = "2024-01-01",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cumulative lifetime value per acquisition cohort: users bucketed
+    by first-activity week, their event values summed per
+    weeks-since-cohort offset, and accumulated across offsets — the
+    LTV curve next to :func:`retention_cohorts` (same integer week
+    bins).  Values are quantized to exact cents before summing so the
+    running totals are integer-exact in any engine.
+
+    Returns ``(cohort_week, week_offset, n_users, week_value,
+    cum_value)`` with the two value columns in float dollars rounded
+    to 2dp.
+    """
+    wk = F.floor(
+        F.datediff(F.to_date(F.col(ts_col)), F.lit(epoch).cast("date")) / 7
+    ).cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    act = events.select(
+        F.col(user_col).alias("u"), wk.alias("wk"), cents.alias("cents")
+    )
+    first = act.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    per = (
+        act.join(first, "u")
+        .groupBy(
+            "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(
+            F.countDistinct("u").cast("long").alias("n_users"),
+            F.sum("cents").alias("wc"),
+        )
+    )
+    wcum = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return per.withColumn(
+        "cum", F.sum("wc").over(wcum.rowsBetween(Window.unboundedPreceding, 0))
+    ).select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("wc") / 100.0, 2).alias("week_value"),
+        F.round(F.col("cum") / 100.0, 2).alias("cum_value"),
+    )

@@ -536,3 +536,46 @@ def test_touch_attribution_hand_computed(spark):
     # credit conservation: each column sums to the conversion count
     assert sum(v[0] for v in got.values()) == 4
     assert sum(v[1] for v in got.values()) == 4
+
+
+def test_top_session_paths_hand_computed(spark):
+    from ccl_spark.analytics import top_session_paths
+
+    base = datetime.datetime(2026, 5, 1)
+
+    def ev(i, u, t, m):
+        return (i, u, t, base + datetime.timedelta(minutes=m))
+
+    rows = [
+        # user 1 session 1: a>b>c>d (path keeps first 3)
+        ev(1, 1, "a", 0), ev(2, 1, "b", 5), ev(3, 1, "c", 10), ev(4, 1, "d", 15),
+        # 31-min hole -> session 2: a>b
+        ev(5, 1, "a", 46), ev(6, 1, "b", 50),
+        # user 2: single-event session: a
+        ev(7, 2, "a", 0),
+        # exactly-30-min gap stays ONE session (inclusive boundary)
+        ev(8, 3, "a", 0), ev(9, 3, "b", 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r.path: r.n_sessions for r in top_session_paths(df, n=3, k=10).collect()}
+    assert got == {"a>b>c": 1, "a>b": 2, "a": 1}
+
+
+def test_cohort_ltv_cents_exact(spark):
+    from ccl_spark.analytics import cohort_ltv
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 10.10),
+        (1, "2024-01-09 10:00:00", 5.25),   # week offset 1
+        (1, "2024-01-16 10:00:00", 1.00),   # week offset 2
+        (2, "2024-01-09 12:00:00", 2.50),   # cohort week 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double") \
+        .selectExpr("user_id", "cast(ts_s as timestamp) as ts", "value")
+    got = {(r.cohort_week, r.week_offset): r for r in cohort_ltv(df).collect()}
+    assert got[(0, 0)].week_value == 10.10 and got[(0, 0)].cum_value == 10.10
+    assert got[(0, 1)].week_value == 5.25 and got[(0, 1)].cum_value == 15.35
+    assert got[(0, 2)].cum_value == 16.35
+    assert got[(1, 0)].week_value == 2.50 and got[(1, 0)].n_users == 1
