@@ -7277,6 +7277,52 @@ FROM per
 """
 
 
+def q_edge_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 negative-edge sample (k=5 per vertex, real
+    edges and self-pairs removed) on the small graph — the GNN/link-
+    prediction negatives table."""
+    from ccl_spark.walks import edge_negatives
+
+    return edge_negatives(_edges_small(spark, sf_dir), k=5, seed=42)
+
+
+_EDGE_NEGATIVES_SQL = f"""
+WITH {_UND_SQL},
+ranked AS (SELECT u AS vertex, ROW_NUMBER() OVER (ORDER BY u) - 1 AS rank
+           FROM (SELECT DISTINCT u FROM und)),
+nv AS (SELECT COUNT(*) AS n FROM ranked),
+draws AS (SELECT r.vertex AS u, d.draw
+          FROM ranked r, (SELECT UNNEST(RANGE(0, 5)) AS draw) d),
+cand AS (SELECT draws.u, rk.vertex AS v, CAST(draws.draw AS BIGINT) AS draw
+         FROM draws
+         JOIN ranked rk ON rk.rank = ('0x' || substring(md5(
+              CAST(draws.u AS VARCHAR) || ',' || CAST(draws.draw AS VARCHAR)
+              || ',42'), 1, 15))::BIGINT % (SELECT n FROM nv))
+SELECT c.u, c.v, c.draw FROM cand c
+WHERE c.u <> c.v
+  AND NOT EXISTS (SELECT 1 FROM und WHERE und.u = c.u AND und.v = c.v)
+"""
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse (doc, bucket, count) vectors over the
+    corpus — vocabulary-free fixed-width vectorization."""
+    from ccl_spark.textops import hashed_features
+
+    return hashed_features(_t(spark, sf_dir, "documents"), n_buckets=256)
+
+
+_HASHED_FEATURES_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ('0x' || substring(md5(token || ',feat'), 1, 15))::BIGINT % 256 AS bucket,
+       COUNT(*) AS cnt
+FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+      FROM documents) x
+WHERE token <> ''
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7512,6 +7558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "top_paths": q_top_paths,
         "ltv": q_ltv,
+        "edge_negatives": q_edge_negatives,
+        "hashed_features": q_hashed_features,
     }
 
 
@@ -8178,6 +8226,8 @@ FROM m
         "attribution": _ATTRIBUTION_SQL,
         "top_paths": _TOP_PATHS_SQL,
         "ltv": _LTV_SQL,
+        "edge_negatives": _EDGE_NEGATIVES_SQL,
+        "hashed_features": _HASHED_FEATURES_SQL,
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

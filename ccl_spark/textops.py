@@ -1420,3 +1420,39 @@ def readability_scores(
             6,
         ).alias("flesch"),
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "feat",
+) -> DataFrame:
+    """Hashing-trick (Weinberger et al. 2009) sparse feature vectors:
+    each token maps to ``md5(token, salt) mod n_buckets`` and the doc
+    becomes its (bucket, count) rows — the fixed-width, vocab-free
+    vectorization a downstream linear model or clusterer trains on.
+
+    No vocabulary table, no fitting pass, no driver state: one
+    tokenize + one (doc, bucket) aggregate, which is why the trick is
+    the default at 100-TB corpus scale (the vocabulary of the web
+    does not fit anywhere, the hash function does).  md5-deterministic
+    → the same document always vectorizes identically on any engine.
+
+    Returns ``(doc_id, bucket, cnt)`` sparse rows.
+    """
+    bucket = F.expr(
+        "pmod(cast(conv(substring(md5(concat(token, "
+        f"',{salt}')), 1, 15), 16, 10) as bigint), {n_buckets})"
+    )
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

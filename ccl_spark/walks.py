@@ -289,3 +289,55 @@ def neighbor_sample(
         out = hopped if out is None else out.unionByName(hopped)
         frontier = hopped.select("seed", F.col("dst").alias("node")).distinct()
     return out
+
+
+def edge_negatives(
+    edges: DataFrame,
+    k: int = 5,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic negative-edge sampling for link-prediction / GNN
+    training: for every vertex, ``k`` md5-drawn candidate partners
+    from the vertex universe, minus real edges and self-pairs — the
+    standard negatives table next to the positive edge list.
+
+    The draw is ``md5(u, j, seed) mod |V|`` indexed into the
+    rank-ordered vertex table, so the sample is reproducible across
+    engines and retries; collisions with real edges are removed by
+    one anti-join (the candidate table is k|V| rows, never |V|^2).
+    Some vertices may end with fewer than k negatives after the
+    anti-join — by design (dense vertices have fewer non-edges), and
+    the count is exact, not probabilistic.
+
+    Returns ``(u, v, draw)`` — draw is the 0-based draw index that
+    produced the pair, making the sample's provenance auditable.
+    """
+    und = _symmetrized(edges, src, dst)
+    verts = (
+        und.select(F.col("s").alias("vertex"))
+        .distinct()
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("vertex")) - 1,
+        )
+    )
+    n = verts.count()
+    draws = verts.select(F.col("vertex").alias("u")).crossJoin(
+        F.broadcast(
+            und.sparkSession.range(k).select(F.col("id").cast("long").alias("draw"))
+        )
+    )
+    idx = F.expr(
+        "pmod(cast(conv(substring(md5(concat(cast(u as string), ',', "
+        f"cast(draw as string), ',{seed}')), 1, 15), 16, 10) as bigint), {n})"
+    )
+    cand = draws.withColumn("rank", idx).join(F.broadcast(verts), "rank").select(
+        "u", F.col("vertex").alias("v"), "draw"
+    )
+    existing = und.select(F.col("s").alias("u"), F.col("d").alias("v"))
+    return (
+        cand.filter(F.col("u") != F.col("v"))
+        .join(existing, ["u", "v"], "left_anti")
+    )

@@ -142,3 +142,27 @@ def test_ann_two_stage_contains_exact_top_when_coarse_recalls(spark):
     small = ann_two_stage(emb, coarse_dims=4, coarse_k=10, k=5).collect()
     assert len(small) == 5
     assert all(r.dot >= small[-1].dot for r in small)
+
+
+def test_hashed_features_replay_and_counts(spark):
+    import hashlib
+
+    from ccl_spark.textops import hashed_features
+
+    docs = spark.createDataFrame(
+        [(0, "A b a  b"), (1, "xyz")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.bucket): r.cnt for r in hashed_features(docs, n_buckets=8).collect()}
+
+    def b(tok):
+        return int(hashlib.md5(f"{tok},feat".encode()).hexdigest()[:15], 16) % 8
+
+    # lowercased: doc 0 = a,b,a,b (empty from double space dropped)
+    from collections import Counter
+    want = Counter()
+    want[(0, b("a"))] += 2
+    want[(0, b("b"))] += 2
+    want[(1, b("xyz"))] += 1
+    assert got == dict(want)
+    # total token mass is conserved through the hash
+    assert sum(got.values()) == 5

@@ -185,3 +185,28 @@ def test_neighbor_sample_matches_python_replay(spark):
         per.setdefault((hop, s), set()).add(d)
     for (hop, _), ds in per.items():
         assert len(ds) <= fanouts[hop - 1]
+
+
+def test_edge_negatives_properties_and_replay(spark):
+    import hashlib
+
+    from ccl_spark.walks import edge_negatives
+
+    raw = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {(r.u, r.v, r.draw) for r in edge_negatives(edges, k=4, seed=7).collect()}
+
+    verts = sorted({x for e in raw for x in e})
+    und = set()
+    for s, d in raw:
+        und.add((s, d)); und.add((d, s))
+    want = set()
+    for u in verts:
+        for j in range(4):
+            h = hashlib.md5(f"{u},{j},7".encode()).hexdigest()[:15]
+            v = verts[int(h, 16) % len(verts)]
+            if v != u and (u, v) not in und:
+                want.add((u, v, j))
+    assert got == want
+    # no sampled pair is a real edge or a self-loop
+    assert all((u, v) not in und and u != v for u, v, _ in got)
