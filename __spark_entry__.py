@@ -7323,6 +7323,59 @@ GROUP BY 1, 2
 """
 
 
+def q_host_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural link-spam signals per host (self-link density,
+    out-host fan-out, reciprocal-edge fraction) over the messy URL
+    pair table — hosts derived arithmetically by the oracle."""
+    from ccl_spark.edges import host_spam_signals
+
+    return host_spam_signals(_host_url_pairs(spark, sf_dir))
+
+
+_HOST_SPAM_SQL = """
+WITH p AS (SELECT 'host' || CAST(c_custkey % 8 AS VARCHAR) || '.example.com' AS sh,
+                  'host' || CAST((c_custkey * 3 + c_custkey // 16 + 2) % 8 AS VARCHAR)
+                      || '.example.com' AS dh
+           FROM customer),
+tot AS (SELECT sh AS host, CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(SUM(CASE WHEN sh = dh THEN 1 ELSE 0 END) AS BIGINT) AS n_self
+        FROM p GROUP BY sh),
+he AS (SELECT DISTINCT sh, dh FROM p WHERE sh <> dh),
+recip AS (SELECT a.sh AS host, CAST(COUNT(*) AS BIGINT) AS n_recip
+          FROM he a JOIN he b ON a.sh = b.dh AND a.dh = b.sh GROUP BY a.sh),
+outs AS (SELECT sh AS host, CAST(COUNT(*) AS BIGINT) AS out_hosts FROM he GROUP BY sh)
+SELECT t.host, t.n_links,
+       ROUND(CAST(t.n_self AS DOUBLE) / t.n_links, 6) AS self_ratio,
+       CAST(COALESCE(o.out_hosts, 0) AS BIGINT) AS out_hosts,
+       ROUND(CAST(COALESCE(r.n_recip, 0) AS DOUBLE)
+             / GREATEST(COALESCE(o.out_hosts, 0), 1), 6) AS reciprocal_ratio
+FROM tot t
+LEFT JOIN outs o ON o.host = t.host
+LEFT JOIN recip r ON r.host = t.host
+"""
+
+
+def q_tie_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge embeddedness (common-neighbor count) on the small
+    graph — 0 rows are the local bridges."""
+    from ccl_spark.edges import edge_embeddedness
+
+    return edge_embeddedness(_edges_small(spark, sf_dir))
+
+
+_TIE_STRENGTH_SQL = f"""
+WITH {_UND_SQL},
+canon AS (SELECT u, v FROM und WHERE u < v),
+deg AS (SELECT u AS w, COUNT(*) AS d FROM und GROUP BY u),
+nb AS (SELECT und.u AS w, und.v AS n FROM und JOIN deg ON und.u = deg.w
+       WHERE deg.d >= 2 AND deg.d <= 10000),
+pr AS (SELECT a.n AS u, b.n AS v, CAST(COUNT(*) AS BIGINT) AS emb
+       FROM nb a JOIN nb b ON a.w = b.w AND a.n < b.n GROUP BY 1, 2)
+SELECT c.u, c.v, CAST(COALESCE(pr.emb, 0) AS BIGINT) AS embeddedness
+FROM canon c LEFT JOIN pr ON pr.u = c.u AND pr.v = c.v
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7560,6 +7613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltv": q_ltv,
         "edge_negatives": q_edge_negatives,
         "hashed_features": q_hashed_features,
+        "host_spam": q_host_spam,
+        "tie_strength": q_tie_strength,
     }
 
 
@@ -8228,6 +8283,8 @@ FROM m
         "ltv": _LTV_SQL,
         "edge_negatives": _EDGE_NEGATIVES_SQL,
         "hashed_features": _HASHED_FEATURES_SQL,
+        "host_spam": _HOST_SPAM_SQL,
+        "tie_strength": _TIE_STRENGTH_SQL,
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

@@ -412,3 +412,91 @@ def blocklist_filter(
     return docs.join(hit, host_col, "left").withColumn(
         "blocked", F.coalesce("blocked", F.lit(False))
     )
+
+
+def host_spam_signals(
+    pairs: DataFrame,
+    src_url: str = "src_url",
+    dst_url: str = "dst_url",
+) -> DataFrame:
+    """Per-host link-spam features over the page-level URL edge list —
+    the classic structural signals of link farms (Gyöngyi & Garcia-
+    Molina 2005): self-link density (navigation boilerplate), distinct
+    out-host fan-out, and the reciprocal fraction of the host's
+    out-edges (link-exchange rings reciprocate; editorial links
+    mostly don't).
+
+    One pass reduces page links to per-host totals and to the
+    contracted host edge set; reciprocity is a self-equi-join on the
+    reversed host pair — all host-level, never page x page.  Returns
+    ``(host, n_links, self_ratio, out_hosts, reciprocal_ratio)``
+    with ratios rounded to 6dp.
+    """
+    hp = pairs.select(
+        host_of(src_url).alias("sh"), host_of(dst_url).alias("dh")
+    ).filter((F.col("sh") != "") & (F.col("dh") != ""))
+    tot = hp.groupBy(F.col("sh").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.sum((F.col("sh") == F.col("dh")).cast("long")).alias("n_self"),
+    )
+    hedges = (
+        hp.filter(F.col("sh") != F.col("dh")).select("sh", "dh").distinct()
+    )
+    rev = hedges.select(F.col("dh").alias("sh"), F.col("sh").alias("dh"))
+    per_out = hedges.join(rev, ["sh", "dh"], "left_semi").groupBy(
+        F.col("sh").alias("host")
+    ).agg(F.count(F.lit(1)).alias("n_recip"))
+    outs = hedges.groupBy(F.col("sh").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_hosts")
+    )
+    return (
+        tot.join(outs, "host", "left")
+        .join(per_out, "host", "left")
+        .select(
+            "host",
+            "n_links",
+            F.round(
+                F.col("n_self").cast("double") / F.col("n_links"), 6
+            ).alias("self_ratio"),
+            F.coalesce("out_hosts", F.lit(0)).cast("long").alias("out_hosts"),
+            F.round(
+                F.coalesce(F.col("n_recip"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("out_hosts", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("reciprocal_ratio"),
+        )
+    )
+
+
+def edge_embeddedness(
+    edges: DataFrame,
+    max_degree: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-edge embeddedness (Granovetter tie strength): the number of
+    common neighbors of an edge's endpoints on the symmetrized graph —
+    0 marks a local bridge (the weak tie that carries novel
+    information), high values mark densely embedded intra-community
+    ties.
+
+    Same capped wedge join as the link-prediction family, but
+    INTERSECTED with the edge set (semi-join) instead of
+    anti-joined — so the output is one row per existing undirected
+    edge.  Edges whose wedge evidence was capped away report 0, never
+    disappear.  Returns ``(u, v, embeddedness)``.
+    """
+    from ccl_spark.graphstats import _symmetrized, _wedge_scores
+
+    und = _symmetrized(edges, src, dst)
+    canon = und.filter(F.col("s") < F.col("d")).select(
+        F.col("s").alias("u"), F.col("d").alias("v")
+    )
+    common = _wedge_scores(und, F.lit(1.0), max_degree).select(
+        "u", "v", F.col("score").cast("long").alias("embeddedness")
+    )
+    return canon.join(common, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.coalesce("embeddedness", F.lit(0)).cast("long").alias("embeddedness"),
+    )

@@ -82,3 +82,39 @@ def test_cc_from_csr_self_loop_only_vertex(spark):
         for r in connected_components_from_csr(csr_blocks(e, n_blocks=4)).collect()
     }
     assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_host_spam_signals_hand_computed(spark):
+    from ccl_spark.edges import host_spam_signals
+
+    pairs = [
+        # farm: a<->b reciprocal pair + self links
+        ("http://a.com/1", "http://b.com/x"),
+        ("http://b.com/1", "http://a.com/y"),
+        ("http://a.com/2", "http://a.com/self"),
+        ("http://a.com/3", "http://a.com/self2"),
+        # editorial: c links out to a and b, nobody links back
+        ("http://c.com/1", "http://a.com/z"),
+        ("http://c.com/2", "http://b.com/z"),
+    ]
+    df = spark.createDataFrame(pairs, "src_url string, dst_url string")
+    got = {r.host: r for r in host_spam_signals(df).collect()}
+    a, b, c = got["a.com"], got["b.com"], got["c.com"]
+    assert a.n_links == 3 and a.self_ratio == round(2 / 3, 6)
+    assert a.out_hosts == 1 and a.reciprocal_ratio == 1.0
+    assert b.reciprocal_ratio == 1.0 and b.self_ratio == 0.0
+    assert c.out_hosts == 2 and c.reciprocal_ratio == 0.0 and c.self_ratio == 0.0
+
+
+def test_edge_embeddedness_bridges_and_triangles(spark):
+    from ccl_spark.edges import edge_embeddedness
+
+    # two triangles joined by a bridge 2-3
+    raw = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {(r.u, r.v): r.embeddedness for r in edge_embeddedness(edges).collect()}
+    assert len(got) == 7
+    # triangle edges have 1 common neighbor; the bridge has 0
+    assert got[(2, 3)] == 0
+    for e in [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]:
+        assert got[e] == 1
