@@ -7376,6 +7376,64 @@ FROM canon c LEFT JOIN pr ON pr.u = c.u AND pr.v = c.v
 """
 
 
+CHURN_CUTOFF = "2024-01-20 00:00:00"
+
+
+def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label training table: observation-window features strictly
+    before the cutoff, label = absent on/after it (no leakage)."""
+    from ccl_spark.analytics import churn_labels
+
+    return churn_labels(_t(spark, sf_dir, "events"), CHURN_CUTOFF)
+
+
+_CHURN_SQL = f"""
+WITH obs AS (SELECT * FROM events WHERE ts < TIMESTAMP '{CHURN_CUTOFF}'),
+feats AS (SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                 CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+                 CAST(date_diff('day', MAX(CAST(ts AS DATE)),
+                                DATE '2024-01-20') AS BIGINT) AS recency_days
+          FROM obs GROUP BY user_id),
+ret AS (SELECT DISTINCT user_id FROM events
+        WHERE ts >= TIMESTAMP '{CHURN_CUTOFF}')
+SELECT f.user_id, f.n_events, f.n_types, f.n_days, f.recency_days,
+       CAST(CASE WHEN r.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS churned
+FROM feats f LEFT JOIN ret r ON r.user_id = f.user_id
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-armed A/B scaffold over purchase values: per-arm n / mean /
+    variance from exact integer cent moments."""
+    from ccl_spark.analytics import ab_test
+
+    return ab_test(_t(spark, sf_dir, "events"))
+
+
+_AB_TEST_SQL = """
+WITH per AS (SELECT user_id AS u, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                                       AS BIGINT) AS s
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+armed AS (SELECT s,
+                 ('0x' || substring(md5(CAST(u AS VARCHAR) || ',ab'), 1, 15))::BIGINT
+                     % 2 AS arm
+          FROM per),
+agg AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(s) AS BIGINT) AS sum_c,
+               CAST(SUM(s * s) AS BIGINT) AS sumsq_c
+        FROM armed GROUP BY arm)
+SELECT arm, n_users,
+       ROUND(CAST(sum_c AS DOUBLE) / n_users / CAST(100.0 AS DOUBLE), 6)
+           AS mean_value,
+       ROUND((CAST(sumsq_c AS DOUBLE)
+              - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n_users)
+             / (n_users - 1) / CAST(10000.0 AS DOUBLE), 6) AS var_value
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7615,6 +7673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "host_spam": q_host_spam,
         "tie_strength": q_tie_strength,
+        "churn": q_churn,
+        "ab_test": q_ab_test,
     }
 
 
@@ -8285,6 +8345,8 @@ FROM m
         "hashed_features": _HASHED_FEATURES_SQL,
         "host_spam": _HOST_SPAM_SQL,
         "tie_strength": _TIE_STRENGTH_SQL,
+        "churn": _CHURN_SQL,
+        "ab_test": _AB_TEST_SQL,
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

@@ -960,3 +960,116 @@ def cohort_ltv(
         F.round(F.col("wc") / 100.0, 2).alias("week_value"),
         F.round(F.col("cum") / 100.0, 2).alias("cum_value"),
     )
+
+
+def churn_labels(
+    events: DataFrame,
+    cutoff: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Churn-prediction training table — the canonical supervised
+    label builder over an event stream: features from the OBSERVATION
+    window (events strictly before ``cutoff``), label from the
+    OUTCOME window (1 = the user never appears on/after cutoff).
+    Building both from one table with a time split is what prevents
+    label leakage; the feature aggregate never sees outcome-window
+    rows.
+
+    Features: event count, distinct types, days since last activity
+    at the cutoff (integer day arithmetic — engine-exact), and active
+    days.  Two filtered per-user aggregates + one left anti-ish join;
+    users born in the outcome window are excluded (no observation
+    features to train on).
+
+    Returns ``(user_id, n_events, n_types, n_days, recency_days,
+    churned)``.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    obs = events.filter(F.col(ts_col) < cut)
+    out = events.filter(F.col(ts_col) >= cut)
+    feats = obs.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col(type_col)).cast("long").alias("n_types"),
+        F.countDistinct(F.to_date(F.col(ts_col))).cast("long").alias("n_days"),
+        F.datediff(
+            F.lit(cutoff).cast("date"), F.max(F.to_date(F.col(ts_col)))
+        )
+        .cast("long")
+        .alias("recency_days"),
+    )
+    active = out.select(F.col(user_col).alias("user_id")).distinct().withColumn(
+        "ret", F.lit(1)
+    )
+    return feats.join(active, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "n_days",
+        "recency_days",
+        F.when(F.col("ret").isNull(), 1).otherwise(0).cast("long").alias("churned"),
+    )
+
+
+def ab_test(
+    events: DataFrame,
+    metric_type: str = "purchase",
+    n_arms: int = 2,
+    salt: str = "ab",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Deterministic A/B analysis scaffold: users hash into arms
+    (md5(user, salt) mod n_arms — the growth-stable assignment every
+    experiment platform uses), and per arm the table reports the
+    per-user mean metric with its Welch components — n, mean, and
+    (exact-integer-derived) variance of per-user summed metric value.
+
+    Values quantize to cents before summing, so per-arm sum and
+    sum-of-squares are EXACT integers and both engines derive the
+    identical variance; the only floats are the final divisions.
+    The Welch t statistic between any two arms is then one line of
+    driver-side arithmetic from this table — the table, not the
+    scalar, is the operator (n_arms can be >2 for multi-armed tests).
+
+    Returns ``(arm, n_users, mean_value, var_value)`` rounded to 6dp.
+    """
+    arm = F.expr(
+        f"pmod(cast(conv(substring(md5(concat(cast(u as string), "
+        f"',{salt}')), 1, 15), 16, 10) as bigint), {n_arms})"
+    )
+    per_user = (
+        events.filter(F.col(type_col) == metric_type)
+        .select(
+            F.col(user_col).alias("u"),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("u")
+        .agg(F.sum("cents").alias("s"))
+        .withColumn("arm", arm.cast("long"))
+    )
+    agg = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("s").alias("sum_c"),
+        F.sum(F.col("s") * F.col("s")).alias("sumsq_c"),
+    )
+    mean = F.col("sum_c").cast("double") / F.col("n_users") / F.lit(100.0)
+    # sample variance in dollars^2 from exact integer moments
+    var = (
+        (
+            F.col("sumsq_c").cast("double")
+            - F.col("sum_c").cast("double")
+            * F.col("sum_c").cast("double")
+            / F.col("n_users")
+        )
+        / (F.col("n_users") - F.lit(1))
+        / F.lit(10000.0)
+    )
+    return agg.select(
+        "arm",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(var, 6).alias("var_value"),
+    )

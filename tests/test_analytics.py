@@ -579,3 +579,56 @@ def test_cohort_ltv_cents_exact(spark):
     assert got[(0, 1)].week_value == 5.25 and got[(0, 1)].cum_value == 15.35
     assert got[(0, 2)].cum_value == 16.35
     assert got[(1, 0)].week_value == 2.50 and got[(1, 0)].n_users == 1
+
+
+def test_churn_labels_no_leakage(spark):
+    from ccl_spark.analytics import churn_labels
+
+    rows = [
+        # user 1: active both windows -> churned 0
+        (1, "view", "2024-01-05 10:00:00"),
+        (1, "view", "2024-01-25 10:00:00"),
+        # user 2: observation only -> churned 1, recency from last obs day
+        (2, "click", "2024-01-03 09:00:00"),
+        (2, "view", "2024-01-10 09:00:00"),
+        # user 3: outcome-window only -> EXCLUDED (no observation row)
+        (3, "view", "2024-01-28 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_s string") \
+        .selectExpr("user_id", "event_type", "cast(ts_s as timestamp) as ts")
+    got = {r.user_id: r for r in churn_labels(df, "2024-01-20 00:00:00").collect()}
+    assert set(got) == {1, 2}
+    assert got[1].churned == 0 and got[1].n_events == 1  # only the obs event counts
+    assert got[2].churned == 1 and got[2].n_events == 2 and got[2].n_types == 2
+    assert got[2].recency_days == 10 and got[2].n_days == 2
+
+
+def test_ab_test_matches_python_moments(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from ccl_spark.analytics import ab_test
+
+    rows = []
+    for u in range(40):
+        for j in range(u % 3 + 1):
+            rows.append((u, "purchase", 10.0 + u + j))
+        rows.append((u, "view", 999.0))  # non-metric events ignored
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    got = {r.arm: r for r in ab_test(df).collect()}
+
+    sums = defaultdict(int)
+    for u, t, v in rows:
+        if t == "purchase":
+            sums[u] += round(v * 100)
+    arms = defaultdict(list)
+    for u, s in sums.items():
+        a = int(hashlib.md5(f"{u},ab".encode()).hexdigest()[:15], 16) % 2
+        arms[a].append(s)
+    for a, vals in arms.items():
+        n = len(vals)
+        mean = sum(vals) / n / 100.0
+        var = (sum(v * v for v in vals) - sum(vals) ** 2 / n) / (n - 1) / 10000.0
+        assert got[a].n_users == n
+        assert got[a].mean_value == pytest.approx(round(mean, 6), abs=2e-6)
+        assert got[a].var_value == pytest.approx(round(var, 6), abs=2e-6)
