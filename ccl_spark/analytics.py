@@ -1073,3 +1073,52 @@ def ab_test(
         F.round(mean, 6).alias("mean_value"),
         F.round(var, 6).alias("var_value"),
     )
+
+
+def gini_coefficient(
+    values: DataFrame,
+    value_col: str = "v",
+) -> DataFrame:
+    """Exact Gini concentration coefficient of a non-negative value
+    column — the standard inequality summary for traffic/link/revenue
+    concentration ("do 1% of hosts take 90% of links?").
+
+    Uses the rank-sum identity ``G = 2*S/(n*T) - (n+1)/n`` with
+    ``S = sum_i rank_i * x_i`` (ascending ranks), computed WITHOUT a
+    global per-row sort: rows reduce to (distinct value, count) first
+    and each tie run contributes ``v * (cum_before*cnt +
+    cnt*(cnt+1)/2)`` — the same distinct-value cumulative trick as
+    the AUC operator, exact because permuting equal values among
+    their ranks changes nothing.  Values quantize to cents so S and T
+    are exact integers; the two divisions happen once.
+
+    Returns one row ``(n, total, gini)``, gini rounded to 6dp.
+    """
+    per = (
+        values.select(F.round(F.col(value_col) * 100).cast("long").alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    s_term = F.col("c") * (
+        F.col("cum_before") * F.col("cnt")
+        + F.col("cnt") * (F.col("cnt") + 1) / F.lit(2)
+    )
+    agg = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("c") * F.col("cnt")).alias("t"),
+        F.sum(s_term).alias("s"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("t") / F.lit(100.0), 2).alias("total"),
+        F.round(
+            F.lit(2.0) * F.col("s").cast("double")
+            / (F.col("n").cast("double") * F.col("t").cast("double"))
+            - (F.col("n") + F.lit(1)).cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+    )

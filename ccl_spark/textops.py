@@ -1456,3 +1456,44 @@ def hashed_features(
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def unigram_doc_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's
+    own unigram MLE — the cheapest perplexity-style fluency signal
+    (the unigram sibling of ``char_bigram_logprob``): rare-word-heavy
+    documents score high, stopword soup scores low.
+
+    ``nll(d) = ln(C) - (1/n_d) * sum_t ln(c_t)`` over the doc's token
+    occurrences (C = corpus token count, c_t = corpus count of t) —
+    every ln argument is an exact integer, so both engines agree to
+    the 6dp rounding.  One tokenize pass feeds both the count table
+    and the scoring join (broadcast, vocab-sized).
+
+    Returns ``(doc_id, n_tokens, nll)``.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ct"))
+    total = toks.count()
+    return (
+        toks.join(F.broadcast(counts), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("ct").cast("double"))).alias("sl"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log(F.lit(float(total))) - F.col("sl") / F.col("n_tokens"), 6
+            ).alias("nll"),
+        )
+    )

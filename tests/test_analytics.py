@@ -632,3 +632,46 @@ def test_ab_test_matches_python_moments(spark):
         assert got[a].n_users == n
         assert got[a].mean_value == pytest.approx(round(mean, 6), abs=2e-6)
         assert got[a].var_value == pytest.approx(round(var, 6), abs=2e-6)
+
+
+def test_gini_known_distributions(spark):
+    from ccl_spark.analytics import gini_coefficient
+
+    # perfectly equal -> 0
+    eq = spark.createDataFrame([(10.0,)] * 8, "v double")
+    assert gini_coefficient(eq).first().gini == 0.0
+
+    # textbook example vs brute-force rank formula (with ties)
+    vals = [1.0, 1.0, 2.0, 5.0, 11.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = gini_coefficient(df).first()
+    xs = sorted(round(v * 100) for v in vals)
+    n, t = len(xs), sum(xs)
+    s = sum((i + 1) * x for i, x in enumerate(xs))
+    want = round(2 * s / (n * t) - (n + 1) / n, 6)
+    assert got.gini == want and got.n == n and got.total == t / 100.0
+
+    # one owner takes everything -> (n-1)/n
+    conc = spark.createDataFrame([(0.0,)] * 7 + [(100.0,)], "v double")
+    assert gini_coefficient(conc).first().gini == round(7 / 8, 6)
+
+
+def test_unigram_nll_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from ccl_spark.textops import unigram_doc_nll
+
+    rows = [(0, "the the cat"), (1, "rare words here"), (2, "the cat")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_doc_nll(docs).collect()}
+
+    cnt = Counter(t for _, txt in rows for t in txt.lower().split(" ") if t)
+    C = sum(cnt.values())
+    for doc_id, txt in rows:
+        toks = [t for t in txt.lower().split(" ") if t]
+        nll = math.log(C) - sum(math.log(cnt[t]) for t in toks) / len(toks)
+        assert got[doc_id].n_tokens == len(toks)
+        assert got[doc_id].nll == pytest.approx(round(nll, 6), abs=2e-6)
+    # rare-word doc scores strictly higher than stopword-soup doc
+    assert got[1].nll > got[0].nll
