@@ -7497,6 +7497,49 @@ GROUP BY tk.doc_id
 """
 
 
+def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate end-to-end: wildcard-agent Disallow groups
+    parsed from synthesized per-host bodies (with a decoy non-wildcard
+    'Disallow: /' group that must be ignored), then the URL table
+    filtered by host-keyed prefix match.  The oracle derives the
+    allowed set arithmetically — any parser misread flips rows."""
+    from ccl_spark.frontier import parse_robots_rules, robots_filter
+
+    cust = _t(spark, sf_dir, "customer")
+    k = (F.col("c_custkey") % 8).cast("string")
+    robots = cust.select(
+        F.concat(F.lit("host"), k, F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\nDisallow: /tmp"),
+            k,
+            F.lit("\nUser-agent: badbot\nDisallow: /"),
+        ).alias("body"),
+    ).distinct()
+    m = F.col("c_custkey") % 4
+    urls = cust.select(
+        F.concat(
+            F.lit("https://host"), k, F.lit(".example.com"),
+            F.when(m == 0, F.concat(F.lit("/public/"), F.col("c_custkey").cast("string")))
+            .when(m == 1, F.concat(F.lit("/private/doc"), F.col("c_custkey").cast("string")))
+            .when(m == 2, F.concat(F.lit("/tmp"), k, F.lit("/x")))
+            .otherwise(F.lit("/")),
+        ).alias("url")
+    )
+    rules = parse_robots_rules(robots)
+    return robots_filter(urls, rules)
+
+
+_ROBOTS_SQL = """
+SELECT 'https://host' || CAST(c_custkey % 8 AS VARCHAR) || '.example.com' ||
+       CASE c_custkey % 4
+           WHEN 0 THEN '/public/' || CAST(c_custkey AS VARCHAR)
+           ELSE '/'
+       END AS url
+FROM customer
+WHERE c_custkey % 4 IN (0, 3)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the external gate: the driver's correctness run
     # has a time budget and records entries in this order (round 4
@@ -7740,6 +7783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "gini": q_gini,
         "unigram_nll": q_unigram_nll,
+        "robots": q_robots,
     }
 
 
@@ -8414,6 +8458,7 @@ FROM m
         "ab_test": _AB_TEST_SQL,
         "gini": _GINI_SQL,
         "unigram_nll": _UNIGRAM_NLL_SQL,
+        "robots": _ROBOTS_SQL,
         "repetition": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bi AS (SELECT doc_id, UNNEST({_grams_sql(2)}) AS gram FROM toks),

@@ -46,3 +46,81 @@ def frontier_plan(
         "fetch_round",
         F.floor((F.col("rank_in_host") - 1) / per_host_cap).cast("long"),
     )
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into (host, path_prefix)
+    disallow rules — the wildcard-agent subset (``User-agent: *``
+    groups' ``Disallow:`` lines), which is what a bulk crawler
+    actually honors at fleet scale.
+
+    Pure JVM string ops: split lines, track the active agent group
+    with a running flag derived per line (a group ends at the next
+    User-agent line), keep non-empty Disallow paths.  One explode +
+    filter over the (tiny) robots corpus — robots bodies are per-host,
+    orders of magnitude smaller than the URL table they gate.
+
+    Returns ``(host, path_prefix)`` distinct rules.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
+    ).select("host", "pos", F.trim(F.lower("line")).alias("line"))
+    agents = lines.filter(F.col("line").startswith("user-agent:")).select(
+        "host",
+        F.col("pos").alias("apos"),
+        (F.trim(F.regexp_replace("line", "^user-agent:", "")) == "*").alias("is_star"),
+    )
+    # each line belongs to the closest preceding user-agent line
+    dis = lines.filter(F.col("line").startswith("disallow:")).select(
+        "host", "pos",
+        F.trim(F.regexp_replace("line", "^disallow:", "")).alias("path_prefix"),
+    ).filter(F.col("path_prefix") != "")
+    joined = (
+        dis.join(agents, "host")
+        .filter(F.col("apos") < F.col("pos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("host", "pos").orderBy(F.desc("apos"))
+            ),
+        )
+        .filter((F.col("rn") == 1) & F.col("is_star"))
+    )
+    return joined.select("host", "path_prefix").distinct()
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Filter a URL table against robots disallow rules: a URL is
+    dropped when any of its host's path prefixes prefix-matches its
+    path.  One host-keyed equi-join (fan-out bounded by rules per
+    host — small by construction) + one anti-join back; the URL table
+    is never compared against other hosts' rules.
+
+    Returns the allowed subset of ``urls`` (original columns).
+    """
+    from ccl_spark.edges import host_of
+
+    parts = urls.select(
+        F.col(url_col).alias("_u"),
+        host_of(url_col).alias("_host"),
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)?$", 1)
+        .alias("_path"),
+    ).withColumn("_path", F.when(F.col("_path") == "", "/").otherwise(F.col("_path")))
+    blocked = (
+        parts.join(
+            rules.select(F.col("host").alias("_host"), "path_prefix"), "_host"
+        )
+        .filter(F.col("_path").startswith(F.col("path_prefix")))
+        .select("_u")
+        .distinct()
+    )
+    return urls.join(blocked, urls[url_col] == blocked._u, "left_anti")

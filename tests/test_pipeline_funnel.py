@@ -80,3 +80,43 @@ def test_curation_funnel_stages(spark):
     assert r.n_quality_hosts == 2
     assert r.n_docs_kept == 6
     assert r.total_tokens > 0
+
+
+def test_robots_parse_and_filter(spark):
+    from ccl_spark.frontier import parse_robots_rules, robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /admin\nDisallow: /tmp\n"
+                      "User-agent: badbot\nDisallow: /"),
+            ("b.com", "User-agent: googlebot\nDisallow: /secret\n"
+                      "User-agent: *\nDisallow: /x"),
+            ("c.com", "User-agent: *\n# no disallows\n"),
+        ],
+        "host string, body string",
+    )
+    rules = {(r.host, r.path_prefix) for r in parse_robots_rules(robots).collect()}
+    # wildcard groups only; the badbot '/' and googlebot '/secret' are ignored
+    assert rules == {("a.com", "/admin"), ("a.com", "/tmp"), ("b.com", "/x")}
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/admin/panel",),   # blocked
+            ("https://a.com/tmpfile",),       # blocked (prefix match)
+            ("https://a.com/public",),        # allowed
+            ("https://b.com/x/1",),           # blocked
+            ("https://b.com/secret",),        # allowed (* group has no /secret)
+            ("https://c.com/anything",),      # allowed (no rules)
+            ("https://d.com/x",),             # allowed (no robots at all)
+            ("https://a.com/",),              # allowed (root not disallowed)
+        ],
+        "url string",
+    )
+    kept = {r.url for r in robots_filter(urls, parse_robots_rules(robots)).collect()}
+    assert kept == {
+        "https://a.com/public",
+        "https://b.com/secret",
+        "https://c.com/anything",
+        "https://d.com/x",
+        "https://a.com/",
+    }
