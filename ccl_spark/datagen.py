@@ -149,22 +149,106 @@ def page_text(i: int, seed: int, n_hosts: int) -> str:
     return f"{main}\n{foot}" if foot else main
 
 
+def _batch_main_texts(ids: np.ndarray, seed: int) -> list[str]:
+    """Vectorized page_main_text over a whole id batch: one splitmix64
+    pass over the concatenated word streams instead of one numpy call
+    per page. Byte-identical to the scalar spec (pinned by
+    tests/test_datagen.py)."""
+    n = (20 + (_hash(seed, ids, 5) % np.uint64(40))).astype(np.int64)
+    ws = _hash(seed, ids, 6)
+    total = int(n.sum())
+    starts = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(n, out=starts[1:])
+    # per-page arange(n_j), concatenated: global index minus page start
+    offs = (np.arange(total, dtype=np.uint64)
+            - np.repeat(starts[:-1], n).astype(np.uint64))
+    stream = _splitmix64(np.repeat(ws, n) + offs)
+    # the scalar spec indexes with `int(w % len(_WORDS))` where w is a
+    # numpy uint64 SCALAR: numpy promotes uint64-scalar % python-int to
+    # float64, so the modulo is taken after float rounding of w — keep
+    # that exact arithmetic (array % int would stay uint64 and differ)
+    idx = (stream.astype(np.float64) % float(len(_WORDS))).astype(np.int64)
+    words = np.array(_WORDS)[idx]
+    wl = words.tolist()
+    return [" ".join(wl[starts[j]:starts[j + 1]]) for j in range(len(ids))]
+
+
+def _batch_links(
+    ids: np.ndarray, v: int, seed: int, n_hosts: int, max_out: int = 40
+) -> list[list[tuple[str, str]]]:
+    """Vectorized out_links_anchored over a whole id batch: the three
+    per-page hash draws and the per-link anchor hash each become one
+    array op; only the order-preserving dedup and string assembly stay
+    per-row. Byte-identical to the scalar spec."""
+    dangling = _unit(_hash(seed, ids, 1)) < 0.06
+    u = _unit(_hash(seed, ids, 2))
+    with np.errstate(divide="ignore", over="ignore"):
+        raw = 1.5 * (1.0 - u) ** (-0.7)
+    k = np.clip(raw, 1, max_out).astype(np.int64)
+    k[dangling] = 0
+    total = int(k.sum())
+    starts = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(k, out=starts[1:])
+    slots = (np.arange(total, dtype=np.uint64)
+             - np.repeat(starts[:-1], k).astype(np.uint64))
+    page_rep = np.repeat(ids, k)
+    h = _hash(seed, page_rep + (slots << np.uint64(20)) + np.uint64(7), 3)
+    tgt = (v * _unit(h) ** 2.2).astype(np.int64)
+    # per-page: drop self-links, dedup preserving slot order
+    per_page_tgts: list[list[int]] = []
+    flat_src: list[int] = []
+    flat_tgt: list[int] = []
+    tl = tgt.tolist()
+    il = ids.astype(np.int64).tolist()
+    for j, i in enumerate(il):
+        ts = list(dict.fromkeys(t for t in tl[starts[j]:starts[j + 1]] if t != i))
+        per_page_tgts.append(ts)
+        flat_src.extend([i] * len(ts))
+        flat_tgt.extend(ts)
+    # anchors: one hash pass over all (page, target) pairs
+    if flat_tgt:
+        av = (np.array(flat_src, dtype=np.uint64)
+              ^ (np.array(flat_tgt, dtype=np.uint64) << np.uint64(21)))
+        ah = _hash(seed, av, 8).tolist()
+    else:
+        ah = []
+    nw = len(_WORDS)
+    out: list[list[tuple[str, str]]] = []
+    pos = 0
+    for j in range(len(ids)):
+        links = []
+        for t in per_page_tgts[j]:
+            hh = ah[pos]
+            pos += 1
+            words = [_WORDS[t % nw], _WORDS[hh % nw]]
+            if (hh >> 24) % 3:
+                words.append(_WORDS[(hh >> 44) % nw])
+            links.append((url_of(t, n_hosts), " ".join(words)))
+        out.append(links)
+    return out
+
+
 def _gen_batch(
     pdf_iter: Iterator[pd.DataFrame], v: int, seed: int, n_hosts: int
 ) -> Iterator[pd.DataFrame]:
     base_ts = pd.Timestamp("2026-01-05", tz="UTC")
+    footer_memo: dict[int, str] = {}  # n_hosts-bounded, per task
     for pdf in pdf_iter:
         ids = pdf["id"].to_numpy(dtype=np.uint64)
         langs = [
             _LANGS[int(h % len(_LANGS))] for h in _hash(seed, ids, 4)
         ]
+        mains = _batch_main_texts(ids, seed)
+        all_links = _batch_links(ids, v, seed, n_hosts)
         rows = []
         for j, i in enumerate(ids.tolist()):
-            main = page_main_text(i, seed)
-            foot = host_footer(i % n_hosts, seed)
+            main = mains[j]
+            host = i % n_hosts
+            foot = footer_memo.get(host)
+            if foot is None:
+                foot = footer_memo[host] = host_footer(host, seed)
             text = f"{main}\n{foot}" if foot else main
-            links = out_links_anchored(i, v, seed, n_hosts)
-            anchors = "".join(f'<a href="{u}">{a}</a>' for u, a in links)
+            anchors = "".join(f'<a href="{u}">{a}</a>' for u, a in all_links[j])
             foot_p = f"<p>{foot}</p>" if foot else ""
             html = (
                 f"<html><head><title>page {i}</title></head>"

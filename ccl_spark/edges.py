@@ -25,9 +25,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .extract import extract_link_pairs
-
-
 def url_id(col: str | F.Column) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(c)
@@ -102,12 +99,25 @@ def page_edges(
     """pages -> deduplicated salted edge table. ``canonicalize`` runs
     canonical_url over both endpoints before hashing (the right default
     for a real crawl; off here because the synthetic corpus emits
-    already-canonical urls and the regexes would be a no-op cost)."""
-    pairs = extract_link_pairs(pages)
-    s, d = F.col("src_url"), F.col("dst_url")
+    already-canonical urls and the regexes would be a no-op cost).
+
+    The href pairs are hashed BEFORE the dedup shuffle: the one
+    ``distinct`` on the 16-byte (src, dst) key subsumes the string-level
+    distinct ``extract_link_pairs`` would run (identical output — dedup
+    by hashed key is dedup of the hash-projected rows), so the wide URL
+    strings never cross an exchange (guide §2.3/§2.4)."""
+    from .extract import _HREF_SQL
+
+    s = F.col("html").cast("string")
+    links = F.regexp_extract_all(s, F.lit(_HREF_SQL), F.lit(1))
+    pairs = (
+        pages.select(F.col("url").alias("src_url"), F.explode(links).alias("dst_url"))
+        .filter(F.col("dst_url") != F.col("src_url"))
+    )
+    su, du = F.col("src_url"), F.col("dst_url")
     if canonicalize:
-        s, d = canonical_url(s), canonical_url(d)
-    e = pairs.select(url_id(s).alias("src"), url_id(d).alias("dst")).distinct()
+        su, du = canonical_url(su), canonical_url(du)
+    e = pairs.select(url_id(su).alias("src"), url_id(du).alias("dst")).distinct()
     return with_salt(e, n_salts)
 
 

@@ -7,7 +7,8 @@ parallelism — the no-order-dependence discipline the reference's
 sequential numbering forced is kept here by construction.
 
 Per superstep: one join (labels onto the undirected neighbor table) +
-one count aggregation + one row_number window — all JVM-side. The
+one (u, label) count aggregation + one per-vertex min_by argmax — all
+JVM-side hash aggregates with map-side partials, no sort. The
 neighbor table is pinned once for the run via edges.cache_partitioned
 (default: checkpoint, with the per-job exchange shared across the
 fused rounds by ReusedExchange; ``colocate=True``: cached
@@ -18,7 +19,7 @@ cache_partitioned for the measurements behind the default).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .superstep import SuperstepHarness, edge_signature, pin_input_signature
 
@@ -78,7 +79,6 @@ def label_propagation(
             # round t replays the identical label sequence a full run
             # produces (same contract as cc/pagerank resume)
             start, labels = resumed[0], resumed[1].select("vertex", "label")
-    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("label"))
     k = max(int(rounds_per_check), 1)
     it = start
     while it < max_iter:
@@ -88,10 +88,14 @@ def label_propagation(
         for _ in range(kk):
             msgs = nbrs.join(cur, nbrs.v == cur.vertex).select("u", "label")
             counts = msgs.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
-            best = (
-                counts.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select(F.col("u").alias("vertex"), F.col("label").alias("new_label"))
+            # argmax by (cnt DESC, label ASC) as a hash aggregate with
+            # map-side partials instead of a row_number window — same
+            # deterministic winner, no per-round sort (negating cnt, not
+            # label: label ids are xxhash64 longs where Long.MIN_VALUE
+            # would overflow under ANSI negation)
+            best = counts.groupBy(F.col("u").alias("vertex")).agg(
+                F.min_by("label", F.struct((-F.col("cnt")).alias("nc"), "label"))
+                .alias("new_label")
             )
             cur = cur.join(best, "vertex", "left").select(
                 "vertex",
@@ -164,17 +168,9 @@ def label_spreading(
             .groupBy(F.col("s").alias("vertex"), "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        top = (
-            votes.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vertex").orderBy(
-                        F.desc("n"), F.asc("label")
-                    )
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("vertex", "label")
+        top = votes.groupBy("vertex").agg(
+            F.min_by("label", F.struct((-F.col("n")).alias("nn"), "label"))
+            .alias("label")
         )
         state = sd.unionByName(
             top.join(sd.select("vertex"), "vertex", "left_anti")
@@ -231,14 +227,12 @@ def weighted_label_propagation(
         .localCheckpoint(eager=True)
     )
     labels = verts.select("vertex", F.col("vertex").alias("label"))
-    w_rank = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(max_iter):
         msgs = nbrs.join(labels, nbrs.v == labels.vertex).select("u", "label", "w")
         counts = msgs.groupBy("u", "label").agg(F.sum("w").alias("cnt"))
-        best = (
-            counts.withColumn("rn", F.row_number().over(w_rank))
-            .filter(F.col("rn") == 1)
-            .select(F.col("u").alias("vertex"), F.col("label").alias("new_label"))
+        best = counts.groupBy(F.col("u").alias("vertex")).agg(
+            F.min_by("label", F.struct((-F.col("cnt")).alias("nc"), "label"))
+            .alias("new_label")
         )
         nxt = labels.join(best, "vertex", "left").select(
             "vertex",
