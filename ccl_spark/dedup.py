@@ -43,14 +43,19 @@ def exact_duplicates(
 def shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct word n-grams — JVM higher-order functions."""
+    """(id, shingle) distinct word n-grams — JVM higher-order functions.
+
+    Dedup is per-document (``id`` is unique per input row), so it runs
+    map-side as ``array_distinct`` BEFORE the explode — identical rows
+    to a post-explode ``distinct()`` with zero exchange (the corpus-wide
+    shingle-string shuffle was the dominant cost of the MinHash
+    pipeline; guide §2.4)."""
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n} + 1, 1)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n} + 1, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"
     )
-    return (
-        docs.select(F.col(id_col).cast("long").alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"), F.explode(grams).alias("shingle")
     )
 
 
@@ -65,6 +70,8 @@ def minhash_signatures(
     ]
     wide = sh.groupBy("id").agg(*aggs)
     return wide.select("id", F.array(*[F.col(f"h{k}") for k in range(n_hashes)]).alias("sig"))
+
+
 
 
 def _banded(sigs: DataFrame, bands: int) -> DataFrame:
@@ -118,7 +125,18 @@ def lsh_candidate_pairs(
 
 def jaccard_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact n-gram Jaccard for given candidate pairs:
-    (id_a, id_b, n_inter, n_union, jaccard)."""
+    (id_a, id_b, n_inter, n_union, jaccard).
+
+    The shingle table is first restricted to ids that occur in
+    ``pairs`` (semi-joins — identical results: other ids can never
+    reach the output), so the heavy shingle-string exchanges of the
+    verify joins carry only candidate documents, not the corpus."""
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = sh.join(ids, "id", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("id").alias("id_a"), "shingle")
     sb = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -207,7 +225,10 @@ def near_duplicates(
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        # materialized so jaccard_pairs' candidate-id semi-filter (and
+        # its sa/sb joins) never re-run the signature/banding pipeline
         .distinct()
+        .localCheckpoint(eager=True)
     )
     return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 
@@ -593,6 +614,9 @@ def near_duplicates_fold(
             F.greatest("id_n", "id_o").alias("id_b"),
         )
         .distinct()
+        # materialized so jaccard_pairs' candidate-id semi-filter and
+        # verify joins don't re-run the band probe joins
+        .localCheckpoint(eager=True)
     )
     all_sh = index_shingles.unionByName(shn)
     pairs = jaccard_pairs(all_sh, cands).filter(F.col("jaccard") >= threshold)

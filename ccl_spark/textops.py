@@ -519,13 +519,26 @@ def bpe_encode_docs(
         )
         .filter(F.col("word") != "")
     )
-    toks = words.join(F.broadcast(seg), "word").select(
-        id_col, "wpos", F.posexplode("syms").alias("spos", "token")
+    # token position = (symbols emitted by earlier words) + offset in
+    # this word's segmentation: the cumulative sum runs over WORD rows
+    # (one per corpus word), not the ~5x larger exploded token table a
+    # row_number over (wpos, spos) would have to sort — same pos values
+    w = Window.partitionBy(id_col).orderBy("wpos")
+    offs = words.join(F.broadcast(seg), "word").withColumn(
+        "off",
+        F.coalesce(
+            F.sum(F.size("syms")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
     )
-    w = Window.partitionBy(id_col).orderBy("wpos", "spos")
+    toks = offs.select(
+        id_col, "off", F.posexplode("syms").alias("spos", "token")
+    )
     return toks.join(F.broadcast(vocab), "token").select(
         id_col,
-        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        (F.col("off") + F.col("spos")).cast("long").alias("pos"),
         "token_id",
         "token",
     )

@@ -47,10 +47,13 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
     wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
-    # close the wedge with an oriented edge in either (y,z) order
+    # close the wedge with an oriented edge in either (y,z) order;
+    # (lo, hi) is a bijective reorientation of the distinct canonical
+    # edge set, so (least, greatest) rows are distinct already — no
+    # dedup exchange needed
     close = o.select(
         F.least("lo", "hi").alias("y"), F.greatest("lo", "hi").alias("z")
-    ).distinct()
+    )
     return wedges.join(close, ["y", "z"]).select("x", "y", "z")
 
 

@@ -314,16 +314,20 @@ def edge_negatives(
     Returns ``(u, v, draw)`` — draw is the 0-based draw index that
     produced the pair, making the sample's provenance auditable.
     """
+    from .suffix import _dist_dense_rank
+
     und = _symmetrized(edges, src, dst)
-    verts = (
-        und.select(F.col("s").alias("vertex"))
-        .distinct()
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy("vertex")) - 1,
-        )
-    )
+    # dense vertex indexing via the distributed two-job ranking
+    # (vertex ids are unique, so dense_rank == row_number) — no
+    # unpartitioned window over V (r5 verdict ask #2)
+    verts = _dist_dense_rank(
+        und.select(F.col("s").alias("vertex")).distinct(), ["vertex"], "_r"
+    ).select("vertex", (F.col("_r") - 1).alias("rank")).localCheckpoint(eager=True)
     n = verts.count()
+    if n == 0:
+        # empty edge set: no vertex universe to draw from (a pmod-by-
+        # zero draw would error, ADVICE r5)
+        return und.sparkSession.createDataFrame([], "u long, v long, draw long")
     draws = verts.select(F.col("vertex").alias("u")).crossJoin(
         F.broadcast(
             und.sparkSession.range(k).select(F.col("id").cast("long").alias("draw"))
@@ -333,7 +337,10 @@ def edge_negatives(
         "pmod(cast(conv(substring(md5(concat(cast(u as string), ',', "
         f"cast(draw as string), ',{seed}')), 1, 15), 16, 10) as bigint), {n})"
     )
-    cand = draws.withColumn("rank", idx).join(F.broadcast(verts), "rank").select(
+    # plain equi-join on the dense index: AQE broadcasts it when small;
+    # at web scale it stays a hash join (a forced |V|-row broadcast
+    # would hit the 8 GB relation cap)
+    cand = draws.withColumn("rank", idx).join(verts, "rank").select(
         "u", F.col("vertex").alias("v"), "draw"
     )
     existing = und.select(F.col("s").alias("u"), F.col("d").alias("v"))

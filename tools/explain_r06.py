@@ -1,0 +1,148 @@
+"""Capture .explain("formatted") plans for the r06-touched operators.
+
+Usage: python tools/explain_r06.py <outdir> <suffix>
+    e.g. python tools/explain_r06.py plans/r06 after
+
+Run from the repo whose plans you want (the round-start tree for
+_before, the optimized tree for _after).  Iterative algorithms
+(pagerank/lpa/cc) materialize per round, so the informative plan is
+the fused round BODY — captured here by reconstructing one round's
+lazy plan exactly as the library builds it (noted in each file
+header).
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from ccl_spark.session import get_spark  # noqa: E402
+
+OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "plans/r06")
+SUFFIX = sys.argv[2] if len(sys.argv) > 2 else "after"
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def dump(name: str, df, header: str = "") -> None:
+    OUT.mkdir(parents=True, exist_ok=True)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    text = (f"# {header}\n" if header else "") + buf.getvalue()
+    (OUT / f"{name}_{SUFFIX}.txt").write_text(text)
+    print(f"wrote {name}_{SUFFIX}.txt")
+
+
+def main() -> None:
+    spark = get_spark("explain_r06")
+    from ccl_spark.datagen import generate_pages
+    from ccl_spark.edges import page_edges
+
+    pages = generate_pages(spark, 10_000, seed=42)
+    dump(
+        "datagen_extract",
+        page_edges(pages),
+        "page_edges(pages) — the datagen_extract bench query body",
+    )
+
+    edges = page_edges(pages).localCheckpoint(eager=True)
+
+    # --- lpa: one fused round body --------------------------------
+    from ccl_spark.edges import cache_partitioned
+
+    pairs = edges.select(F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("v"))
+    nbrs = cache_partitioned(
+        pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        "v",
+    )
+    verts = (
+        pairs.select(F.col("u").alias("vertex"))
+        .unionByName(pairs.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = verts.select("vertex", F.col("vertex").alias("label"))
+    msgs = nbrs.join(cur, nbrs.v == cur.vertex).select("u", "label")
+    counts = msgs.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    try:  # after-shape (min_by aggregate)
+        best = counts.groupBy(F.col("u").alias("vertex")).agg(
+            F.min_by("label", F.struct((-F.col("cnt")).alias("nc"), "label")).alias("new_label")
+        )
+        import ccl_spark.lpa as _l  # assert shape matches the library
+        assert "min_by" in open(_l.__file__).read()
+    except AssertionError:  # before-shape (row_number window)
+        w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("label"))
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("vertex"), F.col("label").alias("new_label"))
+        )
+    nxt = cur.join(best, "vertex", "left").select(
+        "vertex", F.coalesce("new_label", "label").alias("label")
+    )
+    dump("lpa_round", nxt, "one LPA round body (the per-superstep plan)")
+    nbrs.unpersist()
+
+    # --- betweenness: the symmetrize + one forward level ----------
+    from ccl_spark.graphstats import _symmetrized
+
+    und = _symmetrized(edges, "src", "dst")
+    dump("betweenness_symmetrize", und, "_symmetrized(edges) — pin input of the pivot BFS")
+
+    # --- near_dup_minhash (full query) -----------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from ccl_spark.dedup import near_duplicates, simhash
+
+    dump(
+        "near_dup_minhash",
+        near_duplicates(docs, n=3, n_hashes=32, bands=16, threshold=0.8, log_dropped=False),
+        "near_duplicates(...) — NOTE: verify stage only; the signature/"
+        "banding pipeline materializes into the candidate checkpoint",
+    )
+    dump("simhash", simhash(docs), "simhash(docs) — untouched, for reference")
+
+    # --- tokens_ids -------------------------------------------------
+    from ccl_spark.textops import bpe_encode_docs, bpe_merges
+
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_merges(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    dump("tokens_ids", bpe_encode_docs(docs, merges), "bpe_encode_docs(docs, merges)")
+
+    # --- suffix_array: first ranking round --------------------------
+    from ccl_spark.suffix import corpus_token_stream, suffix_array
+
+    small = docs.limit(50).localCheckpoint(eager=True)
+    stream = corpus_token_stream(small, "doc_id", "text").localCheckpoint(eager=True)
+    dump(
+        "suffix_rank_round",
+        suffix_array(stream, max_rounds=0),
+        "suffix_array first ranking (max_rounds=0 keeps the plan at one"
+        " ranked level — the per-round ranking shape)",
+    )
+
+    # --- edge_negatives ---------------------------------------------
+    from ccl_spark.walks import edge_negatives
+
+    dump("edge_negatives", edge_negatives(edges.limit(5000)), "edge_negatives(edges)")
+
+    # --- degree_tau --------------------------------------------------
+    from ccl_spark.graphstats import degree_rank_correlation, ppr_sweep_cut
+
+    dump("degree_tau", degree_rank_correlation(edges.limit(3000)), "degree_rank_correlation")
+    dump("ppr_sweep", ppr_sweep_cut(edges.limit(3000), seed=1, n_iter=2, k_max=5),
+         "ppr_sweep_cut — ranked prefix construction")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
