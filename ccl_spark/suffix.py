@@ -53,7 +53,14 @@ def _dist_dense_rank(
     """
     sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     parted = df.repartitionByRange(max(sp, 1), *[F.col(c) for c in order_cols])
-    parted = parted.withColumn("_pid", F.spark_partition_id())
+    # materialize ONCE: the count path and the rank path must see the
+    # SAME partition boundaries — two independent range exchanges may
+    # sample different boundary sets, which would make the offsets
+    # inconsistent with the pids (checkpoint also pins the
+    # nondeterministic spark_partition_id against retries)
+    parted = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     cnt = parted.groupBy("_pid").agg(
         F.count_distinct(*[F.col(c) for c in order_cols]).alias("_c")
     )
