@@ -6513,7 +6513,11 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb_eval consumes the same matrix."""
     from ccl_spark.textops import naive_bayes_classify, naive_bayes_train
 
-    key = (sf_dir,)
+    # key includes the session: a memoized frame is bound to the
+    # SparkSession that built it — under a fresh session (gate retries,
+    # test reuse) it must recompute, not return a dead-session RDD
+    # (ADVICE r5)
+    key = (sf_dir, spark.sparkContext.applicationId)
     if key not in _NB_MEMO:
         docs = _t(spark, sf_dir, "documents")
         class_stats, token_counts, vocab = naive_bayes_train(docs)

@@ -58,30 +58,39 @@ def parse_robots_rules(
     groups' ``Disallow:`` lines), which is what a bulk crawler
     actually honors at fleet scale.
 
-    Pure JVM string ops: split lines, track the active agent group
-    with a running flag derived per line (a group ends at the next
-    User-agent line), keep non-empty Disallow paths.  One explode +
-    filter over the (tiny) robots corpus — robots bodies are per-host,
-    orders of magnitude smaller than the URL table they gate.
+    Pure JVM string ops: split lines, attribute each Disallow to its
+    RFC 9309 group — the contiguous run of User-agent lines preceding
+    its nearest agent line (several ``User-agent:`` lines may stack on
+    one group), keeping groups that contain ``*``.  Only the KEYWORD
+    match is case-insensitive; the path value keeps its original case
+    (robots paths are case-sensitive — lowercasing them silently
+    under-blocks, ADVICE r5).  One explode + small joins over the
+    (tiny) robots corpus — robots bodies are per-host, orders of
+    magnitude smaller than the URL table they gate.
 
-    Returns ``(host, path_prefix)`` distinct rules.
+    Returns ``(host, path_prefix)`` distinct rules, host lowercased
+    (hosts are case-insensitive; robots_filter joins on the
+    lowercased URL host).
     """
     lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
-    ).select("host", "pos", F.trim(F.lower("line")).alias("line"))
-    agents = lines.filter(F.col("line").startswith("user-agent:")).select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host", "pos", F.trim("raw").alias("raw"),
+        F.trim(F.lower("raw")).alias("lc"),
+    )
+    agents = lines.filter(F.col("lc").startswith("user-agent:")).select(
         "host",
         F.col("pos").alias("apos"),
-        (F.trim(F.regexp_replace("line", "^user-agent:", "")) == "*").alias("is_star"),
+        (F.trim(F.regexp_replace("lc", "^user-agent:", "")) == "*").alias("is_star"),
     )
-    # each line belongs to the closest preceding user-agent line
-    dis = lines.filter(F.col("line").startswith("disallow:")).select(
+    dis = lines.filter(F.col("lc").startswith("disallow:")).select(
         "host", "pos",
-        F.trim(F.regexp_replace("line", "^disallow:", "")).alias("path_prefix"),
+        F.trim(F.regexp_replace("raw", "(?i)^disallow:", "")).alias("path_prefix"),
     ).filter(F.col("path_prefix") != "")
-    joined = (
-        dis.join(agents, "host")
+    # nearest preceding agent line q of each Disallow
+    dis_q = (
+        dis.join(agents.select("host", "apos"), "host")
         .filter(F.col("apos") < F.col("pos"))
         .withColumn(
             "rn",
@@ -89,9 +98,38 @@ def parse_robots_rules(
                 Window.partitionBy("host", "pos").orderBy(F.desc("apos"))
             ),
         )
-        .filter((F.col("rn") == 1) & F.col("is_star"))
+        .filter(F.col("rn") == 1)
+        .select("host", "pos", "path_prefix", F.col("apos").alias("q"))
     )
-    return joined.select("host", "path_prefix").distinct()
+    # an agent line's run extends back to the last Disallow before it:
+    # agent a is in q's group iff last_dis(q) < a <= q
+    last_dis = (
+        agents.join(dis.select("host", F.col("pos").alias("dpos")), "host", "left")
+        .groupBy("host", "apos", "is_star")
+        .agg(
+            F.max(
+                F.when(F.col("dpos") < F.col("apos"), F.col("dpos")).otherwise(
+                    F.lit(-1)
+                )
+            ).alias("pd")
+        )
+    )
+    # keep Disallows whose group run contains a wildcard agent; run
+    # membership: ga <= q and ga > pd(q)
+    pd_of_q = last_dis.select(
+        "host", F.col("apos").alias("q"), F.col("pd").alias("qpd")
+    )
+    star_groups = (
+        dis_q.join(pd_of_q, ["host", "q"])
+        .join(
+            last_dis.select("host", F.col("apos").alias("ga"), "is_star"), "host"
+        )
+        .filter((F.col("ga") <= F.col("q")) & (F.col("ga") > F.col("qpd")))
+        .groupBy("host", "pos", "path_prefix")
+        .agg(F.max(F.col("is_star").cast("int")).alias("has_star"))
+        .filter(F.col("has_star") == 1)
+    )
+    return star_groups.select("host", "path_prefix").distinct()
 
 
 def robots_filter(

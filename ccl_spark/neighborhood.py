@@ -76,8 +76,12 @@ def neighborhood_function(
     else:
         srcs = sources.select(F.col("vertex").cast("long")).distinct()
     # dense source indexing: sidx 0..S-1 by vertex order. The window
-    # sort runs over the SOURCE SET only — at crawl scale that is a
-    # sample (<= thousands), never the corpus.
+    # sort runs over the SOURCE SET — bounded only when the caller
+    # passes a sample. NOTE the default sources=None routes ALL
+    # vertices through it: exact all-sources mode is inherently
+    # diagnostic-scale (the O(S*V/64) bitset state is the real bound;
+    # hyperball is the scale path), so pass an explicit source sample
+    # at crawl scale (r5 verdict, honesty fix).
     sidx = srcs.select(
         "vertex",
         (F.row_number().over(Window.orderBy("vertex")) - 1).alias("sidx"),

@@ -8,15 +8,19 @@ aggregates off a 100-TB store:
   combination re-identifies (Sweeney 2002).  One distinct-user
   aggregate per combination; the violation list is what a release
   review blocks on.
-- ``dp_counts``: per-group counts with Laplace(1/eps) noise — the
-  epsilon-DP release primitive (Dwork et al. 2006).  The noise draw
-  here is DETERMINISTICALLY pseudo-random (inverse-CDF transform of
-  an md5 uniform on the group key + salt), which keeps the operator
-  reproducible across engines, partitionings and retries — the same
-  release re-run produces the same table, and the SQL oracle replays
-  it bit-for-bit.  (A production deployment would swap the salt per
-  release; determinism per salt is the testability property, not a
-  privacy weakening — the adversary never sees the salt.)
+- ``dp_counts``: per-group counts with Laplace(1/eps)-SHAPED noise in
+  the mechanism of Dwork et al. 2006 — but the draw here is a pure
+  function of (group, salt), so this is a deterministic DP
+  **simulation** for oracle testing, NOT an epsilon-DP release: noise
+  independent of the data and constant across releases carries no
+  differential-privacy guarantee (anyone knowing the salt recovers
+  the exact count, and two releases over changed data reveal the
+  exact delta even with a secret salt — ADVICE r5).  The determinism
+  is what lets the SQL oracle replay the table bit-for-bit.  A real
+  deployment MUST draw fresh secret randomness per release (e.g. a
+  caller-supplied per-release salt kept secret and never reused);
+  reusing a salt across releases voids the epsilon guarantee
+  entirely.
 
 Both are single-aggregate plans: the shuffle is keyed on the
 quasi-id/group columns, partial aggregation absorbs skew map-side.
@@ -53,11 +57,14 @@ def dp_counts(
     eps: float = 1.0,
     salt: str = "dp",
 ) -> DataFrame:
-    """Per-group event counts with deterministic Laplace(1/eps) noise:
-    ``u = md5(group, salt)`` uniform in (0,1), noise =
+    """Per-group event counts with deterministic Laplace(1/eps)-shaped
+    noise: ``u = md5(group, salt)`` uniform in (0,1), noise =
     ``-(1/eps) * sign(u - 0.5) * ln(1 - 2|u - 0.5|)`` (the inverse
-    CDF).  Returns ``(group, n, noisy_n)`` with noisy_n rounded to
-    6dp and clamped at 0."""
+    CDF).  Deterministic DP SIMULATION for reproducible testing — not
+    a differential-privacy guarantee (see the module docstring; a real
+    release needs fresh secret randomness per release).  Returns
+    ``(group, n, noisy_n)`` with noisy_n rounded to 6dp and clamped
+    at 0."""
     u = (
         F.expr(
             "cast(conv(substring(md5(concat(cast(group as string), "

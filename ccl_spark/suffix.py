@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _dist_dense_rank(
-    df: DataFrame, order_cols: list[str], out_col: str
+    df: DataFrame, order_cols: list[str], out_col: str, materialize: bool = True
 ) -> DataFrame:
     """Distributed ``dense_rank() OVER (ORDER BY order_cols)``:
 
@@ -58,9 +58,9 @@ def _dist_dense_rank(
     # sample different boundary sets, which would make the offsets
     # inconsistent with the pids (checkpoint also pins the
     # nondeterministic spark_partition_id against retries)
-    parted = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
-    )
+    parted = parted.withColumn("_pid", F.spark_partition_id())
+    if materialize:  # False only for plan capture (tools/explain_r06.py)
+        parted = parted.localCheckpoint(eager=True)
     cnt = parted.groupBy("_pid").agg(
         F.count_distinct(*[F.col(c) for c in order_cols]).alias("_c")
     )

@@ -201,3 +201,44 @@ def test_edge_negatives_no_single_partition_over_vertices(spark):
     # two-job ranking); the candidate plan itself must not funnel V
     # through one task
     assert "Exchange SinglePartition" not in plan
+
+
+# --- robots RFC fixes (ADVICE r5): case + multi-agent groups ---------
+
+
+def test_robots_preserves_path_case_and_multiagent_groups(spark):
+    from ccl_spark.frontier import parse_robots_rules, robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            # mixed-case path must be matched case-sensitively
+            ("a.com", "User-Agent: *\nDisallow: /Private"),
+            # wildcard stacked with another agent in ONE group
+            ("b.com", "User-agent: *\nUser-agent: otherbot\nDisallow: /x"),
+            # wildcard group ends before badbot's: /y is NOT wildcard
+            ("c.com", "User-agent: *\nDisallow: /a\nUser-agent: badbot\nDisallow: /y"),
+            # mixed-case host normalized for the join
+            ("D.COM", "User-agent: *\nDisallow: /z"),
+        ],
+        "host string, body string",
+    )
+    rules = {(r.host, r.path_prefix) for r in parse_robots_rules(robots).collect()}
+    assert rules == {
+        ("a.com", "/Private"),
+        ("b.com", "/x"),
+        ("c.com", "/a"),
+        ("d.com", "/z"),
+    }
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/Private/doc",),  # blocked (case preserved)
+            ("https://a.com/private/doc",),  # allowed (different path)
+            ("https://b.com/x/1",),          # blocked (stacked-agent group)
+            ("https://c.com/y",),            # allowed (badbot-only rule)
+            ("https://c.com/a",),            # blocked
+            ("https://d.com/z",),            # blocked (host case-normalized)
+        ],
+        "url string",
+    )
+    kept = {r.url for r in robots_filter(urls, parse_robots_rules(robots)).collect()}
+    assert kept == {"https://a.com/private/doc", "https://c.com/y"}

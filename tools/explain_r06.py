@@ -118,17 +118,25 @@ def main() -> None:
     ]
     dump("tokens_ids", bpe_encode_docs(docs, merges), "bpe_encode_docs(docs, merges)")
 
-    # --- suffix_array: first ranking round --------------------------
-    from ccl_spark.suffix import corpus_token_stream, suffix_array
-
+    # --- suffix_array: the per-round ranking plan --------------------
     small = docs.limit(50).localCheckpoint(eager=True)
-    stream = corpus_token_stream(small, "doc_id", "text").localCheckpoint(eager=True)
-    dump(
-        "suffix_rank_round",
-        suffix_array(stream, max_rounds=0),
-        "suffix_array first ranking (max_rounds=0 keeps the plan at one"
-        " ranked level — the per-round ranking shape)",
-    )
+    toks = small.select(
+        F.col("doc_id").alias("pos"), F.col("text").alias("tok")
+    ).localCheckpoint(eager=True)  # stand-in (pos, tok) stream for plan shape
+    try:  # after-shape: distributed two-job ranking
+        from ccl_spark.suffix import _dist_dense_rank
+
+        ranked = _dist_dense_rank(toks, ["tok"], "r", materialize=False)
+        hdr = ("suffix per-round ranking — distributed form (range exchange +"
+               " pid-keyed dense_rank + broadcast offsets; materialize=False"
+               " only so the checkpoint does not truncate the captured plan)")
+    except (ImportError, TypeError):  # before-shape: unpartitioned window
+        ranked = toks.select(
+            "pos",
+            F.dense_rank().over(Window.orderBy("tok")).cast("long").alias("r"),
+        )
+        hdr = "suffix per-round ranking — unpartitioned dense_rank window"
+    dump("suffix_rank_round", ranked, hdr)
 
     # --- edge_negatives ---------------------------------------------
     from ccl_spark.walks import edge_negatives
