@@ -143,12 +143,47 @@ def main() -> None:
 
     dump("edge_negatives", edge_negatives(edges.limit(5000)), "edge_negatives(edges)")
 
-    # --- degree_tau --------------------------------------------------
-    from ccl_spark.graphstats import degree_rank_correlation, ppr_sweep_cut
+    # --- degree_tau: the pair-scan input above the exact threshold ---
+    from ccl_spark.graphstats import degree_rank_correlation
 
-    dump("degree_tau", degree_rank_correlation(edges.limit(3000)), "degree_rank_correlation")
-    dump("ppr_sweep", ppr_sweep_cut(edges.limit(3000), seed=1, n_iter=2, k_max=5),
-         "ppr_sweep_cut — ranked prefix construction")
+    try:  # after-shape: sampled vertex universe above max_exact_vertices
+        df = degree_rank_correlation(edges.limit(3000), max_exact_vertices=500)
+        hdr = ("degree_rank_correlation with |V| above max_exact_vertices:"
+               " the crossJoin input is the deterministic xxhash64 vertex"
+               " sample (look for the pmod(xxhash64(vertex)) Filter)")
+    except TypeError:  # before-shape: always the full all-pairs scan
+        df = degree_rank_correlation(edges.limit(3000))
+        hdr = "degree_rank_correlation — unconditional all-pairs crossJoin"
+    dump("degree_tau", df, hdr)
+
+    # --- ppr_sweep: the ranked-prefix construction (pre-checkpoint) --
+    scored = spark.createDataFrame(
+        [(i, i % 7 + 1, float((i * 37) % 100) / 100) for i in range(1000)],
+        "vertex long, deg long, score double",
+    )
+    k_max = 20
+    w_rank = Window.orderBy(F.desc("score"), F.asc("vertex"))
+    import ccl_spark.graphstats as _gs
+
+    if "limit(k_max)" in open(_gs.__file__).read():  # after-shape
+        ranked = (
+            scored.orderBy(F.desc("score"), F.asc("vertex"))
+            .limit(k_max)
+            .withColumn("rk", F.row_number().over(w_rank))
+            .select("vertex", "deg", "rk")
+        )
+        hdr = ("ppr_sweep_cut ranked-prefix body — after: TakeOrdered(k_max)"
+               " feeds the rank window, so the unpartitioned window sees at"
+               " most k_max rows")
+    else:  # before-shape
+        ranked = (
+            scored.withColumn("rk", F.row_number().over(w_rank))
+            .filter(F.col("rk") <= k_max)
+            .select("vertex", "deg", "rk")
+        )
+        hdr = ("ppr_sweep_cut ranked-prefix body — before: the unpartitioned"
+               " rank window consumes the WHOLE scored vertex table")
+    dump("ppr_sweep", ranked, hdr)
     spark.stop()
 
 
